@@ -1,0 +1,13 @@
+from tpu_unet.models.blocks import DoubleConv, Down, Up, OutConv
+from tpu_unet.models.unet import UNet, SegmentationUNet, AnomalyUNet, build_model
+
+__all__ = [
+    "DoubleConv",
+    "Down",
+    "Up",
+    "OutConv",
+    "UNet",
+    "SegmentationUNet",
+    "AnomalyUNet",
+    "build_model",
+]
