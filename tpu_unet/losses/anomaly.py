@@ -1,0 +1,66 @@
+"""Anomaly-detection losses: combined reconstruction + binary-focal segmentation.
+
+Behavior parity with the reference's CombinedLoss
+(/root/reference/src/train_utils.py:10-44): total = w_r * recon + w_s * focal where
+focal = mean(alpha * (1 - pt)^gamma * BCE(prob, target)), pt = exp(-BCE). Unlike the
+reference, the SSIM reconstruction option is actually wired in (SURVEY.md §2.6
+defect 2: the reference builds SSIMLoss under --use_ssim but always trains with MSE).
+
+All functions are pure and jit-safe; they take probabilities (the models already
+apply sigmoid) and return a dict of scalars.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+
+from tpu_unet.ops.ssim import ssim_loss
+
+_EPS = 1e-12
+
+
+def binary_focal_loss(probs: jnp.ndarray, targets: jnp.ndarray,
+                      alpha: float = 0.25, gamma: float = 2.0) -> jnp.ndarray:
+    """Focal loss on probabilities (post-sigmoid), matching torch BCE semantics."""
+    p = jnp.clip(probs.astype(jnp.float32), _EPS, 1.0 - _EPS)
+    t = targets.astype(jnp.float32)
+    bce = -(t * jnp.log(p) + (1.0 - t) * jnp.log(1.0 - p))
+    pt = jnp.exp(-bce)
+    return jnp.mean(alpha * (1.0 - pt) ** gamma * bce)
+
+
+def mse_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    return jnp.mean((pred - target) ** 2)
+
+
+def combined_anomaly_loss(
+    reconstruction: jnp.ndarray,
+    anomaly_map: jnp.ndarray,
+    image: jnp.ndarray,
+    mask: jnp.ndarray,
+    *,
+    recon_weight: float = 1.0,
+    seg_weight: float = 1.0,
+    focal_alpha: float = 0.25,
+    focal_gamma: float = 2.0,
+    recon_loss_type: str = "mse",
+) -> Dict[str, jnp.ndarray]:
+    """Combined anomaly loss; all inputs NHWC (mask (N,H,W,1) binary).
+
+    recon_loss_type: 'mse' (reference default) or 'ssim' (--use_ssim, properly wired).
+    Returns {'total_loss', 'recon_loss', 'seg_loss'} like the reference's dict.
+    """
+    if recon_loss_type == "mse":
+        recon_loss = mse_loss(reconstruction, image)
+    elif recon_loss_type == "ssim":
+        recon_loss = ssim_loss(reconstruction.astype(jnp.float32), image.astype(jnp.float32))
+    else:
+        raise ValueError(f"Unknown recon_loss_type: {recon_loss_type!r}")
+
+    seg_loss = binary_focal_loss(anomaly_map, mask, alpha=focal_alpha, gamma=focal_gamma)
+    total = recon_weight * recon_loss + seg_weight * seg_loss
+    return {"total_loss": total, "recon_loss": recon_loss, "seg_loss": seg_loss}
