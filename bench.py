@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Benchmark: MVTec-bottle AnomalyUNet training throughput on one TPU chip.
+
+The BASELINE.json north-star config: AnomalyUNet dual-decoder, 256px, batch 16,
+Adam + combined MSE-recon/focal-seg loss, bf16 compute. Measures the full jitted
+training step (device-side augmentation + fwd + loss + bwd + Adam update) on
+device-resident synthetic data, so it isolates chip throughput (the input pipeline
+is benchmarked separately by the data-layer tests).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": images/sec/chip, "unit": ..., "vs_baseline": ratio}
+
+vs_baseline compares against the reference PyTorch implementation's single-CPU
+training throughput, measured once by tools/measure_reference_baseline.py into
+BASELINE_MEASURED.json (the reference publishes no numbers of its own — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+BATCH = 16
+IMAGE_SIZE = 256
+WARMUP = 3
+STEPS = 20
+
+
+def main():
+    from tpu_unet.core.precision import BF16_POLICY
+    from tpu_unet.models import AnomalyUNet
+    from tpu_unet.parallel import make_mesh, replicate, shard_batch
+    from tpu_unet.train import (
+        AugmentConfig,
+        create_train_state,
+        make_anomaly_train_step,
+        make_optimizer,
+    )
+
+    mesh = make_mesh()
+    n_chips = int(np.prod(mesh.devices.shape))
+
+    model = AnomalyUNet(policy=BF16_POLICY)
+    tx = make_optimizer("adam", 1e-3, 1e-4)
+    state = create_train_state(model, jax.random.key(0),
+                               (1, IMAGE_SIZE, IMAGE_SIZE, 3), tx)
+    state = replicate(mesh, state)
+
+    step = make_anomaly_train_step(aug_cfg=AugmentConfig(), donate_state=True)
+
+    rng = np.random.default_rng(0)
+    batch = BATCH * n_chips
+    images = shard_batch(mesh, rng.integers(0, 256, (batch, IMAGE_SIZE, IMAGE_SIZE, 3),
+                                            dtype=np.uint8))
+    masks = shard_batch(mesh, np.zeros((batch, IMAGE_SIZE, IMAGE_SIZE, 1), np.float32))
+
+    for i in range(WARMUP):
+        state, losses = step(state, images, masks, jax.random.key(i))
+    jax.block_until_ready(losses["total_loss"])
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state, losses = step(state, images, masks, jax.random.key(100 + i))
+    jax.block_until_ready(losses["total_loss"])
+    dt = time.perf_counter() - t0
+
+    images_per_sec = batch * STEPS / dt
+    per_chip = images_per_sec / n_chips
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BASELINE_MEASURED.json")
+    vs_baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            ref = json.load(f)
+        ref_ips = ref.get("train_images_per_sec_cpu")
+        if ref_ips:
+            vs_baseline = per_chip / ref_ips
+
+    print(json.dumps({
+        "metric": "mvtec_bottle_anomaly_unet_train_images_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

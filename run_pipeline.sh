@@ -1,0 +1,134 @@
+#!/usr/bin/env bash
+# End-to-end pipeline: train -> locate best checkpoint -> test -> visualize.
+# Capability parity with /root/reference/run_pipeline.sh (config variables at the
+# top, auto-discovery of the newest experiment's best_model, pipeline_config.txt),
+# driving the TPU-native CLIs.
+set -euo pipefail
+
+# ============================= CONFIGURATION =================================
+DATASET="${DATASET:-mvtec}"            # mvtec | gear | kolektorsdd
+DATA_ROOT="${DATA_ROOT:-datasets/mvtec_anomaly_detection}"
+CATEGORY="${CATEGORY:-bottle}"         # (mvtec only)
+MODEL="${MODEL:-anomaly_unet}"         # mvtec: unet|anomaly_unet ; seg: unet|seg_unet
+IMAGE_SIZE="${IMAGE_SIZE:-256}"
+EPOCHS="${EPOCHS:-100}"
+BATCH_SIZE="${BATCH_SIZE:-16}"
+LEARNING_RATE="${LEARNING_RATE:-1e-3}"
+OPTIMIZER="${OPTIMIZER:-adam}"
+PRECISION="${PRECISION:-bf16}"
+SAVE_DIR="${SAVE_DIR:-outputs}"
+TEST_DIR="${TEST_DIR:-test_results}"
+VIS_DIR="${VIS_DIR:-visualizations}"
+EXTRA_TRAIN_ARGS="${EXTRA_TRAIN_ARGS:-}"
+EXTRA_TEST_ARGS="${EXTRA_TEST_ARGS:-}"
+SKIP_TRAIN="${SKIP_TRAIN:-0}"
+# =============================================================================
+
+TS=$(date +%Y%m%d_%H%M%S)
+mkdir -p "$SAVE_DIR"
+{
+  echo "pipeline started: $TS"
+  echo "dataset=$DATASET data_root=$DATA_ROOT category=$CATEGORY model=$MODEL"
+  echo "image_size=$IMAGE_SIZE epochs=$EPOCHS batch=$BATCH_SIZE lr=$LEARNING_RATE"
+  echo "optimizer=$OPTIMIZER precision=$PRECISION"
+} > "$SAVE_DIR/pipeline_config.txt"
+
+case "$DATASET" in
+  mvtec)
+    TRAIN_MOD=tpu_unet.cli.train_mvtec
+    TEST_MOD=tpu_unet.cli.test_mvtec
+    TRAIN_ARGS=(--data_root "$DATA_ROOT" --category "$CATEGORY" --model "$MODEL"
+                --image_size "$IMAGE_SIZE" --epochs "$EPOCHS"
+                --batch_size "$BATCH_SIZE" --learning_rate "$LEARNING_RATE"
+                --optimizer "$OPTIMIZER" --precision "$PRECISION"
+                --save_dir "$SAVE_DIR")
+    EXP_GLOB="${CATEGORY}_${MODEL}_*"
+    ;;
+  gear)
+    TRAIN_MOD=tpu_unet.cli.train_gear
+    TEST_MOD=tpu_unet.cli.test_gear
+    TRAIN_ARGS=(--data_root "$DATA_ROOT" --model "$MODEL"
+                --image_size "$IMAGE_SIZE" --epochs "$EPOCHS"
+                --batch_size "$BATCH_SIZE" --learning_rate "$LEARNING_RATE"
+                --optimizer "$OPTIMIZER" --precision "$PRECISION"
+                --save_dir "$SAVE_DIR")
+    EXP_GLOB="gear_seg_${MODEL}_*"
+    ;;
+  kolektorsdd)
+    TRAIN_MOD=tpu_unet.cli.train_kolektorsdd
+    TEST_MOD=tpu_unet.cli.test_kolektorsdd
+    TRAIN_ARGS=(--data_root "$DATA_ROOT" --model "$MODEL"
+                --epochs "$EPOCHS" --batch_size "$BATCH_SIZE"
+                --learning_rate "$LEARNING_RATE" --optimizer "$OPTIMIZER"
+                --precision "$PRECISION" --save_dir "$SAVE_DIR")
+    EXP_GLOB="kolektorsdd_${MODEL}_*"
+    ;;
+  *) echo "Unknown DATASET: $DATASET"; exit 1 ;;
+esac
+
+if [[ "$SKIP_TRAIN" != "1" ]]; then
+  echo "=== [1/3] Training ==="
+  # shellcheck disable=SC2086
+  python -m "$TRAIN_MOD" "${TRAIN_ARGS[@]}" $EXTRA_TRAIN_ARGS
+fi
+
+echo "=== locating latest experiment + best checkpoint ==="
+LATEST_EXPERIMENT=$(ls -dt "$SAVE_DIR"/$EXP_GLOB 2>/dev/null | head -1 || true)
+if [[ -z "$LATEST_EXPERIMENT" ]]; then
+  echo "No experiment directory matching $SAVE_DIR/$EXP_GLOB"; exit 1
+fi
+BEST="$LATEST_EXPERIMENT/checkpoints/best_model"
+if [[ ! -d "$BEST" ]]; then
+  BEST=$(ls -dt "$LATEST_EXPERIMENT"/checkpoints/checkpoint_epoch_* 2>/dev/null | head -1 || true)
+fi
+if [[ -z "$BEST" ]]; then
+  echo "No checkpoint found in $LATEST_EXPERIMENT/checkpoints"; exit 1
+fi
+echo "Experiment: $LATEST_EXPERIMENT"
+echo "Checkpoint: $BEST"
+
+echo "=== [2/3] Testing ==="
+case "$DATASET" in
+  mvtec)
+    # shellcheck disable=SC2086
+    python -m "$TEST_MOD" --data_root "$DATA_ROOT" --category "$CATEGORY" \
+      --model "$MODEL" --image_size "$IMAGE_SIZE" --batch_size "$BATCH_SIZE" \
+      --checkpoint "$BEST" --output_dir "$TEST_DIR" --precision "$PRECISION" \
+      --save_visualizations $EXTRA_TEST_ARGS
+    ;;
+  gear)
+    # shellcheck disable=SC2086
+    python -m "$TEST_MOD" --data_root "$DATA_ROOT" --model "$MODEL" \
+      --image_size "$IMAGE_SIZE" --batch_size "$BATCH_SIZE" \
+      --checkpoint "$BEST" --output_dir "$TEST_DIR/gear" --precision "$PRECISION" \
+      --save_predictions $EXTRA_TEST_ARGS
+    ;;
+  kolektorsdd)
+    # shellcheck disable=SC2086
+    python -m "$TEST_MOD" --data_root "$DATA_ROOT" --model "$MODEL" \
+      --batch_size "$BATCH_SIZE" --checkpoint "$BEST" \
+      --output_dir "$TEST_DIR/kolektorsdd" --precision "$PRECISION" \
+      --save_predictions $EXTRA_TEST_ARGS
+    ;;
+esac
+
+echo "=== [3/3] Visualizing ==="
+case "$DATASET" in
+  mvtec)
+    python -m tpu_unet.cli.visualize_mvtec --data_root "$DATA_ROOT" \
+      --category "$CATEGORY" --model "$MODEL" --image_size "$IMAGE_SIZE" \
+      --checkpoint "$BEST" --output_dir "$VIS_DIR" --precision "$PRECISION"
+    ;;
+  gear)
+    python -m tpu_unet.cli.visualize_seg --dataset gear --data_root "$DATA_ROOT" \
+      --model "$MODEL" --image_size "$IMAGE_SIZE" --checkpoint "$BEST" \
+      --output_dir "$VIS_DIR" --precision "$PRECISION"
+    ;;
+  kolektorsdd)
+    python -m tpu_unet.cli.visualize_seg --dataset kolektorsdd --data_root "$DATA_ROOT" \
+      --model "$MODEL" --checkpoint "$BEST" --output_dir "$VIS_DIR" \
+      --precision "$PRECISION"
+    ;;
+esac
+
+echo "Pipeline completed. Experiment: $LATEST_EXPERIMENT"

@@ -1,0 +1,239 @@
+"""Data layer tests against synthetic on-disk fixtures (the real datasets are not
+in the repo; SURVEY.md §4 prescribes tiny generated fixtures)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tpu_unet.data import (
+    DataLoader,
+    GearDataset,
+    KolektorSDDDataset,
+    MVTecDataset,
+    get_available_categories,
+    rasterize_labelme,
+)
+
+
+# ---------------------------------------------------------------------------
+# Fixture builders
+# ---------------------------------------------------------------------------
+
+def make_mvtec(root, category="bottle", n_train=6, n_test_good=2, n_broken=3, size=32):
+    rng = np.random.default_rng(0)
+    base = os.path.join(root, category)
+    os.makedirs(os.path.join(base, "train", "good"))
+    os.makedirs(os.path.join(base, "test", "good"))
+    os.makedirs(os.path.join(base, "test", "broken"))
+    os.makedirs(os.path.join(base, "ground_truth", "broken"))
+
+    def save_img(path):
+        Image.fromarray(rng.integers(0, 255, (size, size, 3), dtype=np.uint8)).save(path)
+
+    for i in range(n_train):
+        save_img(os.path.join(base, "train", "good", f"{i:03d}.png"))
+    for i in range(n_test_good):
+        save_img(os.path.join(base, "test", "good", f"{i:03d}.png"))
+    for i in range(n_broken):
+        save_img(os.path.join(base, "test", "broken", f"{i:03d}.png"))
+        mask = np.zeros((size, size), np.uint8)
+        mask[4:10, 4:10] = 255
+        Image.fromarray(mask).save(
+            os.path.join(base, "ground_truth", "broken", f"{i:03d}_mask.png"))
+    return root
+
+
+def make_gear(root, n_per_split=3, size=64):
+    rng = np.random.default_rng(1)
+    for split in ("train", "val", "test"):
+        os.makedirs(os.path.join(root, "images", split))
+        os.makedirs(os.path.join(root, "labels", split))
+        for i in range(n_per_split):
+            Image.fromarray(rng.integers(0, 255, (size, size, 3), dtype=np.uint8)).save(
+                os.path.join(root, "images", split, f"{i}.jpg"))
+            # Two overlapping polygons: pitting (0) square and spalling (1) square.
+            with open(os.path.join(root, "labels", split, f"{i}.txt"), "w") as f:
+                f.write("0 0.1 0.1 0.5 0.1 0.5 0.5 0.1 0.5\n")
+                f.write("1 0.3 0.3 0.7 0.3 0.7 0.7 0.3 0.7\n")
+                f.write("2 0.6 0.6 0.9 0.6 0.9 0.9 0.6 0.9\n")
+    return root
+
+
+def make_kolektorsdd(root, n_folders=4, per_folder=3, h=64, w=32):
+    rng = np.random.default_rng(2)
+    for k in range(n_folders):
+        folder = os.path.join(root, f"kos{k:02d}")
+        os.makedirs(folder)
+        for i in range(per_folder):
+            Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)).save(
+                os.path.join(folder, f"Part{i}.jpg"))
+            mask = np.zeros((h, w), np.uint8)
+            if (k + i) % 2 == 0:
+                mask[10:20, 5:15] = 1
+            Image.fromarray(mask).save(os.path.join(folder, f"Part{i}_label.bmp"))
+    return root
+
+
+# ---------------------------------------------------------------------------
+# MVTec
+# ---------------------------------------------------------------------------
+
+class TestMVTec:
+    def test_index_and_loading(self, tmp_path):
+        root = make_mvtec(str(tmp_path))
+        train = MVTecDataset(root, "bottle", "train", image_size=32, is_train=True)
+        test = MVTecDataset(root, "bottle", "test", image_size=32, is_train=False)
+        assert len(train) == 6
+        assert len(test) == 5  # 2 good + 3 broken
+        s = train.load(0)
+        assert s["image"].shape == (32, 32, 3) and s["image"].dtype == np.uint8
+        assert s["mask"].shape == (32, 32, 1) and s["mask"].max() == 0
+        assert s["label"] == 0 and s["anomaly_type"] == "good"
+
+        anomalous = [test.load(i) for i in range(5) if test.samples[i].label == 1]
+        assert len(anomalous) == 3
+        assert anomalous[0]["mask"].max() == 1.0  # binarized
+        assert anomalous[0]["anomaly_type"] == "broken"
+
+    def test_resize(self, tmp_path):
+        root = make_mvtec(str(tmp_path))
+        ds = MVTecDataset(root, "bottle", "train", image_size=16)
+        assert ds.load(0)["image"].shape == (16, 16, 3)
+
+    def test_available_categories(self, tmp_path):
+        root = make_mvtec(str(tmp_path))
+        os.makedirs(os.path.join(root, "not_a_category"))
+        assert get_available_categories(root) == ["bottle"]
+
+
+# ---------------------------------------------------------------------------
+# Gear
+# ---------------------------------------------------------------------------
+
+class TestGear:
+    def test_priority_resolution(self, tmp_path):
+        root = make_gear(str(tmp_path))
+        ds = GearDataset(root, "train", image_size=(64, 64), enable_priority_logging=True)
+        assert ds.num_classes == 4
+        s = ds.load(0)
+        mask = s["mask"]
+        assert mask.shape == (64, 64)
+        vals = set(np.unique(mask).tolist())
+        assert vals <= {0, 1, 2, 3}
+        # Overlap region (pitting ∩ spalling) must resolve to spalling (2).
+        assert mask[25, 25] == 2
+        # Pitting-only region stays pitting (1).
+        assert mask[10, 10] == 1
+        # Scrape-only region stays scrape (3).
+        assert mask[50, 50] == 3
+        assert ds.priority_stats["files_with_overlaps"] >= 1
+
+    def test_mask_cache_hit(self, tmp_path):
+        root = make_gear(str(tmp_path))
+        ds = GearDataset(root, "train", image_size=(64, 64))
+        m1 = ds.load(0)["mask"]
+        m2 = ds.load(0)["mask"]
+        np.testing.assert_array_equal(m1, m2)
+        assert 0 in ds._mask_cache
+
+    def test_rasterize_matches_pil_reference(self, tmp_path):
+        """Raster parity with the reference's PIL-draw implementation on a polygon."""
+        label = os.path.join(tmp_path, "poly.txt")
+        with open(label, "w") as f:
+            f.write("0 0.2 0.1 0.8 0.3 0.6 0.9\n")  # triangle
+        ours = rasterize_labelme(label, 40, 40)
+        # Reference semantics: PIL polygon fill=1 at final id 1 (pitting).
+        im = Image.new("L", (40, 40), 0)
+        from PIL import ImageDraw
+        ImageDraw.Draw(im).polygon(
+            [(int(0.2 * 40), int(0.1 * 40)), (int(0.8 * 40), int(0.3 * 40)),
+             (int(0.6 * 40), int(0.9 * 40))], fill=1)
+        expect = np.asarray(im, dtype=np.uint8)  # class 0 -> final id 1
+        np.testing.assert_array_equal(ours, expect)
+
+
+# ---------------------------------------------------------------------------
+# KolektorSDD
+# ---------------------------------------------------------------------------
+
+class TestKolektorSDD:
+    def test_split_sizes_and_determinism(self, tmp_path):
+        root = make_kolektorsdd(str(tmp_path))
+        tr = KolektorSDDDataset(root, "train", image_size=(64, 32))
+        va = KolektorSDDDataset(root, "val", image_size=(64, 32))
+        te = KolektorSDDDataset(root, "test", image_size=(64, 32))
+        assert len(tr) + len(va) + len(te) == 12
+        assert len(tr) == int(12 * 0.7)
+        # Deterministic split membership.
+        tr2 = KolektorSDDDataset(root, "train", image_size=(64, 32))
+        assert tr.image_paths == tr2.image_paths
+        # No overlap between splits.
+        assert not (set(tr.image_paths) & set(va.image_paths) & set(te.image_paths))
+
+    def test_mask_values_clipped(self, tmp_path):
+        root = make_kolektorsdd(str(tmp_path))
+        ds = KolektorSDDDataset(root, "train", image_size=(64, 32))
+        s = ds.load(0)
+        assert s["image"].shape == (64, 32, 3)
+        assert s["mask"].shape == (64, 32)
+        assert s["mask"].max() <= 2
+
+
+# ---------------------------------------------------------------------------
+# DataLoader
+# ---------------------------------------------------------------------------
+
+class _ToyDataset:
+    def __init__(self, n=10):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def load(self, i):
+        return {"x": np.full((4, 4), i, np.float32), "path": f"p{i}"}
+
+
+class TestDataLoader:
+    def test_batching_and_len(self):
+        dl = DataLoader(_ToyDataset(10), batch_size=4)
+        batches = list(dl)
+        assert len(dl) == 3 and len(batches) == 3
+        assert batches[0]["x"].shape == (4, 4, 4)
+        assert batches[-1]["x"].shape == (2, 4, 4)  # partial tail
+        assert batches[0]["path"] == ["p0", "p1", "p2", "p3"]
+
+    def test_drop_last(self):
+        dl = DataLoader(_ToyDataset(10), batch_size=4, drop_last=True)
+        batches = list(dl)
+        assert len(batches) == 2
+        assert all(b["x"].shape[0] == 4 for b in batches)
+
+    def test_pad_last_with_valid_mask(self):
+        dl = DataLoader(_ToyDataset(10), batch_size=4, pad_last=True)
+        batches = list(dl)
+        assert len(batches) == 3
+        assert batches[-1]["x"].shape == (4, 4, 4)  # padded to full
+        np.testing.assert_array_equal(batches[-1]["valid"], [True, True, False, False])
+        np.testing.assert_array_equal(batches[0]["valid"], [True] * 4)
+
+    def test_shuffle_deterministic_and_epoch_varying(self):
+        dl = DataLoader(_ToyDataset(10), batch_size=10, shuffle=True, seed=7)
+        e0 = list(dl)[0]["x"][:, 0, 0]
+        e1 = list(dl)[0]["x"][:, 0, 0]
+        dl2 = DataLoader(_ToyDataset(10), batch_size=10, shuffle=True, seed=7)
+        e0b = list(dl2)[0]["x"][:, 0, 0]
+        np.testing.assert_array_equal(e0, e0b)  # same seed+epoch => same order
+        assert not np.array_equal(e0, e1)       # next epoch reshuffles
+
+    def test_all_samples_seen(self):
+        dl = DataLoader(_ToyDataset(10), batch_size=3, shuffle=True)
+        seen = sorted(v for b in dl for v in b["x"][:, 0, 0].tolist())
+        assert seen == list(map(float, range(10)))
+
+    def test_transform_hook(self):
+        dl = DataLoader(_ToyDataset(4), batch_size=2,
+                        transform=lambda b: {**b, "x": b["x"] + 1})
+        assert list(dl)[0]["x"][0, 0, 0] == 1.0

@@ -1,0 +1,95 @@
+"""End-to-end MVTec slice: train CLI -> checkpoint -> test CLI on synthetic data.
+
+Exercises the full stack (index -> loader -> device augs -> jitted steps -> Orbax
+checkpoints -> eval artifacts) at tiny scale (32px, base_features=4).
+"""
+
+import json
+import os
+
+import pytest
+
+from tests.test_data import make_mvtec
+
+
+@pytest.fixture(scope="module")
+def mvtec_root(tmp_path_factory):
+    return make_mvtec(str(tmp_path_factory.mktemp("mvtec")), n_train=8,
+                      n_test_good=3, n_broken=3, size=32)
+
+
+def test_train_then_test_cli(mvtec_root, tmp_path):
+    from tpu_unet.cli.train_mvtec import main as train_main
+    from tpu_unet.cli.test_mvtec import main as test_main
+
+    save_dir = os.path.join(tmp_path, "outputs")
+    exp_dir = train_main([
+        "--data_root", mvtec_root, "--category", "bottle",
+        "--image_size", "32", "--epochs", "2", "--batch_size", "4",
+        "--val_freq", "1", "--save_freq", "1", "--num_workers", "2",
+        "--save_dir", save_dir, "--base_features", "4", "--precision", "f32",
+    ])
+    assert exp_dir is not None
+
+    # Artifacts: args.json, training_results.json, curves, checkpoints.
+    assert os.path.exists(os.path.join(exp_dir, "args.json"))
+    results_path = os.path.join(exp_dir, "results", "training_results.json")
+    assert os.path.exists(results_path)
+    with open(results_path) as f:
+        results = json.load(f)
+    assert len(results["train_losses"]) == 2
+    assert results["best_val_loss"] < float("inf")
+    assert os.path.exists(os.path.join(exp_dir, "results", "training_curves.png"))
+    best = os.path.join(exp_dir, "checkpoints", "best_model")
+    assert os.path.isdir(best)
+
+    # Test CLI on the trained checkpoint.
+    out_dir = os.path.join(tmp_path, "test_results")
+    evaluation = test_main([
+        "--data_root", mvtec_root, "--category", "bottle",
+        "--image_size", "32", "--batch_size", "4", "--num_workers", "2",
+        "--checkpoint", best, "--output_dir", out_dir,
+        "--base_features", "4", "--precision", "f32", "--save_visualizations",
+    ])
+    assert evaluation is not None
+    im = evaluation["image_metrics"]
+    for key in ("accuracy", "precision", "recall", "specificity", "f1_score",
+                "auroc", "auprc"):
+        assert key in im
+    assert "broken" in evaluation["type_metrics"]
+    assert "threshold_0.5" in evaluation["pixel_metrics"]
+
+    result_dir = os.path.join(out_dir, "bottle_test_results")
+    for artifact in ("test_metrics.json", "detailed_results.json",
+                     "confusion_matrix.png", "visualizations.png"):
+        assert os.path.exists(os.path.join(result_dir, artifact)), artifact
+
+    with open(os.path.join(result_dir, "detailed_results.json")) as f:
+        detailed = json.load(f)
+    assert len(detailed["labels"]) == 6  # 3 good + 3 broken
+    assert len(detailed["anomaly_scores"]) == 6
+    assert set(detailed["anomaly_types"]) == {"good", "broken"}
+
+
+def test_resume_continues_epoch_count(mvtec_root, tmp_path):
+    from tpu_unet.cli.train_mvtec import main as train_main
+
+    save_dir = os.path.join(tmp_path, "outputs")
+    exp_dir = train_main([
+        "--data_root", mvtec_root, "--category", "bottle",
+        "--image_size", "32", "--epochs", "1", "--batch_size", "4",
+        "--val_freq", "1", "--save_freq", "1", "--num_workers", "2",
+        "--save_dir", save_dir, "--base_features", "4", "--precision", "f32",
+    ])
+    ckpt = os.path.join(exp_dir, "checkpoints", "checkpoint_epoch_0")
+    exp_dir2 = train_main([
+        "--data_root", mvtec_root, "--category", "bottle",
+        "--image_size", "32", "--epochs", "2", "--batch_size", "4",
+        "--val_freq", "1", "--save_freq", "1", "--num_workers", "2",
+        "--save_dir", save_dir, "--base_features", "4", "--precision", "f32",
+        "--resume", ckpt,
+    ])
+    with open(os.path.join(exp_dir2, "results", "training_results.json")) as f:
+        results = json.load(f)
+    # Resumed at epoch 1 => exactly one new training epoch recorded.
+    assert len(results["train_losses"]) == 1

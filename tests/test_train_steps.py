@@ -1,0 +1,171 @@
+"""Train/eval step tests on tiny-width models (base_features=4): loss decreases,
+state updates, eval outputs well-formed, sharded multi-device execution works."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_unet.models import AnomalyUNet, SegmentationUNet, UNet
+from tpu_unet.parallel import make_mesh, replicate, shard_batch
+from tpu_unet.train import (
+    AnomalyLossConfig,
+    AugmentConfig,
+    SegLossConfig,
+    create_train_state,
+    make_anomaly_eval_step,
+    make_anomaly_train_step,
+    make_optimizer,
+    make_seg_eval_step,
+    make_seg_train_step,
+)
+
+FAST_AUG = AugmentConfig(degrees=0.0)  # skip rotation gathers in CPU tests
+
+
+@pytest.fixture(scope="module")
+def anomaly_state():
+    model = AnomalyUNet(base_features=4)
+    tx = make_optimizer("adam", 1e-3, 1e-4)
+    return create_train_state(model, jax.random.key(0), (1, 32, 32, 3), tx)
+
+
+@pytest.fixture(scope="module")
+def seg_state():
+    model = SegmentationUNet(n_classes=4, base_features=4)
+    tx = make_optimizer("adam", 1e-3, 1e-4)
+    return create_train_state(model, jax.random.key(0), (1, 32, 32, 3), tx)
+
+
+def anomaly_batch(n=4, hw=32, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (n, hw, hw, 3), dtype=np.uint8)
+    mask = (rng.uniform(size=(n, hw, hw, 1)) > 0.9).astype(np.float32)
+    return jnp.asarray(img), jnp.asarray(mask)
+
+
+def seg_batch(n=4, hw=32, c=4, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (n, hw, hw, 3), dtype=np.uint8)
+    lbl = rng.integers(0, c, (n, hw, hw)).astype(np.int32)
+    return jnp.asarray(img), jnp.asarray(lbl)
+
+
+class TestAnomalySteps:
+    def test_train_step_updates_and_reduces_loss(self, anomaly_state):
+        step = make_anomaly_train_step(aug_cfg=FAST_AUG, donate_state=False)
+        state = anomaly_state
+        img, msk = anomaly_batch()
+        losses = []
+        for i in range(5):
+            state, ld = step(state, img, msk, jax.random.key(i))
+            losses.append(float(ld["total_loss"]))
+        assert losses[-1] < losses[0]
+        assert int(state.step) == 5
+
+    def test_loss_dict_keys(self, anomaly_state):
+        step = make_anomaly_train_step(aug_cfg=FAST_AUG, donate_state=False)
+        _, ld = step(anomaly_state, *anomaly_batch(), jax.random.key(0))
+        assert set(ld) == {"total_loss", "recon_loss", "seg_loss"}
+
+    def test_ssim_loss_config(self, anomaly_state):
+        step = make_anomaly_train_step(
+            loss_cfg=AnomalyLossConfig(recon_loss_type="ssim"),
+            aug_cfg=FAST_AUG, donate_state=False)
+        _, ld = step(anomaly_state, *anomaly_batch(), jax.random.key(0))
+        assert np.isfinite(float(ld["total_loss"]))
+
+    def test_eval_step_outputs(self, anomaly_state):
+        step = make_anomaly_eval_step()
+        img, msk = anomaly_batch()
+        out = step(anomaly_state, img, msk)
+        assert out["score"].shape == (4,)
+        assert out["error_map"].shape == (4, 32, 32)
+        assert out["anomaly_map"].shape == (4, 32, 32)
+        assert out["reconstruction"].shape == (4, 32, 32, 3)
+        assert np.isfinite(float(out["losses"]["total_loss"]))
+
+    def test_eval_step_plain_unet_fallback(self):
+        model = UNet(n_classes=1, base_features=4)
+        tx = make_optimizer("adam", 1e-3, 0.0)
+        state = create_train_state(model, jax.random.key(0), (1, 32, 32, 3), tx)
+        step = make_anomaly_eval_step(dual_decoder=False)
+        img, msk = anomaly_batch()
+        out = step(state, img, msk)
+        # Dummy reconstruction == normalized input => zero anomaly scores.
+        np.testing.assert_allclose(np.asarray(out["score"]), 0.0, atol=1e-6)
+        assert float(out["anomaly_map"].min()) >= 0.0
+        assert float(out["anomaly_map"].max()) <= 1.0
+
+
+class TestSegSteps:
+    def test_train_step_runs_and_loss_decreases(self, seg_state):
+        step = make_seg_train_step(num_classes=4, aug_cfg=FAST_AUG, donate_state=False)
+        state = seg_state
+        img, lbl = seg_batch()
+        losses = []
+        for i in range(5):
+            state, ld, cm = step(state, img, lbl, jax.random.key(i))
+            losses.append(float(ld["total_loss"]))
+        assert losses[-1] < losses[0]
+        assert cm.shape == (4, 4)
+        assert int(np.asarray(cm).sum()) == 4 * 32 * 32
+
+    def test_class_weighted_loss(self, seg_state):
+        cfg = SegLossConfig(class_weights=(1.0, 50.0, 50.0, 1.0))
+        step = make_seg_train_step(num_classes=4, loss_cfg=cfg, aug_cfg=FAST_AUG,
+                                   donate_state=False)
+        _, ld, _ = step(seg_state, *seg_batch(), jax.random.key(0))
+        assert np.isfinite(float(ld["total_loss"]))
+
+    def test_eval_step(self, seg_state):
+        step = make_seg_eval_step(num_classes=4)
+        img, lbl = seg_batch()
+        losses, preds, cm = step(seg_state, img, lbl)
+        assert preds.shape == (4, 32, 32)
+        assert cm.shape == (4, 4)
+        assert int(np.asarray(cm).sum()) == 4 * 32 * 32
+
+
+class TestShardedExecution:
+    def test_anomaly_train_step_on_8_device_mesh(self, devices):
+        mesh = make_mesh(n_data=8)
+        model = AnomalyUNet(base_features=4)
+        tx = make_optimizer("adam", 1e-3, 1e-4)
+        state = create_train_state(model, jax.random.key(0), (1, 32, 32, 3), tx)
+        state = replicate(mesh, state)
+        step = make_anomaly_train_step(aug_cfg=FAST_AUG, donate_state=False)
+        img, msk = anomaly_batch(n=16)
+        batch = shard_batch(mesh, {"image": np.asarray(img), "mask": np.asarray(msk)})
+        state, ld = step(state, batch["image"], batch["mask"], jax.random.key(0))
+        assert np.isfinite(float(ld["total_loss"]))
+        # Params remain replicated after the update.
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        assert leaf.sharding.is_fully_replicated
+
+    def test_dp_matches_single_device_numerics(self, devices):
+        """Global-batch semantics: an 8-way sharded step must equal a 1-device step."""
+        model = SegmentationUNet(n_classes=3, base_features=4, dropout=0.0)
+        tx = make_optimizer("sgd", 1e-2, 0.0)
+        img, lbl = seg_batch(n=8, c=3, seed=3)
+
+        def run(mesh_size):
+            state = create_train_state(model, jax.random.key(0), (1, 32, 32, 3), tx)
+            step = make_seg_train_step(num_classes=3, aug_cfg=FAST_AUG,
+                                       donate_state=False)
+            if mesh_size > 1:
+                mesh = make_mesh(n_data=mesh_size)
+                state = replicate(mesh, state)
+                b = shard_batch(mesh, {"image": np.asarray(img), "mask": np.asarray(lbl)})
+                bi, bl = b["image"], b["mask"]
+            else:
+                bi, bl = img, lbl
+            state, ld, _ = step(state, bi, bl, jax.random.key(1))
+            return float(ld["total_loss"]), state
+
+        loss1, state1 = run(1)
+        loss8, state8 = run(8)
+        assert abs(loss1 - loss8) < 1e-5
+        p1 = jax.tree_util.tree_leaves(state1.params)[0]
+        p8 = jax.tree_util.tree_leaves(state8.params)[0]
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-5)

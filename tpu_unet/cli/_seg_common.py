@@ -1,0 +1,282 @@
+"""Shared driver for the two segmentation workloads (Gear, KolektorSDD).
+
+The reference duplicates ~450-line trainers per dataset (train.py,
+train_kolektorsdd.py); here one driver is parameterized by a ``Workload``
+description. Behavior parity: best-checkpoint selection by val mIoU
+(/root/reference/train.py:384-391), training_results.json schema (:421-434),
+evaluation_results.json schema (test.py:192-223), args.json dump, logging.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from datetime import datetime
+from typing import Callable, Optional, Tuple
+
+import jax
+import numpy as np
+
+from tpu_unet.core.precision import get_policy
+from tpu_unet.data.loader import DataLoader
+from tpu_unet.models import build_model
+from tpu_unet.parallel import make_mesh, replicate, shard_batch
+from tpu_unet.train import (
+    AugmentConfig,
+    SegLossConfig,
+    create_train_state,
+    load_checkpoint,
+    load_params,
+    make_optimizer,
+    make_seg_eval_step,
+    make_seg_train_step,
+    num_params,
+    save_checkpoint,
+)
+from tpu_unet.train.loop import train_seg_epoch, validate_seg_epoch
+from tpu_unet.utils import create_output_dirs, save_json, setup_logging
+
+
+@dataclasses.dataclass
+class Workload:
+    name: str                      # experiment prefix, e.g. 'gear_seg' / 'kolektorsdd'
+    make_datasets: Callable        # (args) -> (train, val, test, num_classes, class_names)
+    image_size_hw: Callable        # (args) -> (H, W)
+    augment: AugmentConfig
+
+
+def parse_class_weights(s: Optional[str], num_classes: int) -> Optional[Tuple[float, ...]]:
+    if not s:
+        return None
+    weights = tuple(float(x) for x in s.split(","))
+    if len(weights) != num_classes:
+        raise ValueError(f"Got {len(weights)} class weights for {num_classes} classes")
+    return weights
+
+
+class _Subset:
+    def __init__(self, dataset, n, seed):
+        rng = np.random.default_rng(seed)
+        self.indices = rng.choice(len(dataset), size=min(n, len(dataset)), replace=False)
+        self.dataset = dataset
+
+    def __len__(self):
+        return len(self.indices)
+
+    def load(self, i):
+        return self.dataset.load(int(self.indices[i]))
+
+
+def _to_device(mesh):
+    return lambda b: {k: (shard_batch(mesh, v) if hasattr(v, "shape") else v)
+                      for k, v in b.items()}
+
+
+def run_seg_training(args, workload: Workload):
+    print(f"JAX devices: {jax.devices()}")
+
+    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    experiment_name = f"{workload.name}_{args.model}_{timestamp}"
+    experiment_dir = os.path.join(args.save_dir, experiment_name)
+    output_dirs = create_output_dirs(experiment_dir)
+    logger = setup_logging(output_dirs["logs"], experiment_name)
+    logger.info(f"Experiment directory: {experiment_dir}")
+    with open(os.path.join(experiment_dir, "args.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+
+    train_ds, val_ds, _, num_classes, class_names = workload.make_datasets(args)
+    if args.debug:
+        logger.info(f"DEBUG MODE: Limiting dataset to {args.debug_samples} samples")
+        train_ds = _Subset(train_ds, args.debug_samples, args.seed)
+        val_ds = _Subset(val_ds, args.debug_samples, args.seed + 1)
+    logger.info(f"Train samples: {len(train_ds)}, Val samples: {len(val_ds)}, "
+                f"classes: {num_classes}")
+
+    mesh = make_mesh(n_data=getattr(args, "n_devices", None))
+    to_device = _to_device(mesh)
+    train_loader = DataLoader(train_ds, args.batch_size, shuffle=True, seed=args.seed,
+                              drop_last=len(train_ds) >= args.batch_size,
+                              num_workers=args.num_workers, transform=to_device)
+    val_loader = DataLoader(val_ds, args.batch_size, pad_last=True,
+                            num_workers=args.num_workers, transform=to_device)
+
+    h, w = workload.image_size_hw(args)
+    policy = get_policy(getattr(args, "precision", "bf16"))
+    model = build_model(args.model if args.model != "unet" else "unet",
+                        n_channels=3, n_classes=num_classes, bilinear=args.bilinear,
+                        dropout=args.dropout, policy=policy,
+                        base_features=getattr(args, "base_features", 64))
+    tx = make_optimizer(args.optimizer, args.learning_rate, args.weight_decay)
+    state = create_train_state(model, jax.random.key(args.seed), (1, h, w, 3), tx)
+    state = replicate(mesh, state)
+    total_params = num_params(state)
+    logger.info(f"Total parameters: {total_params:,}")
+
+    class_weights = parse_class_weights(args.class_weights, num_classes)
+    loss_cfg = SegLossConfig(ce_weight=args.ce_weight, dice_weight=args.dice_weight,
+                             focal_weight=args.focal_weight, class_weights=class_weights)
+    train_step = make_seg_train_step(num_classes, loss_cfg, workload.augment)
+    eval_step = make_seg_eval_step(num_classes, loss_cfg)
+
+    start_epoch = 0
+    if args.resume:
+        state, last_epoch, _ = load_checkpoint(state, args.resume)
+        start_epoch = last_epoch + 1
+
+    logger.info("Starting training...")
+    base_key = jax.random.key(args.seed)
+    train_losses, val_losses = [], []
+    best_val_miou = 0.0
+
+    for epoch in range(start_epoch, args.epochs):
+        t0 = time.time()
+        state, train_metrics, train_cm = train_seg_epoch(
+            state, train_step, train_loader, base_key, epoch, num_classes)
+        train_losses.append(train_metrics.get("total_loss", 0.0))
+        train_miou = float(np.nanmean(train_cm.compute_iou()))
+
+        val_results = None
+        if epoch % args.val_freq == 0 or epoch == args.epochs - 1:
+            val_metrics, val_cm = validate_seg_epoch(state, eval_step, val_loader,
+                                                     num_classes)
+            val_losses.append(val_metrics.get("total_loss", 0.0))
+            val_all = val_cm.compute_all_metrics()
+            val_results = (val_metrics, val_all)
+            if val_all["mean_iou"] > best_val_miou:
+                best_val_miou = val_all["mean_iou"]
+                save_checkpoint(state, epoch, val_metrics.get("total_loss", 0.0),
+                                os.path.join(output_dirs["checkpoints"], "best_model"))
+                logger.info(f"New best model saved with mIoU: {best_val_miou:.4f}")
+
+        msg = (f"Epoch {epoch}/{args.epochs - 1}: "
+               f"train loss {train_metrics.get('total_loss', 0):.4f} "
+               f"mIoU {train_miou:.4f}")
+        if val_results:
+            msg += (f" | val loss {val_results[0].get('total_loss', 0):.4f} "
+                    f"mIoU {val_results[1]['mean_iou']:.4f} "
+                    f"dice {val_results[1]['mean_dice']:.4f}")
+        msg += f" ({time.time() - t0:.1f}s)"
+        logger.info(msg)
+
+        if epoch % args.save_freq == 0 or epoch == args.epochs - 1:
+            save_checkpoint(state, epoch, train_metrics.get("total_loss", 0.0),
+                            os.path.join(output_dirs["checkpoints"],
+                                         f"checkpoint_epoch_{epoch}"))
+
+    results = {
+        "train_losses": train_losses,
+        "val_losses": val_losses,
+        "best_val_miou": best_val_miou,
+        "total_epochs": args.epochs,
+        "total_params": total_params,
+        "num_classes": num_classes,
+        "args": vars(args),
+    }
+    save_json(results, os.path.join(output_dirs["results"], "training_results.json"))
+    logger.info("Training completed!")
+    logger.info(f"Best validation mIoU: {best_val_miou:.4f}")
+    logger.info(f"Results saved to: {experiment_dir}")
+    return experiment_dir
+
+
+def run_seg_evaluation(args, workload: Workload, split: str = "test"):
+    """Evaluate a checkpoint; writes evaluation_results.json + prediction panels."""
+    print(f"JAX devices: {jax.devices()}")
+    train_ds, val_ds, test_ds, num_classes, class_names = workload.make_datasets(args)
+    ds = {"train": train_ds, "val": val_ds, "test": test_ds}[split]
+    if getattr(args, "debug", False):
+        ds = _Subset(ds, args.debug_samples, 0)
+    print(f"Eval samples ({split}): {len(ds)}")
+
+    mesh = make_mesh(n_data=getattr(args, "n_devices", None))
+    loader = DataLoader(ds, args.batch_size, pad_last=True,
+                        num_workers=args.num_workers, transform=_to_device(mesh))
+
+    h, w = workload.image_size_hw(args)
+    policy = get_policy(getattr(args, "precision", "bf16"))
+    model = build_model(args.model, n_channels=3, n_classes=num_classes,
+                        bilinear=args.bilinear, dropout=args.dropout, policy=policy,
+                        base_features=getattr(args, "base_features", 64))
+    tx = make_optimizer("adam", 1e-3, 0.0)
+    state = create_train_state(model, jax.random.key(0), (1, h, w, 3), tx)
+    state = replicate(mesh, state)
+    print(f"Loading checkpoint: {args.checkpoint}")
+    state = load_params(state, args.checkpoint)
+
+    class_weights = parse_class_weights(getattr(args, "class_weights", None), num_classes)
+    loss_cfg = SegLossConfig(class_weights=class_weights)
+    eval_step = make_seg_eval_step(num_classes, loss_cfg)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    losses, cm = validate_seg_epoch(state, eval_step, loader, num_classes)
+    metrics = cm.compute_all_metrics()
+    cm.print_metrics(class_names)
+
+    summary = {
+        "evaluation_args": vars(args),
+        "overall_metrics": {
+            "pixel_accuracy": float(metrics["pixel_accuracy"]),
+            "mean_accuracy": float(metrics["mean_accuracy"]),
+            "mean_iou": float(metrics["mean_iou"]),
+            "mean_dice": float(metrics["mean_dice"]),
+            "mean_precision": float(metrics["mean_precision"]),
+            "mean_recall": float(metrics["mean_recall"]),
+            "mean_f1": float(metrics["mean_f1"]),
+        },
+        "per_class_metrics": {
+            "iou": metrics["iou_per_class"].tolist(),
+            "dice": metrics["dice_per_class"].tolist(),
+            "precision": metrics["precision_per_class"].tolist(),
+            "recall": metrics["recall_per_class"].tolist(),
+            "f1": metrics["f1_per_class"].tolist(),
+        },
+        "confusion_matrix": metrics["confusion_matrix"].tolist(),
+        "loss": losses,
+    }
+    save_json(summary, os.path.join(args.output_dir, "evaluation_results.json"))
+    print(f"Results summary saved to: "
+          f"{os.path.join(args.output_dir, 'evaluation_results.json')}")
+    cm.plot_confusion_matrix(class_names,
+                             os.path.join(args.output_dir, "confusion_matrix.png"))
+
+    if getattr(args, "save_predictions", False):
+        _save_prediction_panels(state, eval_step, loader, class_names, args.output_dir)
+    return summary
+
+
+def _save_prediction_panels(state, eval_step, loader, class_names, output_dir,
+                            max_batches: int = 5, per_batch: int = 4):
+    """Up to 4 panels for the first 5 batches (reference test.py:67-145)."""
+    from tpu_unet.utils.viz import _plt, denormalize_image
+    from tpu_unet.ops.augment import eval_transform
+
+    plt = _plt()
+    for batch_idx, batch in enumerate(loader):
+        if batch_idx >= max_batches:
+            break
+        _, preds, _ = eval_step(state, batch["image"], batch["mask"])
+        preds = np.asarray(preds)
+        images = np.asarray(eval_transform(batch["image"]))
+        masks = np.asarray(batch["mask"])
+        n = min(per_batch, images.shape[0])
+        for i in range(n):
+            if "valid" in batch and not batch["valid"][i]:
+                continue
+            fig, axes = plt.subplots(1, 3, figsize=(15, 5))
+            axes[0].imshow(denormalize_image(images[i]))
+            axes[0].set_title("Original Image")
+            axes[0].axis("off")
+            axes[1].imshow(masks[i], cmap="tab10", vmin=0, vmax=len(class_names) - 1)
+            axes[1].set_title("Ground Truth")
+            axes[1].axis("off")
+            axes[2].imshow(preds[i], cmap="tab10", vmin=0, vmax=len(class_names) - 1)
+            axes[2].set_title("Prediction")
+            axes[2].axis("off")
+            fig.tight_layout()
+            stem = os.path.basename(batch["image_path"][i]).split(".")[0]
+            fig.savefig(os.path.join(output_dir,
+                                     f"prediction_batch{batch_idx}_img{i}_{stem}.png"),
+                        dpi=150, bbox_inches="tight")
+            plt.close(fig)

@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Evaluate a KolektorSDD segmentation checkpoint (TPU-native).
+
+CLI parity with /root/reference/test_kolektorsdd.py: evaluation_results.json with
+overall/per-class metrics + confusion matrix and optional prediction panels.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from tpu_unet.cli._seg_common import run_seg_evaluation
+from tpu_unet.cli.train_kolektorsdd import make_workload
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Evaluate UNet on KolektorSDD dataset")
+    parser.add_argument("--data_root", type=str, default="datasets/KolektorSDD")
+    parser.add_argument("--image_height", type=int, default=1024)
+    parser.add_argument("--image_width", type=int, default=512)
+    parser.add_argument("--train_split", type=float, default=0.7)
+    parser.add_argument("--val_split", type=float, default=0.15)
+    parser.add_argument("--model", type=str, default="seg_unet",
+                        choices=["unet", "seg_unet"])
+    parser.add_argument("--bilinear", action="store_true")
+    parser.add_argument("--dropout", type=float, default=0.1)
+    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--split", type=str, default="test",
+                        choices=["train", "val", "test"])
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--num_workers", type=int, default=4)
+    parser.add_argument("--device", type=str, default="auto")
+    parser.add_argument("--class_weights", type=str, default="1.0,50.0,50.0")
+    parser.add_argument("--output_dir", type=str, default="test_results/kolektorsdd")
+    parser.add_argument("--save_predictions", action="store_true")
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--debug_samples", type=int, default=20)
+    parser.add_argument("--precision", type=str, default="bf16", choices=["bf16", "f32"])
+    parser.add_argument("--n_devices", type=int, default=None)
+    parser.add_argument("--base_features", type=int, default=64)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    return run_seg_evaluation(args, make_workload(), split=args.split)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+#!/usr/bin/env python3
+"""Visualize MVTec anomaly-detection results (TPU-native).
+
+Capability parity with /root/reference/src/visualize.py: renders per-sample panels
+(original | GT overlay | predicted heatmap | reconstruction | error map) and a
+summary grid, with checkpoint auto-discovery by walking the outputs directory.
+The reference's interactive matplotlib-button browser is replaced by batch PNG
+rendering (works headless on TPU hosts); ``--max_samples`` controls how many panels.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from tpu_unet.core.precision import get_policy
+from tpu_unet.data.loader import DataLoader
+from tpu_unet.data.mvtec import MVTecDataset
+from tpu_unet.models import build_model
+from tpu_unet.parallel import make_mesh, replicate, shard_batch
+from tpu_unet.train import create_train_state, load_params, make_anomaly_eval_step, make_optimizer
+from tpu_unet.train.checkpoint import find_best_checkpoint
+from tpu_unet.utils.viz import _plt, denormalize_image
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Visualize MVTec anomaly results")
+    parser.add_argument("--data_root", type=str, default="../datasets/mvtec_anomaly_detection")
+    parser.add_argument("--category", type=str, default="bottle")
+    parser.add_argument("--image_size", type=int, default=256)
+    parser.add_argument("--model", type=str, default="anomaly_unet",
+                        choices=["unet", "anomaly_unet"])
+    parser.add_argument("--bilinear", action="store_true")
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="Checkpoint path (default: auto-discover under --outputs_dir)")
+    parser.add_argument("--outputs_dir", type=str, default="../outputs",
+                        help="Directory walked for checkpoint auto-discovery")
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--num_workers", type=int, default=4)
+    parser.add_argument("--output_dir", type=str, default="../visualizations")
+    parser.add_argument("--max_samples", type=int, default=16)
+    parser.add_argument("--precision", type=str, default="bf16", choices=["bf16", "f32"])
+    parser.add_argument("--n_devices", type=int, default=None)
+    parser.add_argument("--base_features", type=int, default=64)
+    return parser.parse_args(argv)
+
+
+def discover_checkpoint(outputs_dir: str, category: str):
+    """Newest experiment for the category with a usable checkpoint
+    (mirrors /root/reference/src/visualize.py:223-264)."""
+    candidates = []
+    if os.path.isdir(outputs_dir):
+        for name in sorted(os.listdir(outputs_dir)):
+            if name.startswith(category):
+                ckpt = find_best_checkpoint(os.path.join(outputs_dir, name))
+                if ckpt:
+                    candidates.append(ckpt)
+    return candidates[-1] if candidates else None
+
+
+def render_panel(ax_row, image, mask_true, anomaly_map, reconstruction, error_map):
+    img = denormalize_image(np.asarray(image))
+    ax_row[0].imshow(img)
+    ax_row[0].set_title("Original")
+    overlay = img.copy()
+    overlay[np.asarray(mask_true) > 0.5] = [1.0, 0.0, 0.0]
+    ax_row[1].imshow(overlay)
+    ax_row[1].set_title("GT overlay (red)")
+    ax_row[2].imshow(np.asarray(anomaly_map), cmap="hot", vmin=0, vmax=1)
+    ax_row[2].set_title("Predicted map")
+    ax_row[3].imshow(np.clip(np.asarray(reconstruction), 0, 1))
+    ax_row[3].set_title("Reconstruction")
+    ax_row[4].imshow(np.asarray(error_map), cmap="viridis")
+    ax_row[4].set_title("Recon error")
+    for ax in ax_row:
+        ax.axis("off")
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    plt = _plt()
+
+    checkpoint = args.checkpoint or discover_checkpoint(args.outputs_dir, args.category)
+    if checkpoint is None:
+        print(f"No checkpoint found under {args.outputs_dir} for '{args.category}'")
+        return None
+    print(f"Using checkpoint: {checkpoint}")
+
+    ds = MVTecDataset(args.data_root, args.category, "test", args.image_size,
+                      is_train=False)
+    mesh = make_mesh(n_data=args.n_devices)
+    to_device = lambda b: {k: (shard_batch(mesh, v) if hasattr(v, "shape") else v)
+                           for k, v in b.items()}
+    loader = DataLoader(ds, args.batch_size, pad_last=True,
+                        num_workers=args.num_workers, transform=to_device)
+
+    policy = get_policy(args.precision)
+    model = build_model(args.model, n_channels=3, n_classes=1, bilinear=args.bilinear,
+                        policy=policy, base_features=args.base_features)
+    tx = make_optimizer("adam", 1e-3, 0.0)
+    state = create_train_state(model, jax.random.key(0),
+                               (1, args.image_size, args.image_size, 3), tx)
+    state = replicate(mesh, state)
+    state = load_params(state, checkpoint)
+    eval_step = make_anomaly_eval_step(dual_decoder=(args.model == "anomaly_unet"))
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    rendered = 0
+    for batch in loader:
+        if rendered >= args.max_samples:
+            break
+        out = eval_step(state, batch["image"], batch["mask"])
+        valid = np.asarray(batch.get("valid", np.ones(len(batch["label"]), bool)))
+        n = int(valid.sum())
+        fig, axes = plt.subplots(n, 5, figsize=(20, 3.2 * n), squeeze=False)
+        row = 0
+        for i in range(len(valid)):
+            if not valid[i] or rendered + row >= args.max_samples:
+                continue
+            render_panel(axes[row],
+                         np.asarray(out["image"])[i],
+                         np.asarray(batch["mask"])[i, ..., 0],
+                         np.asarray(out["anomaly_map"])[i],
+                         np.asarray(out["reconstruction"])[i],
+                         np.asarray(out["error_map"])[i])
+            axes[row][0].set_ylabel(batch["anomaly_type"][i])
+            row += 1
+        fig.tight_layout()
+        path = os.path.join(args.output_dir,
+                            f"{args.category}_panel_{rendered:03d}.png")
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        print(f"Saved {path}")
+        rendered += row
+    print(f"Rendered {rendered} sample panels to {args.output_dir}")
+    return args.output_dir
+
+
+if __name__ == "__main__":
+    main()

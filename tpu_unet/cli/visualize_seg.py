@@ -1,0 +1,160 @@
+#!/usr/bin/env python3
+"""Visualize segmentation results for Gear / KolektorSDD (TPU-native).
+
+Capability parity with /root/reference/visualize.py and
+visualize_kolektorsdd.py: transparent class-colored overlays, side-by-side grids,
+per-sample confidence (softmax max-prob) maps, and GT-vs-pred class-distribution
+bar charts. One CLI serves both workloads via --dataset.
+(The reference's visualize_kolektorsdd.py does not even compile — IndentationError
+at :29, SURVEY.md §2.11.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_unet.core.precision import get_policy
+from tpu_unet.data.loader import DataLoader
+from tpu_unet.models import build_model
+from tpu_unet.ops.augment import eval_transform
+from tpu_unet.parallel import make_mesh, replicate, shard_batch
+from tpu_unet.train import create_train_state, load_params, make_optimizer
+from tpu_unet.utils.viz import _plt, denormalize_image, overlay_segmentation
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Visualize segmentation results")
+    parser.add_argument("--dataset", type=str, required=True,
+                        choices=["gear", "kolektorsdd"])
+    parser.add_argument("--data_root", type=str, required=True)
+    parser.add_argument("--image_size", type=int, default=512, help="(gear)")
+    parser.add_argument("--image_height", type=int, default=1024, help="(kolektorsdd)")
+    parser.add_argument("--image_width", type=int, default=512, help="(kolektorsdd)")
+    parser.add_argument("--split", type=str, default="test",
+                        choices=["train", "val", "test"])
+    parser.add_argument("--model", type=str, default="seg_unet",
+                        choices=["unet", "seg_unet"])
+    parser.add_argument("--bilinear", action="store_true")
+    parser.add_argument("--dropout", type=float, default=0.1)
+    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--num_workers", type=int, default=4)
+    parser.add_argument("--output_dir", type=str, default=None,
+                        help="Default: derived from the checkpoint path")
+    parser.add_argument("--max_samples", type=int, default=12)
+    parser.add_argument("--alpha", type=float, default=0.5, help="Overlay opacity")
+    parser.add_argument("--precision", type=str, default="bf16", choices=["bf16", "f32"])
+    parser.add_argument("--n_devices", type=int, default=None)
+    parser.add_argument("--base_features", type=int, default=64)
+    return parser.parse_args(argv)
+
+
+def build_dataset(args):
+    if args.dataset == "gear":
+        from tpu_unet.data.gear import GearDataset
+        size = (args.image_size, args.image_size)
+        ds = GearDataset(args.data_root, args.split, size)
+        return ds, ds.num_classes, ["background"] + ds.class_names, size
+    from tpu_unet.data.kolektorsdd import CLASS_NAMES, KolektorSDDDataset
+    size = (args.image_height, args.image_width)
+    ds = KolektorSDDDataset(args.data_root, args.split, size)
+    return ds, ds.num_classes, list(CLASS_NAMES), size
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    plt = _plt()
+
+    output_dir = args.output_dir or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(args.checkpoint))),
+        "visualizations")
+    os.makedirs(output_dir, exist_ok=True)
+
+    ds, num_classes, class_names, (h, w) = build_dataset(args)
+    mesh = make_mesh(n_data=args.n_devices)
+    to_device = lambda b: {k: (shard_batch(mesh, v) if hasattr(v, "shape") else v)
+                           for k, v in b.items()}
+    loader = DataLoader(ds, args.batch_size, pad_last=True,
+                        num_workers=args.num_workers, transform=to_device)
+
+    policy = get_policy(args.precision)
+    model = build_model(args.model, n_channels=3, n_classes=num_classes,
+                        bilinear=args.bilinear, dropout=args.dropout, policy=policy,
+                        base_features=args.base_features)
+    tx = make_optimizer("adam", 1e-3, 0.0)
+    state = create_train_state(model, jax.random.key(0), (1, h, w, 3), tx)
+    state = replicate(mesh, state)
+    state = load_params(state, args.checkpoint)
+
+    @jax.jit
+    def infer(images_u8):
+        img = eval_transform(images_u8)
+        logits = model.apply({"params": state.params, "batch_stats": state.batch_stats},
+                             img, train=False)
+        probs = jax.nn.softmax(logits, axis=-1)
+        return jnp.argmax(logits, axis=-1), jnp.max(probs, axis=-1), img
+
+    gt_counts = np.zeros(num_classes, np.int64)
+    pred_counts = np.zeros(num_classes, np.int64)
+    rendered = 0
+    for batch in loader:
+        preds, conf, images = infer(batch["image"])
+        preds, conf, images = np.asarray(preds), np.asarray(conf), np.asarray(images)
+        masks = np.asarray(batch["mask"])
+        valid = np.asarray(batch.get("valid", np.ones(images.shape[0], bool)))
+        for i in range(images.shape[0]):
+            if not valid[i]:
+                continue
+            gt_counts += np.bincount(masks[i].ravel(), minlength=num_classes)
+            pred_counts += np.bincount(preds[i].ravel(), minlength=num_classes)
+            if rendered >= args.max_samples:
+                continue
+            fig, axes = plt.subplots(1, 5, figsize=(22, 4.5))
+            axes[0].imshow(denormalize_image(images[i]))
+            axes[0].set_title("Original")
+            axes[1].imshow(masks[i], cmap="tab10", vmin=0, vmax=num_classes - 1)
+            axes[1].set_title("Ground Truth")
+            axes[2].imshow(preds[i], cmap="tab10", vmin=0, vmax=num_classes - 1)
+            axes[2].set_title("Prediction")
+            axes[3].imshow(overlay_segmentation(images[i], preds[i], alpha=args.alpha))
+            axes[3].set_title("Overlay")
+            im = axes[4].imshow(conf[i], cmap="viridis", vmin=0, vmax=1)
+            axes[4].set_title(f"Confidence (mean {conf[i].mean():.3f})")
+            for ax in axes:
+                ax.axis("off")
+            fig.colorbar(im, ax=axes[4], fraction=0.046)
+            fig.tight_layout()
+            stem = os.path.basename(batch["image_path"][i]).split(".")[0]
+            path = os.path.join(output_dir, f"{args.dataset}_{stem}_viz.png")
+            fig.savefig(path, dpi=120, bbox_inches="tight")
+            plt.close(fig)
+            rendered += 1
+
+    # Class-distribution bars, GT vs prediction (reference visualize.py:411-441).
+    fig, ax = plt.subplots(figsize=(10, 6))
+    x = np.arange(num_classes)
+    width = 0.35
+    total_gt = max(gt_counts.sum(), 1)
+    total_pred = max(pred_counts.sum(), 1)
+    ax.bar(x - width / 2, gt_counts / total_gt * 100, width, label="Ground Truth")
+    ax.bar(x + width / 2, pred_counts / total_pred * 100, width, label="Prediction")
+    ax.set_xticks(x, class_names, rotation=20)
+    ax.set_ylabel("Pixel share (%)")
+    ax.set_title(f"{args.dataset} class distribution ({args.split})")
+    ax.legend()
+    fig.tight_layout()
+    dist_path = os.path.join(output_dir, f"{args.dataset}_class_distribution.png")
+    fig.savefig(dist_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+
+    print(f"Rendered {rendered} panels + class distribution to {output_dir}")
+    return output_dir
+
+
+if __name__ == "__main__":
+    main()

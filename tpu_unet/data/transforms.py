@@ -1,0 +1,50 @@
+"""Host-side decode & resize (the only work left on the host).
+
+Design (BASELINE.json north_star): the host decodes and resizes to the fixed target
+shape as uint8; every random/float transform (normalize, paired augs) runs on device
+inside the jitted step (tpu_unet.ops.augment). Shipping uint8 quarters the
+host->device transfer volume vs the reference's float32 CHW tensors.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+from PIL import Image
+
+
+def load_image_rgb(path: str, size_hw: Tuple[int, int]) -> np.ndarray:
+    """Decode an image to RGB and bilinearly resize to (H, W); returns (H,W,3) uint8."""
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        h, w = size_hw
+        if im.size != (w, h):  # PIL size is (W, H)
+            im = im.resize((w, h), Image.BILINEAR)
+        return np.asarray(im, dtype=np.uint8)
+
+
+def load_mask(path: str, size_hw: Tuple[int, int], binarize: bool = False) -> np.ndarray:
+    """Decode a grayscale mask, nearest-resize to (H, W); returns (H,W) uint8.
+
+    binarize=True maps any nonzero value to 1 (MVTec ground-truth masks,
+    /root/reference/src/dataset.py:100-103).
+    """
+    with Image.open(path) as im:
+        im = im.convert("L")
+        h, w = size_hw
+        if im.size != (w, h):
+            im = im.resize((w, h), Image.NEAREST)
+        arr = np.asarray(im, dtype=np.uint8)
+    if binarize:
+        arr = (arr > 0).astype(np.uint8)
+    return arr
+
+
+def resize_mask_array(mask: np.ndarray, size_hw: Tuple[int, int]) -> np.ndarray:
+    """Nearest-resize a (H,W) uint8 label map already in memory."""
+    h, w = size_hw
+    if mask.shape == (h, w):
+        return mask
+    im = Image.fromarray(mask, mode="L")
+    return np.asarray(im.resize((w, h), Image.NEAREST), dtype=np.uint8)

@@ -26,21 +26,23 @@ from tpu_unet.models.blocks import DoubleConv, Down, Up, OutConv
 
 
 class _Encoder(nn.Module):
-    """Shared 5-stage encoder: inc 64, downs to 1024//factor."""
+    """Shared 5-stage encoder: inc B, downs to 16B//factor (B=64 in the reference)."""
 
     policy: Policy = DEFAULT_POLICY
     bilinear: bool = False
     sync_batch_stats: bool = False
+    base_features: int = 64
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         kw = dict(policy=self.policy, sync_batch_stats=self.sync_batch_stats)
+        b = self.base_features
         factor = 2 if self.bilinear else 1
-        x1 = DoubleConv(64, name="inc", **kw)(x, train=train)
-        x2 = Down(128, name="down1", **kw)(x1, train=train)
-        x3 = Down(256, name="down2", **kw)(x2, train=train)
-        x4 = Down(512, name="down3", **kw)(x3, train=train)
-        x5 = Down(1024 // factor, name="down4", **kw)(x4, train=train)
+        x1 = DoubleConv(b, name="inc", **kw)(x, train=train)
+        x2 = Down(2 * b, name="down1", **kw)(x1, train=train)
+        x3 = Down(4 * b, name="down2", **kw)(x2, train=train)
+        x4 = Down(8 * b, name="down3", **kw)(x3, train=train)
+        x5 = Down(16 * b // factor, name="down4", **kw)(x4, train=train)
         return x1, x2, x3, x4, x5
 
 
@@ -51,16 +53,18 @@ class _Decoder(nn.Module):
     bilinear: bool = False
     sync_batch_stats: bool = False
     prefix: str = "up"
+    base_features: int = 64
 
     @nn.compact
     def __call__(self, skips, *, train: bool):
         x1, x2, x3, x4, x5 = skips
         kw = dict(policy=self.policy, bilinear=self.bilinear, sync_batch_stats=self.sync_batch_stats)
+        b = self.base_features
         factor = 2 if self.bilinear else 1
-        x = Up(1024, 512 // factor, name=f"{self.prefix}1", **kw)(x5, x4, train=train)
-        x = Up(512, 256 // factor, name=f"{self.prefix}2", **kw)(x, x3, train=train)
-        x = Up(256, 128 // factor, name=f"{self.prefix}3", **kw)(x, x2, train=train)
-        x = Up(128, 64, name=f"{self.prefix}4", **kw)(x, x1, train=train)
+        x = Up(16 * b, 8 * b // factor, name=f"{self.prefix}1", **kw)(x5, x4, train=train)
+        x = Up(8 * b, 4 * b // factor, name=f"{self.prefix}2", **kw)(x, x3, train=train)
+        x = Up(4 * b, 2 * b // factor, name=f"{self.prefix}3", **kw)(x, x2, train=train)
+        x = Up(2 * b, b, name=f"{self.prefix}4", **kw)(x, x1, train=train)
         return x
 
 
@@ -72,16 +76,17 @@ class UNet(nn.Module):
     bilinear: bool = False
     policy: Policy = DEFAULT_POLICY
     sync_batch_stats: bool = False
+    base_features: int = 64  # reference ladder: 64/128/256/512/1024
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         x = self.policy.cast_to_compute(x)
         skips = _Encoder(
-            policy=self.policy, bilinear=self.bilinear,
+            policy=self.policy, bilinear=self.bilinear, base_features=self.base_features,
             sync_batch_stats=self.sync_batch_stats, name="encoder",
         )(x, train=train)
         x = _Decoder(
-            policy=self.policy, bilinear=self.bilinear,
+            policy=self.policy, bilinear=self.bilinear, base_features=self.base_features,
             sync_batch_stats=self.sync_batch_stats, name="decoder",
         )(skips, train=train)
         return OutConv(self.n_classes, policy=self.policy, name="outc")(x)
@@ -101,12 +106,13 @@ class SegmentationUNet(nn.Module):
     dropout: float = 0.1
     policy: Policy = DEFAULT_POLICY
     sync_batch_stats: bool = False
+    base_features: int = 64
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         x = self.policy.cast_to_compute(x)
         x1, x2, x3, x4, x5 = _Encoder(
-            policy=self.policy, bilinear=self.bilinear,
+            policy=self.policy, bilinear=self.bilinear, base_features=self.base_features,
             sync_batch_stats=self.sync_batch_stats, name="encoder",
         )(x, train=train)
         if self.dropout > 0:
@@ -118,7 +124,7 @@ class SegmentationUNet(nn.Module):
                 name="bottleneck_dropout",
             )(x5)
         x = _Decoder(
-            policy=self.policy, bilinear=self.bilinear,
+            policy=self.policy, bilinear=self.bilinear, base_features=self.base_features,
             sync_batch_stats=self.sync_batch_stats, name="decoder",
         )((x1, x2, x3, x4, x5), train=train)
         return OutConv(self.n_classes, policy=self.policy, name="outc")(x)
@@ -136,23 +142,24 @@ class AnomalyUNet(nn.Module):
     bilinear: bool = False
     policy: Policy = DEFAULT_POLICY
     sync_batch_stats: bool = False
+    base_features: int = 64
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         x = self.policy.cast_to_compute(x)
         skips = _Encoder(
-            policy=self.policy, bilinear=self.bilinear,
+            policy=self.policy, bilinear=self.bilinear, base_features=self.base_features,
             sync_batch_stats=self.sync_batch_stats, name="encoder",
         )(x, train=train)
 
         recon = _Decoder(
-            policy=self.policy, bilinear=self.bilinear,
+            policy=self.policy, bilinear=self.bilinear, base_features=self.base_features,
             sync_batch_stats=self.sync_batch_stats, prefix="up_recon", name="decoder_recon",
         )(skips, train=train)
         reconstruction = nn.sigmoid(OutConv(self.n_channels, policy=self.policy, name="outc_recon")(recon))
 
         seg = _Decoder(
-            policy=self.policy, bilinear=self.bilinear,
+            policy=self.policy, bilinear=self.bilinear, base_features=self.base_features,
             sync_batch_stats=self.sync_batch_stats, prefix="up_seg", name="decoder_seg",
         )(skips, train=train)
         anomaly_map = nn.sigmoid(OutConv(1, policy=self.policy, name="outc_seg")(seg))
@@ -162,17 +169,21 @@ class AnomalyUNet(nn.Module):
 
 def build_model(name: str, *, n_channels: int = 3, n_classes: int = 1,
                 bilinear: bool = False, dropout: float = 0.1,
-                policy: Policy = DEFAULT_POLICY, sync_batch_stats: bool = False):
+                policy: Policy = DEFAULT_POLICY, sync_batch_stats: bool = False,
+                base_features: int = 64):
     """Build a model by CLI name ('unet' | 'anomaly_unet' | 'seg_unet')."""
     name = name.lower()
     if name == "unet":
         return UNet(n_channels=n_channels, n_classes=n_classes, bilinear=bilinear,
-                    policy=policy, sync_batch_stats=sync_batch_stats)
+                    policy=policy, sync_batch_stats=sync_batch_stats,
+                    base_features=base_features)
     if name == "anomaly_unet":
         return AnomalyUNet(n_channels=n_channels, bilinear=bilinear,
-                           policy=policy, sync_batch_stats=sync_batch_stats)
+                           policy=policy, sync_batch_stats=sync_batch_stats,
+                           base_features=base_features)
     if name in ("seg_unet", "segmentation_unet"):
         return SegmentationUNet(n_channels=n_channels, n_classes=n_classes,
                                 bilinear=bilinear, dropout=dropout,
-                                policy=policy, sync_batch_stats=sync_batch_stats)
+                                policy=policy, sync_batch_stats=sync_batch_stats,
+                                base_features=base_features)
     raise ValueError(f"Unknown model: {name!r}")

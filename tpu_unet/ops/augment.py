@@ -1,0 +1,197 @@
+"""On-device input transforms: normalize + paired geometric & photometric augs.
+
+The reference runs PIL transforms in DataLoader worker processes
+(/root/reference/src/dataset.py:130-154) and — defectively — applies geometric augs
+to images only, desynchronizing masks (SURVEY.md §2.3). Here the host only decodes
+and resizes; everything random runs on device inside the jitted train step, with
+**paired** geometry: one flip decision and one rotation angle per sample applied to
+both image (bilinear) and mask (nearest).
+
+All functions take NHWC float32 images in [0, 1] (masks (N,H,W,1) float or int) and
+are jit-safe with static shapes. Randomness comes from explicit jax.random keys, so
+runs are reproducible under --seed.
+
+Deviation from torchvision noted for the record: ColorJitter applies its four ops in
+random order; we use the fixed order brightness->contrast->saturation->hue (a fixed
+permutation keeps the compiled program static; the augmentation distribution is
+practically equivalent).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def normalize(images: jnp.ndarray,
+              mean: Tuple[float, ...] = IMAGENET_MEAN,
+              std: Tuple[float, ...] = IMAGENET_STD) -> jnp.ndarray:
+    mean = jnp.asarray(mean, images.dtype)
+    std = jnp.asarray(std, images.dtype)
+    return (images - mean) / std
+
+
+def denormalize(images: jnp.ndarray,
+                mean: Tuple[float, ...] = IMAGENET_MEAN,
+                std: Tuple[float, ...] = IMAGENET_STD) -> jnp.ndarray:
+    mean = jnp.asarray(mean, images.dtype)
+    std = jnp.asarray(std, images.dtype)
+    return images * std + mean
+
+
+def to_float(images_u8: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [0,255] -> float32 [0,1] (host ships uint8; 4x less PCIe/ICI traffic)."""
+    return images_u8.astype(jnp.float32) / 255.0
+
+
+# ---------------------------------------------------------------------------
+# Geometry
+# ---------------------------------------------------------------------------
+
+def _rotate_one(img: jnp.ndarray, angle_deg: jnp.ndarray, order: int) -> jnp.ndarray:
+    """Rotate one HWC image counterclockwise about its center, constant-0 fill."""
+    h, w, c = img.shape
+    theta = jnp.deg2rad(angle_deg)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None] - cy
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :] - cx
+    # Inverse map: source coords for each output pixel (CCW like scipy/torchvision).
+    src_y = cos * yy + sin * xx + cy
+    src_x = -sin * yy + cos * xx + cx
+    src_y = jnp.broadcast_to(src_y, (h, w))
+    src_x = jnp.broadcast_to(src_x, (h, w))
+
+    def per_channel(ch):
+        return jax.scipy.ndimage.map_coordinates(ch, [src_y, src_x], order=order,
+                                                 mode="constant", cval=0.0)
+
+    return jnp.stack([per_channel(img[..., i]) for i in range(c)], axis=-1)
+
+
+def rotate_batch(images: jnp.ndarray, angles_deg: jnp.ndarray, order: int = 1) -> jnp.ndarray:
+    """Per-sample rotation of an NHWC batch (angles: (N,) degrees, CCW)."""
+    return jax.vmap(functools.partial(_rotate_one, order=order))(images, angles_deg)
+
+
+def paired_geometric_augment(
+    images: jnp.ndarray,
+    masks: Optional[jnp.ndarray],
+    key: jax.Array,
+    *,
+    degrees: float = 10.0,
+    p_flip: float = 0.5,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Random horizontal flip + random rotation, identical geometry for image & mask.
+
+    Image samples bilinearly; mask nearest (labels must stay integral).
+    """
+    n = images.shape[0]
+    k_flip, k_rot = jax.random.split(key)
+    flip = jax.random.uniform(k_flip, (n,)) < p_flip
+    flip_img = jnp.where(flip[:, None, None, None], images[:, :, ::-1, :], images)
+    angles = jax.random.uniform(k_rot, (n,), minval=-degrees, maxval=degrees)
+    out_img = rotate_batch(flip_img, angles, order=1) if degrees > 0 else flip_img
+
+    out_mask = None
+    if masks is not None:
+        mdtype = masks.dtype
+        m = masks.astype(jnp.float32)
+        m = jnp.where(flip[:, None, None, None], m[:, :, ::-1, :], m)
+        if degrees > 0:
+            m = rotate_batch(m, angles, order=0)
+        out_mask = m.astype(mdtype)
+    return out_img, out_mask
+
+
+# ---------------------------------------------------------------------------
+# Photometry (image only)
+# ---------------------------------------------------------------------------
+
+def _rgb_to_gray(images: jnp.ndarray) -> jnp.ndarray:
+    w = jnp.asarray([0.299, 0.587, 0.114], images.dtype)
+    return jnp.sum(images * w, axis=-1, keepdims=True)
+
+
+def _rgb_to_hsv(images: jnp.ndarray):
+    r, g, b = images[..., 0], images[..., 1], images[..., 2]
+    maxc = jnp.max(images, axis=-1)
+    minc = jnp.min(images, axis=-1)
+    v = maxc
+    delta = maxc - minc
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
+    safe_delta = jnp.maximum(delta, 1e-12)
+    rc = (maxc - r) / safe_delta
+    gc = (maxc - g) / safe_delta
+    bc = (maxc - b) / safe_delta
+    h = jnp.where(maxc == r, bc - gc,
+                  jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = jnp.where(delta > 0, (h / 6.0) % 1.0, 0.0)
+    return h, s, v
+
+
+def _hsv_to_rgb(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def color_jitter(images: jnp.ndarray, key: jax.Array, *,
+                 brightness: float = 0.1, contrast: float = 0.1,
+                 saturation: float = 0.1, hue: float = 0.05) -> jnp.ndarray:
+    """Per-sample brightness/contrast/saturation/hue jitter, torch factor ranges."""
+    n = images.shape[0]
+    kb, kc, ks, kh = jax.random.split(key, 4)
+    x = images
+
+    if brightness > 0:
+        fb = jax.random.uniform(kb, (n, 1, 1, 1), minval=1 - brightness, maxval=1 + brightness)
+        x = jnp.clip(x * fb, 0.0, 1.0)
+    if contrast > 0:
+        fc = jax.random.uniform(kc, (n, 1, 1, 1), minval=1 - contrast, maxval=1 + contrast)
+        mean = jnp.mean(_rgb_to_gray(x), axis=(1, 2), keepdims=True)
+        x = jnp.clip(fc * x + (1 - fc) * mean, 0.0, 1.0)
+    if saturation > 0:
+        fs = jax.random.uniform(ks, (n, 1, 1, 1), minval=1 - saturation, maxval=1 + saturation)
+        gray = _rgb_to_gray(x)
+        x = jnp.clip(fs * x + (1 - fs) * gray, 0.0, 1.0)
+    if hue > 0:
+        fh = jax.random.uniform(kh, (n, 1, 1), minval=-hue, maxval=hue)
+        h, s, v = _rgb_to_hsv(x)
+        x = _hsv_to_rgb((h + fh) % 1.0, s, v)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Full train/eval transforms (the device half of the input pipeline)
+# ---------------------------------------------------------------------------
+
+def train_transform(images_u8: jnp.ndarray, masks: Optional[jnp.ndarray],
+                    key: jax.Array, *, degrees: float = 10.0, p_flip: float = 0.5,
+                    brightness: float = 0.1, contrast: float = 0.1,
+                    saturation: float = 0.1, hue: float = 0.05):
+    """uint8 NHWC -> augmented, normalized float32 (+ paired mask)."""
+    k_geo, k_col = jax.random.split(key)
+    img = to_float(images_u8)
+    img, masks = paired_geometric_augment(img, masks, k_geo, degrees=degrees, p_flip=p_flip)
+    img = color_jitter(img, k_col, brightness=brightness, contrast=contrast,
+                       saturation=saturation, hue=hue)
+    return normalize(img), masks
+
+
+def eval_transform(images_u8: jnp.ndarray):
+    """uint8 NHWC -> normalized float32 (no augmentation)."""
+    return normalize(to_float(images_u8))

@@ -1,0 +1,74 @@
+"""Device mesh construction and sharding specs.
+
+The reference is strictly single-device (SURVEY.md §2.13: no torch.distributed
+anywhere); this module is the rebuild's first-class parallelism layer. Design:
+
+- One logical program compiled by GSPMD: a ``Mesh`` with axes ``('data', 'space')``;
+  the batch dimension is sharded over 'data' (data parallelism) and, optionally, the
+  image height dimension over 'space' (spatial parallelism for the elongated
+  KolektorSDD inputs — XLA inserts the conv halo exchanges automatically).
+- Parameters and optimizer state are replicated; gradient all-reduce, BatchNorm
+  cross-replica statistics, and eval-metric aggregation are all emitted implicitly
+  by XLA as psum/all-gather collectives over ICI.
+- Multi-host entry via ``jax.distributed.initialize`` (see ``maybe_initialize``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+SPACE_AXIS = "space"
+
+
+def make_mesh(n_data: Optional[int] = None, n_space: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a ('data', 'space') mesh. Defaults to all devices on the data axis."""
+    if devices is None:
+        devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_space
+    if n_data * n_space > len(devices):
+        raise ValueError(f"mesh {n_data}x{n_space} needs {n_data * n_space} devices, "
+                         f"have {len(devices)}")
+    devs = np.asarray(devices[: n_data * n_space]).reshape(n_data, n_space)
+    return Mesh(devs, (DATA_AXIS, SPACE_AXIS))
+
+
+def batch_sharding(mesh: Mesh, spatial: bool = False) -> NamedSharding:
+    """NHWC batch: N over 'data'; optionally H over 'space'."""
+    if spatial:
+        return NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS))
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, spatial: bool = False):
+    """Place a host batch (pytree of arrays with leading batch dim) onto the mesh."""
+    sharding = batch_sharding(mesh, spatial)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def maybe_initialize(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Initialize multi-host JAX when launched across hosts (no-op single-host)."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )

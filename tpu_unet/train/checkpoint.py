@@ -1,0 +1,93 @@
+"""Orbax checkpointing with the reference's file-layout semantics.
+
+Parity with /root/reference/src/utils.py:37-58 and the trainers' policies:
+- ``best_model`` saved whenever the tracked validation metric improves;
+- periodic ``checkpoint_epoch_N`` every --save_freq epochs;
+- ``--resume <path>`` restores params/opt_state/batch_stats and continues at
+  epoch+1.
+
+Each checkpoint is an Orbax directory (atomic rename on completion — the crash
+recovery model SURVEY.md §5 prescribes) storing
+{epoch, loss, params, batch_stats, opt_state}. Works for replicated and sharded
+states alike (Orbax handles multi-host arrays natively).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+from tpu_unet.train.state import TrainState
+
+
+def _checkpointer() -> ocp.Checkpointer:
+    return ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+
+
+def save_checkpoint(state: TrainState, epoch: int, loss: float, path: str) -> None:
+    """Save a training checkpoint to ``path`` (a directory; overwritten if present)."""
+    path = os.path.abspath(path)
+    payload = {
+        "epoch": epoch,
+        "loss": float(loss),
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+    with _checkpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+    print(f"Checkpoint saved to {path}")
+
+
+def load_checkpoint(state: TrainState, path: str,
+                    restore_optimizer: bool = True) -> Tuple[TrainState, int, float]:
+    """Restore ``state`` from ``path``; returns (state, epoch, loss)."""
+    path = os.path.abspath(path)
+    template = {
+        "epoch": 0,
+        "loss": 0.0,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+    with _checkpointer() as ckptr:
+        restored = ckptr.restore(path, item=template)
+    state = state.replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"] if restore_optimizer else state.opt_state,
+    )
+    epoch = int(restored["epoch"])
+    loss = float(restored["loss"])
+    print(f"Checkpoint loaded from {path}, epoch {epoch}, loss {loss:.4f}")
+    return state, epoch, loss
+
+
+def load_params(state: TrainState, path: str) -> TrainState:
+    """Restore model variables only (for test/visualize CLIs)."""
+    state, _, _ = load_checkpoint(state, path, restore_optimizer=False)
+    return state
+
+
+def find_best_checkpoint(experiment_dir: str) -> Optional[str]:
+    """Locate best_model (or the newest epoch checkpoint) under an experiment dir,
+    mirroring run_pipeline.sh's discovery (/root/reference/run_pipeline.sh:158-173)."""
+    ckpt_dir = os.path.join(experiment_dir, "checkpoints")
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best = os.path.join(ckpt_dir, "best_model")
+    if os.path.isdir(best):
+        return best
+    epochs = []
+    for name in os.listdir(ckpt_dir):
+        if name.startswith("checkpoint_epoch_"):
+            try:
+                epochs.append((int(name.rsplit("_", 1)[1]), name))
+            except ValueError:
+                continue
+    if epochs:
+        return os.path.join(ckpt_dir, max(epochs)[1])
+    return None

@@ -1,0 +1,171 @@
+"""Epoch drivers: thin host loops around the jitted steps.
+
+Parity with the reference's train/validate epoch functions
+(/root/reference/src/train_utils.py:107-260 and the inlined loops in the Gear /
+KolektorSDD trainers), with TPU-first changes:
+
+- per-step scalars stay on device until epoch end (no per-batch host sync);
+- validation aggregates scores/masks on host exactly like the reference
+  (95th-percentile image threshold, pixel F1 at {0.3, 0.5, 0.7} over anomalous
+  images) so numeric outputs match;
+- segmentation confusion matrices accumulate on device.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from tpu_unet.metrics.binary import calculate_metrics
+from tpu_unet.metrics.confusion import SegmentationMetrics
+
+
+def _epoch_key(base_key, epoch: int):
+    return jax.random.fold_in(base_key, epoch)
+
+
+# ---------------------------------------------------------------------------
+# Anomaly (MVTec)
+# ---------------------------------------------------------------------------
+
+def train_anomaly_epoch(state, step_fn, loader, base_key, epoch: int,
+                        log_fn: Optional[Callable[[str], None]] = None):
+    """One training epoch; returns (state, {'total_loss','recon_loss','seg_loss'})."""
+    key = _epoch_key(base_key, epoch)
+    per_batch = []
+    counts = []
+    for i, batch in enumerate(loader):
+        k = jax.random.fold_in(key, i)
+        state, losses = step_fn(state, batch["image"], batch["mask"], k)
+        per_batch.append(losses)
+        counts.append(batch["image"].shape[0])
+    if not per_batch:
+        return state, {"total_loss": 0.0, "recon_loss": 0.0, "seg_loss": 0.0}
+    counts = np.asarray(counts, np.float64)
+    out = {}
+    for name in per_batch[0]:
+        vals = np.asarray([float(d[name]) for d in per_batch])
+        out[name] = float((vals * counts).sum() / counts.sum())
+    if log_fn:
+        log_fn(f"Epoch {epoch}: loss {out['total_loss']:.4f} "
+               f"(recon {out['recon_loss']:.4f}, seg {out['seg_loss']:.4f})")
+    return state, out
+
+
+def validate_anomaly_epoch(state, eval_fn, loader) -> Dict:
+    """Validation pass with the reference's image/pixel metric recipe
+    (/root/reference/src/train_utils.py:155-260)."""
+    losses, counts = [], []
+    all_labels, all_scores, all_masks_true, all_masks_pred = [], [], [], []
+    for batch in loader:
+        out = eval_fn(state, batch["image"], batch["mask"])
+        valid = np.asarray(batch["valid"]) if "valid" in batch else np.ones(
+            batch["image"].shape[0], bool)
+        n = int(valid.sum())
+        losses.append(out["losses"])
+        counts.append(n)
+        all_labels.append(np.asarray(batch["label"])[valid])
+        all_scores.append(np.asarray(out["score"])[valid])
+        all_masks_true.append(np.asarray(batch["mask"])[valid, ..., 0])
+        all_masks_pred.append(np.asarray(out["anomaly_map"])[valid])
+
+    counts_arr = np.asarray(counts, np.float64)
+    loss_out = {}
+    for name in ("total_loss", "recon_loss", "seg_loss"):
+        vals = np.asarray([float(d[name]) for d in losses])
+        loss_out[name] = float((vals * counts_arr).sum() / counts_arr.sum())
+
+    labels = np.concatenate(all_labels)
+    scores = np.concatenate(all_scores)
+    masks_true = np.concatenate(all_masks_true)
+    masks_pred = np.concatenate(all_masks_pred)
+
+    if len(np.unique(labels)) > 1:
+        threshold = np.percentile(scores, 95)
+        predictions = (scores > threshold).astype(int)
+        image_metrics = calculate_metrics(labels, predictions, scores)
+    else:
+        image_metrics = {
+            "accuracy": 1.0 if labels[0] == 0 else 0.0,
+            "precision": 0.0,
+            "recall": 0.0,
+            "specificity": 1.0 if labels[0] == 0 else 0.0,
+            "f1_score": 0.0,
+            "auroc": 0.0,
+            "auprc": 0.0,
+        }
+
+    pixel_metrics: Dict[str, float] = {}
+    anomaly_idx = labels == 1
+    if anomaly_idx.sum() > 0:
+        for threshold in (0.3, 0.5, 0.7):
+            pred = (masks_pred[anomaly_idx] > threshold).astype(np.uint8).ravel()
+            true = (masks_true[anomaly_idx] > 0.5).astype(np.uint8).ravel()
+            if len(np.unique(true)) > 1:
+                pixel_metrics[f"pixel_f1_@{threshold}"] = calculate_metrics(true, pred)["f1_score"]
+
+    return {
+        **loss_out,
+        "image_metrics": image_metrics,
+        "pixel_metrics": pixel_metrics,
+        "predictions": {
+            "labels": labels,
+            "scores": scores,
+            "masks_true": masks_true,
+            "masks_pred": masks_pred,
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Segmentation (Gear / KolektorSDD)
+# ---------------------------------------------------------------------------
+
+def train_seg_epoch(state, step_fn, loader, base_key, epoch: int, num_classes: int):
+    """One seg training epoch; returns (state, loss dict, SegmentationMetrics)."""
+    key = _epoch_key(base_key, epoch)
+    metrics = SegmentationMetrics(num_classes)
+    per_batch, counts, cms = [], [], []
+    for i, batch in enumerate(loader):
+        k = jax.random.fold_in(key, i)
+        state, losses, cm = step_fn(state, batch["image"], batch["mask"], k)
+        per_batch.append(losses)
+        counts.append(batch["image"].shape[0])
+        if cm is not None:
+            cms.append(cm)
+    for cm in cms:
+        metrics.confusion_matrix = metrics.confusion_matrix + cm
+    counts_arr = np.asarray(counts, np.float64) if counts else np.asarray([1.0])
+    out = {}
+    if per_batch:
+        for name in per_batch[0]:
+            vals = np.asarray([float(d[name]) for d in per_batch])
+            out[name] = float((vals * counts_arr).sum() / counts_arr.sum())
+    return state, out, metrics
+
+
+def validate_seg_epoch(state, eval_fn, loader, num_classes: int):
+    """Validation pass; returns (loss dict, SegmentationMetrics)."""
+    metrics = SegmentationMetrics(num_classes)
+    per_batch, counts = [], []
+    for batch in loader:
+        losses, preds, cm = eval_fn(state, batch["image"], batch["mask"])
+        if "valid" in batch and not bool(np.all(batch["valid"])):
+            # Recompute the CM over valid rows only (padded rows are zeros-on-zeros
+            # and would pollute the background class).
+            valid = np.asarray(batch["valid"])
+            metrics.update(np.asarray(preds)[valid], np.asarray(batch["mask"])[valid])
+        else:
+            metrics.confusion_matrix = metrics.confusion_matrix + cm
+        per_batch.append(losses)
+        counts.append(int(np.asarray(batch.get("valid", np.ones(1))).sum())
+                      if "valid" in batch else batch["image"].shape[0])
+    counts_arr = np.asarray(counts, np.float64) if counts else np.asarray([1.0])
+    out = {}
+    if per_batch:
+        for name in per_batch[0]:
+            vals = np.asarray([float(d[name]) for d in per_batch])
+            out[name] = float((vals * counts_arr).sum() / counts_arr.sum())
+    return out, metrics

@@ -1,0 +1,195 @@
+"""Jitted train/eval step factories for the anomaly and segmentation tasks.
+
+The hot path, redesigned TPU-first (vs the reference's per-batch Python loop,
+/root/reference/src/train_utils.py:107-152):
+
+- Each step is one XLA program: device-side augmentation (paired geometry +
+  photometry on uint8 inputs), forward, loss, backward, optimizer update, and (for
+  segmentation) the confusion-matrix contraction — no host sync inside the epoch.
+- Batches arrive as uint8 NHWC sharded over the 'data' mesh axis; parameters are
+  replicated. Under GSPMD the gradient all-reduce and the *global* BatchNorm batch
+  statistics are emitted automatically as psum collectives — multi-chip training
+  keeps single-replica numerics.
+- ``donate_state=True`` donates the input state buffers so the update is in-place
+  in HBM (the 43M-param AnomalyUNet state is ~0.5 GB with Adam moments in f32).
+
+Loss configs are Python dataclasses closed over at trace time (static), so changing
+weights recompiles once per config, never per step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_unet.losses.anomaly import combined_anomaly_loss
+from tpu_unet.losses.segmentation import combined_segmentation_loss
+from tpu_unet.metrics.anomaly import anomaly_error_map, anomaly_score
+from tpu_unet.metrics.confusion import confusion_matrix_batch
+from tpu_unet.ops.augment import eval_transform, train_transform
+from tpu_unet.train.state import TrainState
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    degrees: float = 10.0
+    p_flip: float = 0.5
+    brightness: float = 0.1
+    contrast: float = 0.1
+    saturation: float = 0.1
+    hue: float = 0.05
+
+    def kwargs(self) -> Dict[str, float]:
+        return dataclasses.asdict(self)
+
+
+@dataclasses.dataclass(frozen=True)
+class AnomalyLossConfig:
+    recon_weight: float = 1.0
+    seg_weight: float = 1.0
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    recon_loss_type: str = "mse"  # 'mse' | 'ssim' (--use_ssim)
+
+    def kwargs(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+@dataclasses.dataclass(frozen=True)
+class SegLossConfig:
+    ce_weight: float = 1.0
+    dice_weight: float = 1.0
+    focal_weight: float = 0.0
+    class_weights: Optional[Tuple[float, ...]] = None
+    ignore_index: Optional[int] = None
+
+    def kwargs(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+# ---------------------------------------------------------------------------
+# Anomaly detection (AnomalyUNet / UNet on MVTec)
+# ---------------------------------------------------------------------------
+
+def make_anomaly_train_step(loss_cfg: AnomalyLossConfig = AnomalyLossConfig(),
+                            aug_cfg: AugmentConfig = AugmentConfig(),
+                            donate_state: bool = True):
+    """Returns jitted ``step(state, images_u8, masks, key) -> (state, loss_dict)``.
+
+    images_u8: (N,H,W,3) uint8; masks: (N,H,W,1) float32 in [0,1].
+    """
+
+    def step(state: TrainState, images_u8, masks, key):
+        img, msk = train_transform(images_u8, masks, key, **aug_cfg.kwargs())
+
+        def loss_fn(params):
+            (recon, amap), mut = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                img, train=True, mutable=["batch_stats"],
+            )
+            losses = combined_anomaly_loss(recon, amap, img, msk, **loss_cfg.kwargs())
+            return losses["total_loss"], (losses, mut["batch_stats"])
+
+        grads, (losses, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_stats)
+        return state, losses
+
+    return jax.jit(step, donate_argnums=(0,) if donate_state else ())
+
+
+def make_anomaly_eval_step(loss_cfg: AnomalyLossConfig = AnomalyLossConfig(),
+                           dual_decoder: bool = True):
+    """Returns jitted ``step(state, images_u8, masks) -> outputs dict``.
+
+    dual_decoder=False reproduces the reference's plain-UNet fallback
+    (/root/reference/src/test.py:88-93): sigmoid(logits) as the anomaly map and the
+    input itself as a dummy reconstruction.
+    """
+
+    def step(state: TrainState, images_u8, masks):
+        img = eval_transform(images_u8)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if dual_decoder:
+            recon, amap = state.apply_fn(variables, img, train=False)
+        else:
+            logits = state.apply_fn(variables, img, train=False)
+            amap = jax.nn.sigmoid(logits)
+            recon = img
+        losses = combined_anomaly_loss(recon, amap, img, masks, **loss_cfg.kwargs())
+        return {
+            "losses": losses,
+            "score": anomaly_score(recon, img),            # (N,) image-level
+            "error_map": anomaly_error_map(recon, img),    # (N,H,W) pixel-level
+            "anomaly_map": amap[..., 0],                   # (N,H,W)
+            "reconstruction": recon,
+            "image": img,
+        }
+
+    return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# Semantic segmentation (SegmentationUNet on Gear / KolektorSDD)
+# ---------------------------------------------------------------------------
+
+def make_seg_train_step(num_classes: int,
+                        loss_cfg: SegLossConfig = SegLossConfig(),
+                        aug_cfg: AugmentConfig = AugmentConfig(),
+                        with_confusion: bool = True,
+                        donate_state: bool = True):
+    """Returns jitted ``step(state, images_u8, labels, key) -> (state, loss_dict, cm)``.
+
+    labels: (N,H,W) int32. The (C,C) confusion matrix for the batch is computed on
+    device (replacing the reference's per-step .cpu() -> sklearn sync,
+    /root/reference/src/metrics.py:30-45).
+    """
+
+    def step(state: TrainState, images_u8, labels, key):
+        k_aug, k_drop = jax.random.split(key)
+        img, lbl = train_transform(images_u8, labels[..., None], k_aug, **aug_cfg.kwargs())
+        lbl = lbl[..., 0]
+
+        def loss_fn(params):
+            logits, mut = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                img, train=True, mutable=["batch_stats"],
+                rngs={"dropout": k_drop},
+            )
+            losses = combined_segmentation_loss(logits, lbl, **loss_cfg.kwargs())
+            return losses["total_loss"], (losses, mut["batch_stats"], logits)
+
+        grads, (losses, new_stats, logits) = jax.grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_stats)
+        cm = None
+        if with_confusion:
+            preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            cm = confusion_matrix_batch(preds, lbl.astype(jnp.int32), num_classes,
+                                        loss_cfg.ignore_index)
+        return state, losses, cm
+
+    return jax.jit(step, donate_argnums=(0,) if donate_state else ())
+
+
+def make_seg_eval_step(num_classes: int,
+                       loss_cfg: SegLossConfig = SegLossConfig()):
+    """Returns jitted ``step(state, images_u8, labels) -> (loss_dict, preds, cm)``."""
+
+    def step(state: TrainState, images_u8, labels):
+        img = eval_transform(images_u8)
+        logits = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            img, train=False,
+        )
+        losses = combined_segmentation_loss(logits, labels, **loss_cfg.kwargs())
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        cm = confusion_matrix_batch(preds, labels.astype(jnp.int32), num_classes,
+                                    loss_cfg.ignore_index)
+        return losses, preds, cm
+
+    return jax.jit(step)

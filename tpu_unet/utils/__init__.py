@@ -1,0 +1,12 @@
+from tpu_unet.utils.io import convert_numpy, create_output_dirs, save_json
+from tpu_unet.utils.logging import setup_logging
+from tpu_unet.utils.meters import AverageMeter, print_metrics
+
+__all__ = [
+    "convert_numpy",
+    "create_output_dirs",
+    "save_json",
+    "setup_logging",
+    "AverageMeter",
+    "print_metrics",
+]

@@ -1,0 +1,43 @@
+"""Output directories and JSON artifacts with the reference's layouts/schemas."""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict
+
+import numpy as np
+
+
+def create_output_dirs(base_dir: str) -> Dict[str, str]:
+    """checkpoints/ results/ visualizations/ logs/ (reference utils.py:272-282)."""
+    dirs = ["checkpoints", "results", "visualizations", "logs"]
+    created = {}
+    for name in dirs:
+        path = os.path.join(base_dir, name)
+        os.makedirs(path, exist_ok=True)
+        created[name] = path
+    return created
+
+
+def convert_numpy(obj):
+    """Recursively convert numpy/JAX scalars & arrays for JSON serialization
+    (reference test.py:195-206)."""
+    if isinstance(obj, np.integer):
+        return int(obj)
+    if isinstance(obj, np.floating):
+        return float(obj)
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    if hasattr(obj, "tolist") and hasattr(obj, "dtype"):  # jax arrays
+        return obj.tolist()
+    if isinstance(obj, dict):
+        return {key: convert_numpy(value) for key, value in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [convert_numpy(item) for item in obj]
+    return obj
+
+
+def save_json(obj, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(convert_numpy(obj), f, indent=2)
