@@ -31,6 +31,9 @@ STEPS = 20
 
 
 def main():
+    from tpu_unet.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from tpu_unet.core.precision import BF16_POLICY
     from tpu_unet.models import AnomalyUNet
     from tpu_unet.parallel import make_mesh, replicate, shard_batch
@@ -60,12 +63,14 @@ def main():
 
     for i in range(WARMUP):
         state, losses = step(state, images, masks, jax.random.key(i))
-    jax.block_until_ready(losses["total_loss"])
+    float(losses["total_loss"])
 
+    # Strict timing: fetch the loss every step (block_until_ready alone has been
+    # observed not to force the donated-state chain under the axon runtime).
     t0 = time.perf_counter()
     for i in range(STEPS):
         state, losses = step(state, images, masks, jax.random.key(100 + i))
-    jax.block_until_ready(losses["total_loss"])
+        float(losses["total_loss"])
     dt = time.perf_counter() - t0
 
     images_per_sec = batch * STEPS / dt

@@ -6,12 +6,18 @@ devices (the strategy SURVEY.md §4 prescribes). Must run before jax initializes
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the environment pre-sets JAX_PLATFORMS (e.g. axon/TPU):
+# the test suite must run hermetically on 8 virtual host devices. jax snapshots
+# JAX_PLATFORMS into its config at import, so set BOTH the env var and the config.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -8,10 +8,16 @@ host->device transfer volume vs the reference's float32 CHW tensors.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import numpy as np
 from PIL import Image
+
+# Opt-in native resize (native/loader_core.cpp). Default off: PIL's BILINEAR uses
+# area-weighted support on downscale (higher quality / reference parity); the native
+# kernel is classic 4-tap bilinear but multi-threaded and GIL-free.
+_USE_NATIVE = os.environ.get("TPU_UNET_NATIVE_RESIZE", "0") == "1"
 
 
 def load_image_rgb(path: str, size_hw: Tuple[int, int]) -> np.ndarray:
@@ -19,9 +25,13 @@ def load_image_rgb(path: str, size_hw: Tuple[int, int]) -> np.ndarray:
     with Image.open(path) as im:
         im = im.convert("RGB")
         h, w = size_hw
-        if im.size != (w, h):  # PIL size is (W, H)
-            im = im.resize((w, h), Image.BILINEAR)
-        return np.asarray(im, dtype=np.uint8)
+        if im.size == (w, h):  # PIL size is (W, H)
+            return np.asarray(im, dtype=np.uint8)
+        if _USE_NATIVE:
+            from tpu_unet.data import native
+            if native.available():
+                return native.resize_u8(np.asarray(im, np.uint8), (h, w), "bilinear")
+        return np.asarray(im.resize((w, h), Image.BILINEAR), dtype=np.uint8)
 
 
 def load_mask(path: str, size_hw: Tuple[int, int], binarize: bool = False) -> np.ndarray:
