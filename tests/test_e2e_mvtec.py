@@ -27,7 +27,7 @@ def test_train_then_test_cli(mvtec_root, tmp_path):
         "--data_root", mvtec_root, "--category", "bottle",
         "--image_size", "32", "--epochs", "2", "--batch_size", "4",
         "--val_freq", "1", "--save_freq", "1", "--num_workers", "2",
-        "--save_dir", save_dir, "--base_features", "4", "--precision", "f32",
+        "--save_dir", save_dir, "--base_features", "4", "--precision", "f32", "--n_devices", "2",
     ])
     assert exp_dir is not None
 
@@ -49,7 +49,7 @@ def test_train_then_test_cli(mvtec_root, tmp_path):
         "--data_root", mvtec_root, "--category", "bottle",
         "--image_size", "32", "--batch_size", "4", "--num_workers", "2",
         "--checkpoint", best, "--output_dir", out_dir,
-        "--base_features", "4", "--precision", "f32", "--save_visualizations",
+        "--base_features", "4", "--precision", "f32", "--n_devices", "2", "--save_visualizations",
     ])
     assert evaluation is not None
     im = evaluation["image_metrics"]
@@ -79,14 +79,14 @@ def test_resume_continues_epoch_count(mvtec_root, tmp_path):
         "--data_root", mvtec_root, "--category", "bottle",
         "--image_size", "32", "--epochs", "1", "--batch_size", "4",
         "--val_freq", "1", "--save_freq", "1", "--num_workers", "2",
-        "--save_dir", save_dir, "--base_features", "4", "--precision", "f32",
+        "--save_dir", save_dir, "--base_features", "4", "--precision", "f32", "--n_devices", "2",
     ])
     ckpt = os.path.join(exp_dir, "checkpoints", "checkpoint_epoch_0")
     exp_dir2 = train_main([
         "--data_root", mvtec_root, "--category", "bottle",
         "--image_size", "32", "--epochs", "2", "--batch_size", "4",
         "--val_freq", "1", "--save_freq", "1", "--num_workers", "2",
-        "--save_dir", save_dir, "--base_features", "4", "--precision", "f32",
+        "--save_dir", save_dir, "--base_features", "4", "--precision", "f32", "--n_devices", "2",
         "--resume", ckpt,
     ])
     with open(os.path.join(exp_dir2, "results", "training_results.json")) as f:

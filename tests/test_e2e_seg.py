@@ -29,7 +29,7 @@ def test_gear_train_then_eval(gear_root, tmp_path):
         "--data_root", gear_root, "--image_size", "32",
         "--epochs", "2", "--batch_size", "4", "--val_freq", "1",
         "--save_freq", "1", "--num_workers", "2", "--save_dir", save_dir,
-        "--base_features", "4", "--precision", "f32",
+        "--base_features", "4", "--precision", "f32", "--n_devices", "2",
     ])
     assert exp_dir is not None and "gear_seg_seg_unet" in os.path.basename(exp_dir)
 
@@ -46,7 +46,7 @@ def test_gear_train_then_eval(gear_root, tmp_path):
     summary = test_main([
         "--data_root", gear_root, "--image_size", "32", "--batch_size", "4",
         "--num_workers", "2", "--checkpoint", best, "--output_dir", out_dir,
-        "--base_features", "4", "--precision", "f32", "--save_predictions",
+        "--base_features", "4", "--precision", "f32", "--n_devices", "2", "--save_predictions",
     ])
     assert summary is not None
     om = summary["overall_metrics"]
@@ -68,7 +68,7 @@ def test_kolektorsdd_train_then_eval(ksdd_root, tmp_path):
         "--data_root", ksdd_root, "--image_height", "64", "--image_width", "32",
         "--epochs", "1", "--batch_size", "4", "--val_freq", "1",
         "--save_freq", "1", "--num_workers", "2", "--save_dir", save_dir,
-        "--base_features", "4", "--precision", "f32",
+        "--base_features", "4", "--precision", "f32", "--n_devices", "2",
     ])
     assert exp_dir is not None and "kolektorsdd_seg_unet" in os.path.basename(exp_dir)
 
@@ -80,7 +80,7 @@ def test_kolektorsdd_train_then_eval(ksdd_root, tmp_path):
     summary = test_main([
         "--data_root", ksdd_root, "--image_height", "64", "--image_width", "32",
         "--batch_size", "4", "--num_workers", "2", "--checkpoint", ckpt,
-        "--output_dir", out_dir, "--base_features", "4", "--precision", "f32",
+        "--output_dir", out_dir, "--base_features", "4", "--precision", "f32", "--n_devices", "2",
     ])
     assert summary is not None
     assert len(summary["per_class_metrics"]["iou"]) == 3
