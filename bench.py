@@ -65,16 +65,34 @@ def main():
         state, losses = step(state, images, masks, jax.random.key(i))
     float(losses["total_loss"])
 
-    # Strict timing: fetch the loss every step (block_until_ready alone has been
-    # observed not to force the donated-state chain under the axon runtime).
+    # Epoch-realistic timing: losses stay on device during the loop (exactly what
+    # train_anomaly_epoch does) and are ALL fetched at the end — the fetches force
+    # the full chain (block_until_ready alone has been observed not to force the
+    # donated-state chain under the axon runtime).
     t0 = time.perf_counter()
+    acc = []
     for i in range(STEPS):
         state, losses = step(state, images, masks, jax.random.key(100 + i))
-        float(losses["total_loss"])
+        acc.append(losses["total_loss"])
+    assert all(np.isfinite(float(v)) for v in acc)
     dt = time.perf_counter() - t0
 
     images_per_sec = batch * STEPS / dt
     per_chip = images_per_sec / n_chips
+
+    # Secondary: inference throughput (BN-folded eval step).
+    from tpu_unet.ops.fold_bn import fold_batchnorm
+    from tpu_unet.train import make_anomaly_eval_step
+    folded, stats = fold_batchnorm(state.params, state.batch_stats)
+    istate = state.replace(params=folded, batch_stats=stats)
+    eval_step = make_anomaly_eval_step()
+    out = eval_step(istate, images, masks)
+    float(out["losses"]["total_loss"])
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        out = eval_step(istate, images, masks)
+        float(out["losses"]["total_loss"])
+    infer_per_chip = batch * STEPS / (time.perf_counter() - t0) / n_chips
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_MEASURED.json")
@@ -91,6 +109,9 @@ def main():
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline is not None else None,
+        "infer_images_per_sec_per_chip": round(infer_per_chip, 2),
+        "batch": BATCH,
+        "image_size": IMAGE_SIZE,
     }))
 
 

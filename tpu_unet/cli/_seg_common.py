@@ -204,6 +204,11 @@ def run_seg_evaluation(args, workload: Workload, split: str = "test"):
     state = replicate(mesh, state)
     print(f"Loading checkpoint: {args.checkpoint}")
     state = load_params(state, args.checkpoint)
+    if getattr(args, "fold_bn", False):
+        from tpu_unet.ops.fold_bn import fold_batchnorm
+        folded, stats = fold_batchnorm(state.params, state.batch_stats)
+        state = state.replace(params=folded, batch_stats=stats)
+        print("BatchNorm folded into conv weights for inference")
 
     class_weights = parse_class_weights(getattr(args, "class_weights", None), num_classes)
     loss_cfg = SegLossConfig(class_weights=class_weights)

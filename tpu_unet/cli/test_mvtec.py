@@ -54,6 +54,8 @@ def parse_args(argv=None):
     parser.add_argument("--precision", type=str, default="bf16", choices=["bf16", "f32"])
     parser.add_argument("--n_devices", type=int, default=None)
     parser.add_argument("--base_features", type=int, default=64)
+    parser.add_argument("--fold_bn", action="store_true",
+                        help="Fold BatchNorm into conv weights for inference")
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--debug_samples", type=int, default=20)
     return parser.parse_args(argv)
@@ -179,6 +181,11 @@ def main(argv=None):
     state = replicate(mesh, state)
     print(f"Loading checkpoint: {args.checkpoint}")
     state = load_params(state, args.checkpoint)
+    if args.fold_bn:
+        from tpu_unet.ops.fold_bn import fold_batchnorm
+        folded, stats = fold_batchnorm(state.params, state.batch_stats)
+        state = state.replace(params=folded, batch_stats=stats)
+        print("BatchNorm folded into conv weights for inference")
 
     eval_step = make_anomaly_eval_step(dual_decoder=(args.model == "anomaly_unet"))
     print("Testing model...")
