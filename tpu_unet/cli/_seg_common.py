@@ -75,6 +75,11 @@ def _to_device(mesh):
 
 
 def run_seg_training(args, workload: Workload):
+    from tpu_unet.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+    if getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
+
     print(f"JAX devices: {jax.devices()}")
 
     timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")

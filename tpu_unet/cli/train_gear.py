@@ -44,6 +44,8 @@ def add_common_args(parser):
     parser.add_argument("--precision", type=str, default="bf16", choices=["bf16", "f32"])
     parser.add_argument("--n_devices", type=int, default=None)
     parser.add_argument("--base_features", type=int, default=64)
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="Enable jax debug_nans (fail fast on NaN)")
 
 
 def parse_args(argv=None):

@@ -6,7 +6,7 @@ preserved (data_root/category/image_size; model unet|anomaly_unet, bilinear; epo
 batch_size/learning_rate/weight_decay/optimizer/scheduler; recon_weight/seg_weight/
 use_ssim; num_workers/device/seed; save_dir/save_freq/resume; val_freq; debug/
 debug_samples) — plus TPU-first extras: --precision bf16|f32, --n_devices,
---spatial_sharding.
+--base_features, --profile_dir, --debug_nans.
 
 Differences from the reference, by design (SURVEY.md §2.6): --use_ssim actually
 selects the SSIM reconstruction loss; anomaly scores are per-image scalars.
@@ -112,6 +112,10 @@ def parse_args(argv=None):
                         help="Devices on the data-parallel mesh axis (default: all)")
     parser.add_argument("--base_features", type=int, default=64,
                         help="Width of the first UNet stage (reference: 64)")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="Capture a jax.profiler trace of epoch 1 into this dir")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="Enable jax debug_nans (fail fast on NaN)")
 
     return parser.parse_args(argv)
 
@@ -133,6 +137,11 @@ class _Subset:
 
 def main(argv=None):
     args = parse_args(argv)
+
+    from tpu_unet.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     print(f"JAX devices: {jax.devices()}")
     print(f"Training category: {args.category}")
@@ -210,8 +219,14 @@ def main(argv=None):
         state = state.replace(opt_state=set_learning_rate(
             state.opt_state, scheduler.lr_for_epoch(epoch)))
 
+        profiling = args.profile_dir and epoch == start_epoch + 1
+        if profiling:
+            jax.profiler.start_trace(args.profile_dir)
         state, train_metrics = train_anomaly_epoch(state, train_step, train_loader,
                                                    base_key, epoch)
+        if profiling:
+            jax.profiler.stop_trace()
+            print(f"Profiler trace saved to {args.profile_dir}")
         train_losses.append(train_metrics["total_loss"])
 
         if epoch % args.val_freq == 0 or epoch == args.epochs - 1:
