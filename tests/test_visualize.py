@@ -1,0 +1,76 @@
+"""Visualization CLI smoke tests (headless rendering on tiny checkpoints)."""
+
+import os
+
+import jax
+import pytest
+
+from tests.test_data import make_gear, make_mvtec
+from tpu_unet.models import AnomalyUNet, SegmentationUNet
+from tpu_unet.train import create_train_state, make_optimizer, save_checkpoint
+
+
+def make_ckpt(tmp_path, model, hw):
+    tx = make_optimizer("adam", 1e-3, 0.0)
+    state = create_train_state(model, jax.random.key(0), (1, *hw, 3), tx)
+    exp = os.path.join(tmp_path, "outputs", "bottle_anomaly_unet_20260101_000000")
+    path = os.path.join(exp, "checkpoints", "best_model")
+    save_checkpoint(state, 0, 1.0, path)
+    return exp, path
+
+
+def test_visualize_mvtec(tmp_path):
+    from tpu_unet.cli.visualize_mvtec import discover_checkpoint, main
+
+    root = make_mvtec(os.path.join(tmp_path, "data"), size=32)
+    exp, ckpt = make_ckpt(tmp_path, AnomalyUNet(base_features=4), (32, 32))
+
+    # Checkpoint auto-discovery walks the outputs dir.
+    assert discover_checkpoint(os.path.join(tmp_path, "outputs"), "bottle") == ckpt
+
+    out = main([
+        "--data_root", root, "--category", "bottle", "--image_size", "32",
+        "--outputs_dir", os.path.join(tmp_path, "outputs"),
+        "--output_dir", os.path.join(tmp_path, "viz"),
+        "--batch_size", "4", "--num_workers", "2", "--max_samples", "3",
+        "--base_features", "4", "--precision", "f32", "--n_devices", "2",
+    ])
+    assert out is not None
+    pngs = [f for f in os.listdir(out) if f.endswith(".png")]
+    assert pngs, "expected rendered panels"
+
+
+def test_visualize_seg_gear(tmp_path):
+    from tpu_unet.cli.visualize_seg import main
+
+    root = make_gear(os.path.join(tmp_path, "data"), n_per_split=3, size=32)
+    tx = make_optimizer("adam", 1e-3, 0.0)
+    state = create_train_state(SegmentationUNet(n_classes=4, base_features=4),
+                               jax.random.key(0), (1, 32, 32, 3), tx)
+    ckpt = os.path.join(tmp_path, "exp", "checkpoints", "best_model")
+    save_checkpoint(state, 0, 1.0, ckpt)
+
+    out = main([
+        "--dataset", "gear", "--data_root", root, "--image_size", "32",
+        "--checkpoint", ckpt, "--batch_size", "4", "--num_workers", "2",
+        "--max_samples", "2", "--base_features", "4", "--precision", "f32",
+        "--n_devices", "2",
+    ])
+    assert out is not None
+    files = os.listdir(out)
+    assert any(f.startswith("gear_") and f.endswith("_viz.png") for f in files)
+    assert "gear_class_distribution.png" in files
+
+
+def test_demo_cli(tmp_path, monkeypatch):
+    from tpu_unet.cli.demo import main
+
+    monkeypatch.chdir(tmp_path)
+    assert main(["--image_size", "32", "--output", "demo.png"]) is True
+    assert os.path.exists("demo.png")
+
+
+def test_dryrun_multichip(devices):
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)  # asserts internally on finite loss + replication

@@ -53,8 +53,13 @@ def load_checkpoint(state: TrainState, path: str,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
     }
+    # Restore with the TARGET state's shardings, not the topology recorded in the
+    # checkpoint — a run trained on N chips must restore onto any mesh (e.g.
+    # single-chip eval of a multi-chip training checkpoint).
+    restore_args = ocp.checkpoint_utils.construct_restore_args(template)
     with _checkpointer() as ckptr:
-        restored = ckptr.restore(path, item=template)
+        restored = ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(item=template, restore_args=restore_args))
     state = state.replace(
         params=restored["params"],
         batch_stats=restored["batch_stats"],

@@ -13,6 +13,7 @@ def setup_logging(log_dir: str, experiment_name: str, log_level=logging.INFO) ->
     logger = logging.getLogger(experiment_name)
     logger.setLevel(log_level)
     logger.handlers.clear()
+    logger.propagate = False  # avoid double prints via root handlers (e.g. axon's)
 
     file_formatter = logging.Formatter(
         "%(asctime)s - %(name)s - %(levelname)s - %(message)s", datefmt="%Y-%m-%d %H:%M:%S")
