@@ -93,3 +93,19 @@ def test_resume_continues_epoch_count(mvtec_root, tmp_path):
         results = json.load(f)
     # Resumed at epoch 1 => exactly one new training epoch recorded.
     assert len(results["train_losses"]) == 1
+
+
+def test_sweep_cli(mvtec_root, tmp_path):
+    from tpu_unet.cli.sweep_mvtec import main as sweep_main
+
+    summary = sweep_main([
+        "--data_root", mvtec_root, "--image_size", "32", "--epochs", "1",
+        "--batch_size", "4", "--num_workers", "2",
+        "--save_dir", os.path.join(tmp_path, "outputs"),
+        "--output_dir", os.path.join(tmp_path, "sweep"),
+        "--base_features", "4", "--precision", "f32", "--n_devices", "2",
+    ])
+    assert summary is not None
+    assert "bottle" in summary["categories"]
+    assert summary["mean_image_auroc"] is not None
+    assert os.path.exists(os.path.join(tmp_path, "sweep", "sweep_summary.json"))

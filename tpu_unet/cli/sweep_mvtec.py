@@ -39,6 +39,7 @@ def parse_args(argv=None):
     parser.add_argument("--output_dir", type=str, default="../sweep_results")
     parser.add_argument("--precision", type=str, default="bf16", choices=["bf16", "f32"])
     parser.add_argument("--base_features", type=int, default=64)
+    parser.add_argument("--n_devices", type=int, default=None)
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--debug_samples", type=int, default=20)
     return parser.parse_args(argv)
@@ -70,6 +71,8 @@ def main(argv=None):
             "--save_dir", args.save_dir, "--precision", args.precision,
             "--base_features", str(args.base_features),
         ]
+        if args.n_devices:
+            train_argv += ["--n_devices", str(args.n_devices)]
         if args.use_ssim:
             train_argv.append("--use_ssim")
         if args.debug:
@@ -90,6 +93,8 @@ def main(argv=None):
             "--precision", args.precision,
             "--base_features", str(args.base_features),
         ]
+        if args.n_devices:
+            test_argv += ["--n_devices", str(args.n_devices)]
         if args.debug:
             test_argv += ["--debug", "--debug_samples", str(args.debug_samples)]
         evaluation = test_main(test_argv)

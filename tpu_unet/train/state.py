@@ -11,7 +11,6 @@ from typing import Any
 
 import jax
 import optax
-from flax import struct
 from flax.training import train_state
 
 
