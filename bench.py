@@ -53,7 +53,7 @@ def main():
                                (1, IMAGE_SIZE, IMAGE_SIZE, 3), tx)
     state = replicate(mesh, state)
 
-    step = make_anomaly_train_step(aug_cfg=AugmentConfig(), donate_state=True)
+    step = make_anomaly_train_step(aug_cfg=AugmentConfig(), donate_state=True)  # default: per_batch_shear rotation
 
     rng = np.random.default_rng(0)
     batch = BATCH * n_chips
@@ -104,12 +104,30 @@ def main():
         if ref_ips:
             vs_baseline = per_chip / ref_ips
 
+    # Also measure the strict reference-semantics augmentation (per-sample rotation).
+    state2 = create_train_state(model, jax.random.key(1),
+                                (1, IMAGE_SIZE, IMAGE_SIZE, 3), tx)
+    state2 = replicate(mesh, state2)
+    step_ps = make_anomaly_train_step(
+        aug_cfg=AugmentConfig(rotation_mode="per_sample"), donate_state=True)
+    for i in range(WARMUP):
+        state2, losses2 = step_ps(state2, images, masks, jax.random.key(i))
+    float(losses2["total_loss"])
+    t0 = time.perf_counter()
+    acc2 = []
+    for i in range(STEPS):
+        state2, losses2 = step_ps(state2, images, masks, jax.random.key(300 + i))
+        acc2.append(losses2["total_loss"])
+    assert all(np.isfinite(float(v)) for v in acc2)
+    per_sample_per_chip = batch * STEPS / (time.perf_counter() - t0) / n_chips
+
     print(json.dumps({
         "metric": "mvtec_bottle_anomaly_unet_train_images_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline is not None else None,
         "infer_images_per_sec_per_chip": round(infer_per_chip, 2),
+        "train_per_sample_rotation_images_per_sec_per_chip": round(per_sample_per_chip, 2),
         "batch": BATCH,
         "image_size": IMAGE_SIZE,
     }))

@@ -122,7 +122,10 @@ def run_seg_training(args, workload: Workload):
     class_weights = parse_class_weights(args.class_weights, num_classes)
     loss_cfg = SegLossConfig(ce_weight=args.ce_weight, dice_weight=args.dice_weight,
                              focal_weight=args.focal_weight, class_weights=class_weights)
-    train_step = make_seg_train_step(num_classes, loss_cfg, workload.augment)
+    augment = dataclasses.replace(
+        workload.augment,
+        rotation_mode=getattr(args, "rotation_mode", "per_batch_shear"))
+    train_step = make_seg_train_step(num_classes, loss_cfg, augment)
     eval_step = make_seg_eval_step(num_classes, loss_cfg)
 
     start_epoch = 0

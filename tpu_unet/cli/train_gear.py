@@ -46,6 +46,10 @@ def add_common_args(parser):
     parser.add_argument("--base_features", type=int, default=64)
     parser.add_argument("--debug_nans", action="store_true",
                         help="Enable jax debug_nans (fail fast on NaN)")
+    parser.add_argument("--rotation_mode", type=str, default="per_batch_shear",
+                        choices=["per_sample", "per_batch_shear"],
+                        help="Rotation augmentation: per-batch MXU shear matmuls "
+                             "(default, fast) or per-sample gathers (reference semantics)")
 
 
 def parse_args(argv=None):

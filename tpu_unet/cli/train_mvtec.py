@@ -116,6 +116,10 @@ def parse_args(argv=None):
                         help="Capture a jax.profiler trace of epoch 1 into this dir")
     parser.add_argument("--debug_nans", action="store_true",
                         help="Enable jax debug_nans (fail fast on NaN)")
+    parser.add_argument("--rotation_mode", type=str, default="per_batch_shear",
+                        choices=["per_sample", "per_batch_shear"],
+                        help="Rotation augmentation: per-batch MXU shear matmuls "
+                             "(default, fast) or per-sample gathers (reference semantics)")
 
     return parser.parse_args(argv)
 
@@ -199,7 +203,8 @@ def main(argv=None):
         seg_weight=args.seg_weight,
         recon_loss_type="ssim" if args.use_ssim else "mse",
     )
-    train_step = make_anomaly_train_step(loss_cfg, AugmentConfig())
+    train_step = make_anomaly_train_step(
+        loss_cfg, AugmentConfig(rotation_mode=args.rotation_mode))
     eval_step = make_anomaly_eval_step(loss_cfg, dual_decoder=(args.model == "anomaly_unet"))
     scheduler = LRScheduler(args.scheduler, args.learning_rate, args.epochs)
 

@@ -105,25 +105,49 @@ def paired_geometric_augment(
     *,
     degrees: float = 10.0,
     p_flip: float = 0.5,
+    rotation_mode: str = "per_sample",
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Random horizontal flip + random rotation, identical geometry for image & mask.
 
     Image samples bilinearly; mask nearest (labels must stay integral).
+
+    rotation_mode:
+      'per_sample'      — independent angle per image via the 4-corner gather
+                          (reference torchvision semantics; ~20 ms device time at
+                          b16 @256 — TPU gathers are slow).
+      'per_batch_shear' — ONE angle shared by the batch, applied as three banded
+                          shear MATMULS (ops/rotate_shear.py) — MXU work, ~free.
+                          Marginal angle distribution across steps is unchanged.
     """
     n = images.shape[0]
     k_flip, k_rot = jax.random.split(key)
     flip = jax.random.uniform(k_flip, (n,)) < p_flip
-    flip_img = jnp.where(flip[:, None, None, None], images[:, :, ::-1, :], images)
-    angles = jax.random.uniform(k_rot, (n,), minval=-degrees, maxval=degrees)
-    out_img = rotate_batch(flip_img, angles, order=1) if degrees > 0 else flip_img
+    out_img = jnp.where(flip[:, None, None, None], images[:, :, ::-1, :], images)
 
     out_mask = None
     if masks is not None:
         mdtype = masks.dtype
         m = masks.astype(jnp.float32)
         m = jnp.where(flip[:, None, None, None], m[:, :, ::-1, :], m)
-        if degrees > 0:
-            m = rotate_batch(m, angles, order=0)
+    else:
+        m = None
+
+    if degrees > 0:
+        if rotation_mode == "per_batch_shear":
+            from tpu_unet.ops.rotate_shear import rotate_batch_shear
+            angle = jax.random.uniform(k_rot, (), minval=-degrees, maxval=degrees)
+            out_img = rotate_batch_shear(out_img, angle, degrees, order=1)
+            if m is not None:
+                m = rotate_batch_shear(m, angle, degrees, order=0)
+        elif rotation_mode == "per_sample":
+            angles = jax.random.uniform(k_rot, (n,), minval=-degrees, maxval=degrees)
+            out_img = rotate_batch(out_img, angles, order=1)
+            if m is not None:
+                m = rotate_batch(m, angles, order=0)
+        else:
+            raise ValueError(f"Unknown rotation_mode: {rotation_mode!r}")
+
+    if m is not None:
         out_mask = m.astype(mdtype)
     return out_img, out_mask
 
@@ -200,11 +224,13 @@ def color_jitter(images: jnp.ndarray, key: jax.Array, *,
 def train_transform(images_u8: jnp.ndarray, masks: Optional[jnp.ndarray],
                     key: jax.Array, *, degrees: float = 10.0, p_flip: float = 0.5,
                     brightness: float = 0.1, contrast: float = 0.1,
-                    saturation: float = 0.1, hue: float = 0.05):
+                    saturation: float = 0.1, hue: float = 0.05,
+                    rotation_mode: str = "per_sample"):
     """uint8 NHWC -> augmented, normalized float32 (+ paired mask)."""
     k_geo, k_col = jax.random.split(key)
     img = to_float(images_u8)
-    img, masks = paired_geometric_augment(img, masks, k_geo, degrees=degrees, p_flip=p_flip)
+    img, masks = paired_geometric_augment(img, masks, k_geo, degrees=degrees,
+                                          p_flip=p_flip, rotation_mode=rotation_mode)
     img = color_jitter(img, k_col, brightness=brightness, contrast=contrast,
                        saturation=saturation, hue=hue)
     return normalize(img), masks
