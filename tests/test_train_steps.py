@@ -172,3 +172,24 @@ class TestShardedExecution:
         p1 = jax.tree_util.tree_leaves(state1.params)[0]
         p8 = jax.tree_util.tree_leaves(state8.params)[0]
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-5)
+
+
+class TestPlainUNetTraining:
+    def test_plain_unet_trains_with_focal_only(self):
+        """--model unet path: the reference's own trainer crashes here
+        (tuple-unpacks a tensor); ours trains it as a focal-loss segmenter."""
+        model = UNet(n_classes=1, base_features=4)
+        tx = make_optimizer("adam", 1e-3, 1e-4)
+        state = create_train_state(model, jax.random.key(0), (1, 32, 32, 3), tx)
+        step = make_anomaly_train_step(aug_cfg=FAST_AUG, donate_state=False,
+                                       dual_decoder=False)
+        img, msk = anomaly_batch()
+        losses = []
+        for i in range(6):
+            state, ld = step(state, img, msk, jax.random.key(i))
+            losses.append(ld)
+        vals = [float(d["total_loss"]) for d in losses]
+        assert all(np.isfinite(v) for v in vals)
+        assert min(vals[1:]) < vals[0]
+        # Reconstruction term is exactly zero (input as its own reconstruction).
+        assert float(losses[-1]["recon_loss"]) == 0.0

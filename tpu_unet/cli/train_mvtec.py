@@ -203,9 +203,10 @@ def main(argv=None):
         seg_weight=args.seg_weight,
         recon_loss_type="ssim" if args.use_ssim else "mse",
     )
+    dual = args.model == "anomaly_unet"
     train_step = make_anomaly_train_step(
-        loss_cfg, AugmentConfig(rotation_mode=args.rotation_mode))
-    eval_step = make_anomaly_eval_step(loss_cfg, dual_decoder=(args.model == "anomaly_unet"))
+        loss_cfg, AugmentConfig(rotation_mode=args.rotation_mode), dual_decoder=dual)
+    eval_step = make_anomaly_eval_step(loss_cfg, dual_decoder=dual)
     scheduler = LRScheduler(args.scheduler, args.learning_rate, args.epochs)
 
     start_epoch = 0

@@ -82,20 +82,33 @@ class SegLossConfig:
 
 def make_anomaly_train_step(loss_cfg: AnomalyLossConfig = AnomalyLossConfig(),
                             aug_cfg: AugmentConfig = AugmentConfig(),
-                            donate_state: bool = True):
+                            donate_state: bool = True,
+                            dual_decoder: bool = True):
     """Returns jitted ``step(state, images_u8, masks, key) -> (state, loss_dict)``.
 
     images_u8: (N,H,W,3) uint8; masks: (N,H,W,1) float32 in [0,1].
+
+    dual_decoder=False trains a plain UNet as a focal-loss segmenter
+    (sigmoid(logits) as the anomaly map; the input stands in as reconstruction so
+    the recon term is zero). The reference's --model unet path crashes its own
+    train_epoch (it tuple-unpacks a single tensor, /root/reference/src/
+    train_utils.py:122 with src/model.py:97-108); this implements the evident
+    intent, mirroring the reference's own eval-time fallback (src/test.py:88-93).
     """
 
     def step(state: TrainState, images_u8, masks, key):
         img, msk = train_transform(images_u8, masks, key, **aug_cfg.kwargs())
 
         def loss_fn(params):
-            (recon, amap), mut = state.apply_fn(
+            out, mut = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 img, train=True, mutable=["batch_stats"],
             )
+            if dual_decoder:
+                recon, amap = out
+            else:
+                amap = jax.nn.sigmoid(out)
+                recon = img
             losses = combined_anomaly_loss(recon, amap, img, msk, **loss_cfg.kwargs())
             return losses["total_loss"], (losses, mut["batch_stats"])
 
