@@ -1,0 +1,60 @@
+"""Mesh/sharding utilities and cross-host helper tests (single-process paths)."""
+
+import jax
+import numpy as np
+import pytest
+
+from tpu_unet.parallel import (
+    all_gather_host_values,
+    batch_sharding,
+    broadcast_from_host0,
+    make_mesh,
+    psum_scalar,
+    replicate,
+    replicated,
+    shard_batch,
+)
+
+
+class TestMesh:
+    def test_default_mesh_uses_all_devices(self, devices):
+        mesh = make_mesh()
+        assert int(np.prod(mesh.devices.shape)) == 8
+        assert mesh.axis_names == ("data", "space")
+
+    def test_2d_mesh(self, devices):
+        mesh = make_mesh(n_data=4, n_space=2)
+        assert mesh.devices.shape == (4, 2)
+
+    def test_too_many_devices_raises(self, devices):
+        with pytest.raises(ValueError):
+            make_mesh(n_data=16, n_space=1)
+
+    def test_shard_and_replicate(self, devices):
+        mesh = make_mesh(n_data=8)
+        batch = {"x": np.zeros((16, 4, 4, 3), np.float32)}
+        sharded = shard_batch(mesh, batch)
+        assert not sharded["x"].sharding.is_fully_replicated
+        params = replicate(mesh, {"w": np.ones((3, 3), np.float32)})
+        assert params["w"].sharding.is_fully_replicated
+
+    def test_spatial_sharding_spec(self, devices):
+        mesh = make_mesh(n_data=4, n_space=2)
+        s = batch_sharding(mesh, spatial=True)
+        assert s.spec == jax.sharding.PartitionSpec("data", "space")
+        r = replicated(mesh)
+        assert r.spec == jax.sharding.PartitionSpec()
+
+
+class TestCollectives:
+    def test_all_gather_single_process_passthrough(self):
+        x = np.arange(10.0)
+        np.testing.assert_array_equal(all_gather_host_values(x), x)
+
+    def test_broadcast_single_process_passthrough(self):
+        tree = {"threshold": 0.5}
+        assert broadcast_from_host0(tree) == tree
+
+    def test_psum_scalar(self, devices):
+        mesh = make_mesh(n_data=8)
+        assert abs(psum_scalar(np.asarray([1.0, 2.0, 3.0]), mesh) - 6.0) < 1e-6

@@ -19,3 +19,11 @@ __all__ = [
     "replicated",
     "shard_batch",
 ]
+
+from tpu_unet.parallel.collectives import (  # noqa: E402
+    all_gather_host_values,
+    broadcast_from_host0,
+    psum_scalar,
+)
+
+__all__ += ["all_gather_host_values", "broadcast_from_host0", "psum_scalar"]
