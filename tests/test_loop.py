@@ -1,0 +1,83 @@
+"""Epoch-driver unit tests with stub step functions (no model compiles)."""
+
+import numpy as np
+
+from tpu_unet.metrics.binary import calculate_metrics
+from tpu_unet.train.loop import validate_anomaly_epoch
+
+
+class _StubLoader:
+    """Two batches: one all-normal, one half-anomalous with hot maps."""
+
+    def __init__(self):
+        rng = np.random.default_rng(0)
+        self.batches = []
+        for b in range(2):
+            n = 4
+            labels = np.asarray([0, 0, 0, 0] if b == 0 else [0, 0, 1, 1])
+            masks = np.zeros((n, 8, 8, 1), np.float32)
+            if b == 1:
+                masks[2, 2:5, 2:5, 0] = 1.0
+                masks[3, 1:4, 1:4, 0] = 1.0
+            self.batches.append({
+                "image": rng.integers(0, 256, (n, 8, 8, 3), dtype=np.uint8),
+                "mask": masks,
+                "label": labels,
+            })
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+def _stub_eval(state, images, masks):
+    """Anomalous images get high scores; maps equal the GT mask scaled to 0.9."""
+    masks = np.asarray(masks)
+    n = masks.shape[0]
+    has_anomaly = masks.reshape(n, -1).max(axis=1) > 0
+    score = np.where(has_anomaly, 5.0, 0.1) + np.arange(n) * 1e-3
+    return {
+        "losses": {"total_loss": np.float32(1.0), "recon_loss": np.float32(0.6),
+                   "seg_loss": np.float32(0.4)},
+        "score": score.astype(np.float32),
+        "error_map": masks[..., 0] * 0.5,
+        "anomaly_map": masks[..., 0] * 0.9,
+        "reconstruction": np.zeros_like(masks.repeat(3, axis=-1)),
+        "image": np.zeros_like(masks.repeat(3, axis=-1)),
+    }
+
+
+def test_validate_anomaly_epoch_semantics():
+    out = validate_anomaly_epoch(None, _stub_eval, _StubLoader())
+
+    # Weighted loss means.
+    assert abs(out["total_loss"] - 1.0) < 1e-6
+    assert abs(out["recon_loss"] - 0.6) < 1e-6
+
+    # Image metrics use the reference's 95th-percentile rule: with 8 scores the
+    # threshold lands above all but the top score(s).
+    labels = out["predictions"]["labels"]
+    scores = out["predictions"]["scores"]
+    thr = np.percentile(scores, 95)
+    expect = calculate_metrics(labels, (scores > thr).astype(int), scores)
+    assert out["image_metrics"] == expect
+    assert out["image_metrics"]["auroc"] == 1.0  # scores perfectly separate
+
+    # Pixel F1: predicted maps equal GT at 0.9 -> perfect at thresholds < 0.9.
+    assert abs(out["pixel_metrics"]["pixel_f1_@0.3"] - 1.0) < 1e-9
+    assert abs(out["pixel_metrics"]["pixel_f1_@0.5"] - 1.0) < 1e-9
+    assert abs(out["pixel_metrics"]["pixel_f1_@0.7"] - 1.0) < 1e-9
+
+
+def test_validate_all_normal_fallback():
+    class _NormalLoader(_StubLoader):
+        def __init__(self):
+            super().__init__()
+            for b in self.batches:
+                b["label"] = np.zeros_like(b["label"])
+                b["mask"][:] = 0.0
+
+    out = validate_anomaly_epoch(None, _stub_eval, _NormalLoader())
+    # Reference fallback when only one class is present (train_utils.py:217-228).
+    assert out["image_metrics"]["accuracy"] == 1.0
+    assert out["image_metrics"]["auroc"] == 0.0
+    assert out["pixel_metrics"] == {}
