@@ -237,3 +237,26 @@ class TestDataLoader:
         dl = DataLoader(_ToyDataset(4), batch_size=2,
                         transform=lambda b: {**b, "x": b["x"] + 1})
         assert list(dl)[0]["x"][0, 0, 0] == 1.0
+
+
+class TestSampleCache:
+    def test_cache_hits_are_identical(self, tmp_path):
+        root = make_mvtec(str(tmp_path))
+        ds = MVTecDataset(root, "bottle", "train", image_size=32)
+        a = ds.load(0)
+        b = ds.load(0)
+        np.testing.assert_array_equal(a["image"], b["image"])
+        assert len(ds._cache) >= 1
+
+    def test_cache_disabled(self, tmp_path):
+        root = make_mvtec(str(tmp_path))
+        ds = MVTecDataset(root, "bottle", "train", image_size=32, cache_samples=False)
+        ds.load(0)
+        assert ds._cache is None
+
+    def test_cache_budget(self):
+        from tpu_unet.data.cache import SampleCache
+        cache = SampleCache(max_bytes=100)
+        cache.put(0, {"x": np.zeros(10, np.float64)})   # 80 bytes
+        cache.put(1, {"x": np.zeros(10, np.float64)})   # would exceed budget
+        assert len(cache) == 1 and cache.get(1) is None

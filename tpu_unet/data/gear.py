@@ -23,6 +23,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 from PIL import Image, ImageDraw
 
+from tpu_unet.data.cache import SampleCache, cached_load
 from tpu_unet.data.transforms import load_image_rgb, resize_mask_array
 
 # Raster priority, lowest -> highest (scrape, pitting, spalling), original class ids.
@@ -103,7 +104,8 @@ class GearDataset:
     def __init__(self, root_dir: str, split: str = "train",
                  image_size: Tuple[int, int] = (512, 512),
                  enable_priority_logging: bool = False,
-                 cache_masks: bool = True):
+                 cache_masks: bool = True, cache_samples: bool = True):
+        self._cache = SampleCache() if cache_samples else None
         self.root_dir = root_dir
         self.split = split
         self.image_size = image_size
@@ -163,6 +165,9 @@ class GearDataset:
         return mask
 
     def load(self, idx: int) -> Dict:
+        return cached_load(self._cache, idx, lambda: self._load_uncached(idx))
+
+    def _load_uncached(self, idx: int) -> Dict:
         image = load_image_rgb(self.image_paths[idx], self.image_size)
         mask = self._mask_for(idx)
         return {

@@ -18,6 +18,7 @@ from typing import Dict, List, Tuple
 import numpy as np
 from PIL import Image
 
+from tpu_unet.data.cache import SampleCache, cached_load
 from tpu_unet.data.transforms import load_image_rgb, resize_mask_array
 
 CLASS_NAMES = ["background", "defect_type_1", "defect_type_2"]
@@ -61,7 +62,9 @@ class KolektorSDDDataset:
 
     def __init__(self, root_dir: str, split: str = "train",
                  image_size: Tuple[int, int] = (1024, 512),
-                 train_split: float = 0.7, val_split: float = 0.15):
+                 train_split: float = 0.7, val_split: float = 0.15,
+                 cache_samples: bool = True):
+        self._cache = SampleCache() if cache_samples else None
         self.root_dir = root_dir
         self.split = split
         self.image_size = image_size
@@ -78,6 +81,9 @@ class KolektorSDDDataset:
         return len(self.image_paths)
 
     def load(self, idx: int) -> Dict:
+        return cached_load(self._cache, idx, lambda: self._load_uncached(idx))
+
+    def _load_uncached(self, idx: int) -> Dict:
         image = load_image_rgb(self.image_paths[idx], self.image_size)
         with Image.open(self.mask_paths[idx]) as im:
             mask = np.asarray(im.convert("L"), dtype=np.uint8)

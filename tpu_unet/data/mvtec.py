@@ -16,6 +16,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from tpu_unet.data.cache import SampleCache, cached_load
 from tpu_unet.data.transforms import load_image_rgb, load_mask
 
 
@@ -31,13 +32,15 @@ class MVTecDataset:
     """Index of one MVTec category split; loads fixed-size uint8 samples."""
 
     def __init__(self, root_dir: str, category: str, split: str = "train",
-                 image_size: int = 256, is_train: bool = True):
+                 image_size: int = 256, is_train: bool = True,
+                 cache_samples: bool = True):
         self.root_dir = root_dir
         self.category = category
         self.split = split
         self.image_size = image_size
         self.is_train = is_train
         self.samples: List[MVTecSample] = []
+        self._cache = SampleCache() if cache_samples else None
         self._load_index()
 
     def _load_index(self):
@@ -72,6 +75,9 @@ class MVTecDataset:
         return len(self.samples)
 
     def load(self, idx: int) -> Dict:
+        return cached_load(self._cache, idx, lambda: self._load_uncached(idx))
+
+    def _load_uncached(self, idx: int) -> Dict:
         s = self.samples[idx]
         size = (self.image_size, self.image_size)
         image = load_image_rgb(s.image_path, size)
