@@ -77,6 +77,8 @@ def _to_device(mesh):
 def run_seg_training(args, workload: Workload):
     from tpu_unet.core.cache import enable_compilation_cache
     enable_compilation_cache()
+    if getattr(args, "device", "auto") not in ("auto", "tpu"):
+        jax.config.update("jax_platforms", args.device)  # e.g. --device cpu
     if getattr(args, "debug_nans", False):
         jax.config.update("jax_debug_nans", True)
 

@@ -144,6 +144,8 @@ def main(argv=None):
 
     from tpu_unet.core.cache import enable_compilation_cache
     enable_compilation_cache()
+    if args.device not in ("auto", "tpu"):
+        jax.config.update("jax_platforms", args.device)  # e.g. --device cpu
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
