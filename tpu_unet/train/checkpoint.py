@@ -15,9 +15,8 @@ states alike (Orbax handles multi-host arrays natively).
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional, Tuple
 
-import jax
 import orbax.checkpoint as ocp
 
 from tpu_unet.train.state import TrainState

@@ -20,7 +20,6 @@ weights recompiles once per config, never per step.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
