@@ -29,7 +29,7 @@ class _StubLoader:
         return iter(self.batches)
 
 
-def _stub_eval(state, images, masks):
+def _stub_eval(state, images, masks, valid=None):
     """Anomalous images get high scores; maps equal the GT mask scaled to 0.9."""
     masks = np.asarray(masks)
     n = masks.shape[0]
@@ -66,6 +66,61 @@ def test_validate_anomaly_epoch_semantics():
     assert abs(out["pixel_metrics"]["pixel_f1_@0.3"] - 1.0) < 1e-9
     assert abs(out["pixel_metrics"]["pixel_f1_@0.5"] - 1.0) < 1e-9
     assert abs(out["pixel_metrics"]["pixel_f1_@0.7"] - 1.0) < 1e-9
+
+
+def test_padded_anomaly_eval_loss_equals_exact():
+    """A zero-padded batch with a valid mask yields the exact-batch loss scalars
+    (VERDICT r1 weak #7: eval losses previously included padded rows)."""
+    import jax
+
+    from tpu_unet.models import AnomalyUNet
+    from tpu_unet.train import create_train_state, make_anomaly_eval_step, make_optimizer
+
+    model = AnomalyUNet(base_features=4)
+    state = create_train_state(model, jax.random.key(0), (1, 16, 16, 3),
+                               make_optimizer("adam", 1e-3, 0.0))
+    step = make_anomaly_eval_step()
+
+    rng = np.random.default_rng(1)
+    images = rng.integers(0, 256, (3, 16, 16, 3), dtype=np.uint8)
+    masks = (rng.uniform(size=(3, 16, 16, 1)) > 0.8).astype(np.float32)
+
+    exact = step(state, images, masks, np.ones(3, np.float32))
+    padded_img = np.concatenate([images, np.zeros((1, 16, 16, 3), np.uint8)])
+    padded_msk = np.concatenate([masks, np.zeros((1, 16, 16, 1), np.float32)])
+    padded = step(state, padded_img, padded_msk,
+                  np.asarray([1, 1, 1, 0], np.float32))
+
+    for name in ("total_loss", "recon_loss", "seg_loss"):
+        assert abs(float(exact["losses"][name]) - float(padded["losses"][name])) < 1e-5, name
+
+
+def test_padded_seg_eval_loss_equals_exact():
+    import jax
+
+    from tpu_unet.models import SegmentationUNet
+    from tpu_unet.train import create_train_state, make_seg_eval_step, make_optimizer
+    from tpu_unet.train.steps import SegLossConfig
+
+    model = SegmentationUNet(n_classes=3, base_features=4)
+    state = create_train_state(model, jax.random.key(0), (1, 16, 16, 3),
+                               make_optimizer("adam", 1e-3, 0.0))
+    cfg = SegLossConfig(ce_weight=1.0, dice_weight=1.0, focal_weight=0.5,
+                        class_weights=(1.0, 50.0, 50.0))
+    step = make_seg_eval_step(num_classes=3, loss_cfg=cfg)
+
+    rng = np.random.default_rng(2)
+    images = rng.integers(0, 256, (3, 16, 16, 3), dtype=np.uint8)
+    labels = rng.integers(0, 3, (3, 16, 16)).astype(np.int32)
+
+    exact, _, _ = step(state, images, labels, np.ones(3, np.float32))
+    padded_img = np.concatenate([images, np.zeros((1, 16, 16, 3), np.uint8)])
+    padded_lbl = np.concatenate([labels, np.zeros((1, 16, 16), np.int32)])
+    padded, _, _ = step(state, padded_img, padded_lbl,
+                        np.asarray([1, 1, 1, 0], np.float32))
+
+    for name in exact:
+        assert abs(float(exact[name]) - float(padded[name])) < 1e-5, name
 
 
 def test_validate_all_normal_fallback():

@@ -12,29 +12,33 @@ apply sigmoid) and return a dict of scalars.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import jax.numpy as jnp
 
-from tpu_unet.ops.ssim import ssim_loss
+from tpu_unet.losses.reduction import weighted_mean
+from tpu_unet.ops.ssim import ssim
+from tpu_unet.ops.ssim import ssim_loss  # noqa: F401  (re-export, public API)
 
 _EPS = 1e-12
 
 
 def binary_focal_loss(probs: jnp.ndarray, targets: jnp.ndarray,
-                      alpha: float = 0.25, gamma: float = 2.0) -> jnp.ndarray:
+                      alpha: float = 0.25, gamma: float = 2.0,
+                      sample_weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Focal loss on probabilities (post-sigmoid), matching torch BCE semantics."""
     p = jnp.clip(probs.astype(jnp.float32), _EPS, 1.0 - _EPS)
     t = targets.astype(jnp.float32)
     bce = -(t * jnp.log(p) + (1.0 - t) * jnp.log(1.0 - p))
     pt = jnp.exp(-bce)
-    return jnp.mean(alpha * (1.0 - pt) ** gamma * bce)
+    return weighted_mean(alpha * (1.0 - pt) ** gamma * bce, sample_weight)
 
 
-def mse_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+def mse_loss(pred: jnp.ndarray, target: jnp.ndarray,
+             sample_weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
-    return jnp.mean((pred - target) ** 2)
+    return weighted_mean((pred - target) ** 2, sample_weight)
 
 
 def combined_anomaly_loss(
@@ -48,19 +52,25 @@ def combined_anomaly_loss(
     focal_alpha: float = 0.25,
     focal_gamma: float = 2.0,
     recon_loss_type: str = "mse",
+    sample_weight: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Combined anomaly loss; all inputs NHWC (mask (N,H,W,1) binary).
 
     recon_loss_type: 'mse' (reference default) or 'ssim' (--use_ssim, properly wired).
+    sample_weight: optional (N,) weights — binary weights exclude padded rows so a
+    padded eval batch yields the exact loss of its valid rows.
     Returns {'total_loss', 'recon_loss', 'seg_loss'} like the reference's dict.
     """
     if recon_loss_type == "mse":
-        recon_loss = mse_loss(reconstruction, image)
+        recon_loss = mse_loss(reconstruction, image, sample_weight=sample_weight)
     elif recon_loss_type == "ssim":
-        recon_loss = ssim_loss(reconstruction.astype(jnp.float32), image.astype(jnp.float32))
+        per_image = 1.0 - ssim(reconstruction.astype(jnp.float32),
+                               image.astype(jnp.float32), size_average=False)
+        recon_loss = weighted_mean(per_image, sample_weight)
     else:
         raise ValueError(f"Unknown recon_loss_type: {recon_loss_type!r}")
 
-    seg_loss = binary_focal_loss(anomaly_map, mask, alpha=focal_alpha, gamma=focal_gamma)
+    seg_loss = binary_focal_loss(anomaly_map, mask, alpha=focal_alpha,
+                                 gamma=focal_gamma, sample_weight=sample_weight)
     total = recon_weight * recon_loss + seg_weight * seg_loss
     return {"total_loss": total, "recon_loss": recon_loss, "seg_loss": seg_loss}

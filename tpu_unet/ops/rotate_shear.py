@@ -17,8 +17,9 @@ Trade-off (documented; selected via AugmentConfig.rotation_mode): the shared ang
 correlates the rotation within a batch. The marginal per-image angle distribution
 across training steps is unchanged (uniform in [-degrees, degrees]), so the
 augmentation strength is practically equivalent to the reference's per-sample
-torchvision RandomRotation; 'per_sample' (gather-based, reference-exact semantics)
-remains the default.
+torchvision RandomRotation. **'per_batch_shear' is the framework default** (41%
+faster training); pass ``--rotation_mode per_sample`` for the reference-parity
+mode (gather-based, independent per-image angles). See README "Deviations".
 
 Boundary semantics: zero fill, like the gather path; the shear composition smears
 the zero border slightly differently than direct sampling (interior agrees to

@@ -60,9 +60,12 @@ def validate_anomaly_epoch(state, eval_fn, loader) -> Dict:
     losses, counts = [], []
     all_labels, all_scores, all_masks_true, all_masks_pred = [], [], [], []
     for batch in loader:
-        out = eval_fn(state, batch["image"], batch["mask"])
         valid = np.asarray(batch["valid"]) if "valid" in batch else np.ones(
             batch["image"].shape[0], bool)
+        # Ship the valid mask to device so padded rows are excluded from the loss
+        # scalars (not just from the host-side metrics).
+        out = eval_fn(state, batch["image"], batch["mask"],
+                      valid.astype(np.float32))
         n = int(valid.sum())
         losses.append(out["losses"])
         counts.append(n)
@@ -151,7 +154,10 @@ def validate_seg_epoch(state, eval_fn, loader, num_classes: int):
     metrics = SegmentationMetrics(num_classes)
     per_batch, counts = [], []
     for batch in loader:
-        losses, preds, cm = eval_fn(state, batch["image"], batch["mask"])
+        valid_f = (np.asarray(batch["valid"]).astype(np.float32)
+                   if "valid" in batch
+                   else np.ones(batch["image"].shape[0], np.float32))
+        losses, preds, cm = eval_fn(state, batch["image"], batch["mask"], valid_f)
         if "valid" in batch and not bool(np.all(batch["valid"])):
             # Recompute the CM over valid rows only (padded rows are zeros-on-zeros
             # and would pollute the background class).

@@ -126,9 +126,13 @@ def make_anomaly_eval_step(loss_cfg: AnomalyLossConfig = AnomalyLossConfig(),
     dual_decoder=False reproduces the reference's plain-UNet fallback
     (/root/reference/src/test.py:88-93): sigmoid(logits) as the anomaly map and the
     input itself as a dummy reconstruction.
+
+    ``valid`` (optional (N,) bool/float): marks real rows of a padded final batch;
+    loss scalars are computed over valid rows only (metrics were always masked on
+    host; this keeps the loss scalars unpolluted too).
     """
 
-    def step(state: TrainState, images_u8, masks):
+    def step(state: TrainState, images_u8, masks, valid=None):
         img = eval_transform(images_u8)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         if dual_decoder:
@@ -137,7 +141,8 @@ def make_anomaly_eval_step(loss_cfg: AnomalyLossConfig = AnomalyLossConfig(),
             logits = state.apply_fn(variables, img, train=False)
             amap = jax.nn.sigmoid(logits)
             recon = img
-        losses = combined_anomaly_loss(recon, amap, img, masks, **loss_cfg.kwargs())
+        losses = combined_anomaly_loss(recon, amap, img, masks,
+                                       sample_weight=valid, **loss_cfg.kwargs())
         return {
             "losses": losses,
             "score": anomaly_score(recon, img),            # (N,) image-level
@@ -195,15 +200,19 @@ def make_seg_train_step(num_classes: int,
 
 def make_seg_eval_step(num_classes: int,
                        loss_cfg: SegLossConfig = SegLossConfig()):
-    """Returns jitted ``step(state, images_u8, labels) -> (loss_dict, preds, cm)``."""
+    """Returns jitted ``step(state, images_u8, labels[, valid]) -> (loss_dict, preds, cm)``.
 
-    def step(state: TrainState, images_u8, labels):
+    ``valid`` (optional (N,) bool/float) masks padded rows out of the loss scalars.
+    """
+
+    def step(state: TrainState, images_u8, labels, valid=None):
         img = eval_transform(images_u8)
         logits = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             img, train=False,
         )
-        losses = combined_segmentation_loss(logits, labels, **loss_cfg.kwargs())
+        losses = combined_segmentation_loss(logits, labels, sample_weight=valid,
+                                            **loss_cfg.kwargs())
         preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         cm = confusion_matrix_batch(preds, labels.astype(jnp.int32), num_classes,
                                     loss_cfg.ignore_index)
