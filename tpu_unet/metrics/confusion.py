@@ -42,7 +42,9 @@ def confusion_matrix_batch(preds: jnp.ndarray, targets: jnp.ndarray,
     t_oh = jax.nn.one_hot(t, num_classes, dtype=jnp.float32) * w[:, None]
     p_oh = jax.nn.one_hot(p, num_classes, dtype=jnp.float32)
     cm = jnp.einsum("nc,nd->cd", t_oh, p_oh, preferred_element_type=jnp.float32)
-    return cm.astype(jnp.int64)
+    # int32 on device (a single batch is ≤ ~8.4e6 px/cell, exact in f32 and int32);
+    # the epoch accumulator is host-side np.int64 to avoid overflow on long runs.
+    return cm.astype(jnp.int32)
 
 
 class SegmentationMetrics:
@@ -51,7 +53,8 @@ class SegmentationMetrics:
     API parity with the reference class of the same name
     (/root/reference/src/metrics.py:9-204): reset/update/compute_* and
     compute_all_metrics. ``update`` accepts logits (N,H,W,C) or hard predictions
-    (N,H,W) as JAX or numpy arrays; accumulation stays on device.
+    (N,H,W) as JAX or numpy arrays; the per-batch (C,C) contraction runs on device,
+    the tiny running accumulator is host-side np.int64 (overflow-safe).
     """
 
     def __init__(self, num_classes: int, ignore_index: Optional[int] = None):
@@ -60,7 +63,7 @@ class SegmentationMetrics:
         self.reset()
 
     def reset(self):
-        self.confusion_matrix = jnp.zeros((self.num_classes, self.num_classes), jnp.int64)
+        self.confusion_matrix = np.zeros((self.num_classes, self.num_classes), np.int64)
         self.total_samples = 0
 
     def update(self, pred, target):
@@ -68,9 +71,9 @@ class SegmentationMetrics:
         target = jnp.asarray(target)
         if pred.ndim == target.ndim + 1:  # logits (N,H,W,C)
             pred = jnp.argmax(pred, axis=-1)
-        self.confusion_matrix = self.confusion_matrix + confusion_matrix_batch(
-            pred.astype(jnp.int32), target.astype(jnp.int32),
-            self.num_classes, self.ignore_index)
+        self.confusion_matrix = self.confusion_matrix + np.asarray(
+            confusion_matrix_batch(pred.astype(jnp.int32), target.astype(jnp.int32),
+                                   self.num_classes, self.ignore_index), np.int64)
         self.total_samples += int(np.prod(target.shape))
 
     def _cm(self) -> np.ndarray:

@@ -139,7 +139,7 @@ def train_seg_epoch(state, step_fn, loader, base_key, epoch: int, num_classes: i
         if cm is not None:
             cms.append(cm)
     for cm in cms:
-        metrics.confusion_matrix = metrics.confusion_matrix + cm
+        metrics.confusion_matrix = metrics.confusion_matrix + np.asarray(cm, np.int64)
     counts_arr = np.asarray(counts, np.float64) if counts else np.asarray([1.0])
     out = {}
     if per_batch:
@@ -164,7 +164,7 @@ def validate_seg_epoch(state, eval_fn, loader, num_classes: int):
             valid = np.asarray(batch["valid"])
             metrics.update(np.asarray(preds)[valid], np.asarray(batch["mask"])[valid])
         else:
-            metrics.confusion_matrix = metrics.confusion_matrix + cm
+            metrics.confusion_matrix = metrics.confusion_matrix + np.asarray(cm, np.int64)
         per_batch.append(losses)
         counts.append(int(np.asarray(batch.get("valid", np.ones(1))).sum())
                       if "valid" in batch else batch["image"].shape[0])
