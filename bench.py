@@ -29,6 +29,21 @@ IMAGE_SIZE = 256
 WARMUP = 3
 STEPS = 20
 
+# TPU v5e (v5 litepod) public peak: 197 TFLOP/s bf16, 819 GB/s HBM BW per chip.
+PEAK_FLOPS_BF16 = float(os.environ.get("TPU_UNET_PEAK_FLOPS", 197e12))
+PEAK_HBM_BPS = float(os.environ.get("TPU_UNET_PEAK_HBM_BPS", 819e9))
+
+
+def _cost(compiled):
+    """(flops, bytes_accessed) from an XLA compiled executable, or (None, None)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None, float(ca.get("bytes accessed", 0.0)) or None
+    except Exception:
+        return None, None
+
 
 def main():
     from tpu_unet.core.cache import enable_compilation_cache
@@ -60,6 +75,18 @@ def main():
     images = shard_batch(mesh, rng.integers(0, 256, (batch, IMAGE_SIZE, IMAGE_SIZE, 3),
                                             dtype=np.uint8))
     masks = shard_batch(mesh, np.zeros((batch, IMAGE_SIZE, IMAGE_SIZE, 1), np.float32))
+
+    # FLOPs/bytes accounting (XLA cost analysis of the exact compiled programs).
+    # step_flops covers the FULL training step (augment+fwd+loss+bwd+Adam): the
+    # basis for HFU (hardware FLOP utilization). fwd_flops is the model forward
+    # alone; MFU uses the conventional 3x-forward model-FLOPs estimate.
+    step_nodonate = make_anomaly_train_step(aug_cfg=AugmentConfig(), donate_state=False)
+    step_flops, step_bytes = _cost(
+        step_nodonate.lower(state, images, masks, jax.random.key(1)).compile())
+    fwd = jax.jit(lambda p, s, x: state.apply_fn({"params": p, "batch_stats": s}, x,
+                                                 train=False))
+    x_f32 = shard_batch(mesh, np.zeros((batch, IMAGE_SIZE, IMAGE_SIZE, 3), np.float32))
+    fwd_flops, _ = _cost(fwd.lower(state.params, state.batch_stats, x_f32).compile())
 
     for i in range(WARMUP):
         state, losses = step(state, images, masks, jax.random.key(i))
@@ -121,6 +148,15 @@ def main():
     assert all(np.isfinite(float(v)) for v in acc2)
     per_sample_per_chip = batch * STEPS / (time.perf_counter() - t0) / n_chips
 
+    steps_per_sec = per_chip / BATCH
+    mfu = hfu = hbm_frac = None
+    if fwd_flops:
+        mfu = 3.0 * fwd_flops * steps_per_sec / (PEAK_FLOPS_BF16 * n_chips)
+    if step_flops:
+        hfu = step_flops * steps_per_sec / (PEAK_FLOPS_BF16 * n_chips)
+    if step_bytes:
+        hbm_frac = step_bytes * steps_per_sec / (PEAK_HBM_BPS * n_chips)
+
     print(json.dumps({
         "metric": "mvtec_bottle_anomaly_unet_train_images_per_sec_per_chip",
         "value": round(per_chip, 2),
@@ -130,6 +166,15 @@ def main():
         "train_per_sample_rotation_images_per_sec_per_chip": round(per_sample_per_chip, 2),
         "batch": BATCH,
         "image_size": IMAGE_SIZE,
+        # Roofline accounting (XLA cost analysis; peaks: v5e 197 TFLOP/s bf16,
+        # 819 GB/s HBM). MFU = 3*fwd model FLOPs; HFU = full-step FLOPs.
+        "mfu": round(mfu, 3) if mfu is not None else None,
+        "hfu": round(hfu, 3) if hfu is not None else None,
+        "hbm_bw_fraction": round(hbm_frac, 3) if hbm_frac is not None else None,
+        "step_flops": step_flops,
+        "fwd_flops": fwd_flops,
+        "step_hbm_bytes": step_bytes,
+        "peak_flops_bf16": PEAK_FLOPS_BF16,
     }))
 
 
