@@ -66,6 +66,119 @@ void resize_nearest_rows(const uint8_t* src, int sh, int sw, int c,
   }
 }
 
+// --- Area-weighted (triangle-filter) resampling, PIL BILINEAR semantics. ---
+//
+// PIL's BILINEAR resize widens the triangle filter by the downscale factor
+// (support = max(scale, 1)), i.e. proper area-weighted downsampling rather than
+// 4-tap point sampling — this is what makes it alias-free on the 3-4x downscales
+// of MVTec-sized inputs (/root/reference/src/dataset.py:130-154 resizes with it).
+// Separable: precomputed per-output-pixel coefficient tables, horizontal pass to
+// a float intermediate, then vertical pass with round-to-nearest.
+
+struct ResampleCoeffs {
+  std::vector<int> xmin;    // first source index per output pixel
+  std::vector<int> xcount;  // number of taps per output pixel
+  std::vector<float> k;     // ksize coefficients per output pixel (normalized)
+  int ksize = 0;
+};
+
+ResampleCoeffs triangle_coeffs(int in_size, int out_size) {
+  ResampleCoeffs rc;
+  const double scale = static_cast<double>(in_size) / out_size;
+  const double filterscale = scale < 1.0 ? 1.0 : scale;
+  const double support = 1.0 * filterscale;  // triangle filter radius
+  rc.ksize = static_cast<int>(std::ceil(support)) * 2 + 1;
+  rc.xmin.resize(out_size);
+  rc.xcount.resize(out_size);
+  rc.k.assign(static_cast<size_t>(out_size) * rc.ksize, 0.0f);
+  for (int xx = 0; xx < out_size; ++xx) {
+    const double center = (xx + 0.5) * scale;
+    int xmin = static_cast<int>(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = static_cast<int>(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    double total = 0.0;
+    float* kk = rc.k.data() + static_cast<size_t>(xx) * rc.ksize;
+    for (int x = xmin; x < xmax; ++x) {
+      double t = std::abs((x - center + 0.5) / filterscale);
+      double w = t < 1.0 ? 1.0 - t : 0.0;
+      kk[x - xmin] = static_cast<float>(w);
+      total += w;
+    }
+    if (total > 0.0) {
+      for (int x = 0; x < xmax - xmin; ++x) kk[x] /= static_cast<float>(total);
+    }
+    rc.xmin[xx] = xmin;
+    rc.xcount[xx] = xmax - xmin;
+  }
+  return rc;
+}
+
+template <typename Fn>
+void run_rows(int rows, int n_threads, Fn fn) {
+  int nt = std::max(1, std::min(n_threads, rows));
+  if (nt == 1) {
+    fn(0, rows);
+    return;
+  }
+  std::vector<std::thread> ws;
+  int chunk = (rows + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    int r0 = t * chunk, r1 = std::min(rows, r0 + chunk);
+    if (r0 >= r1) break;
+    ws.emplace_back([=] { fn(r0, r1); });
+  }
+  for (auto& w : ws) w.join();
+}
+
+// Full area-weighted resize of one image. Vertical pass FIRST (u8 rows combine
+// with contiguous, auto-vectorizable accesses into a float (dh, sw, c) buffer),
+// then the strided horizontal pass over only dh output rows — for the common
+// downscale this is ~3x less strided work than horizontal-first.
+void resize_area_u8(const uint8_t* src, int sh, int sw, int c,
+                    uint8_t* dst, int dh, int dw, int n_threads,
+                    std::vector<float>* scratch) {
+  const ResampleCoeffs cx = triangle_coeffs(sw, dw);
+  const ResampleCoeffs cy = triangle_coeffs(sh, dh);
+  std::vector<float> local;
+  std::vector<float>& mid = scratch ? *scratch : local;
+  const int rowlen = sw * c;
+  mid.resize(static_cast<size_t>(dh) * rowlen);
+
+  run_rows(dh, n_threads, [&](int r0, int r1) {
+    for (int oy = r0; oy < r1; ++oy) {
+      const float* kk = cy.k.data() + static_cast<size_t>(oy) * cy.ksize;
+      const int y0 = cy.xmin[oy], cnt = cy.xcount[oy];
+      float* drow = mid.data() + static_cast<size_t>(oy) * rowlen;
+      const uint8_t* s0 = src + static_cast<size_t>(y0) * rowlen;
+      for (int i = 0; i < rowlen; ++i) drow[i] = kk[0] * s0[i];
+      for (int t = 1; t < cnt; ++t) {
+        const float w = kk[t];
+        const uint8_t* srow = src + static_cast<size_t>(y0 + t) * rowlen;
+        for (int i = 0; i < rowlen; ++i) drow[i] += w * srow[i];
+      }
+    }
+  });
+
+  run_rows(dh, n_threads, [&](int r0, int r1) {
+    for (int oy = r0; oy < r1; ++oy) {
+      const float* srow = mid.data() + static_cast<size_t>(oy) * rowlen;
+      uint8_t* drow = dst + static_cast<size_t>(oy) * dw * c;
+      for (int ox = 0; ox < dw; ++ox) {
+        const float* kk = cx.k.data() + static_cast<size_t>(ox) * cx.ksize;
+        const int x0 = cx.xmin[ox], cnt = cx.xcount[ox];
+        for (int ch = 0; ch < c; ++ch) {
+          float acc = 0.0f;
+          const float* p = srow + static_cast<size_t>(x0) * c + ch;
+          for (int t = 0; t < cnt; ++t) acc += kk[t] * p[static_cast<size_t>(t) * c];
+          drow[static_cast<size_t>(ox) * c + ch] =
+              static_cast<uint8_t>(clampf(acc + 0.5f, 0.0f, 255.0f));
+        }
+      }
+    }
+  });
+}
+
 template <typename RowFn>
 void parallel_rows(int dh, int n_threads, RowFn fn) {
   n_threads = std::max(1, std::min(n_threads, dh));
@@ -88,10 +201,13 @@ void parallel_rows(int dh, int n_threads, RowFn fn) {
 
 extern "C" {
 
-// Resize uint8 HWC image. mode: 0 = nearest, 1 = bilinear.
+// Resize uint8 HWC image. mode: 0 = nearest, 1 = bilinear (4-tap),
+// 2 = area-weighted triangle filter (PIL BILINEAR semantics; alias-free downscale).
 void tu_resize_u8(const uint8_t* src, int sh, int sw, int c,
                   uint8_t* dst, int dh, int dw, int mode, int n_threads) {
-  if (mode == 1) {
+  if (mode == 2) {
+    resize_area_u8(src, sh, sw, c, dst, dh, dw, n_threads, nullptr);
+  } else if (mode == 1) {
     parallel_rows(dh, n_threads, [&](int r0, int r1) {
       resize_bilinear_rows(src, sh, sw, c, dst, dh, dw, r0, r1);
     });
@@ -148,6 +264,6 @@ void tu_fill_polygon(uint8_t* mask, int h, int w,
   }
 }
 
-int tu_version() { return 1; }
+int tu_version() { return 2; }
 
 }  // extern "C"

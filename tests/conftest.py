@@ -14,6 +14,10 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Hermetic: never read/write the user-level decoded-sample disk cache from tests
+# (datasets default to it via TPU_UNET_DATA_CACHE; tests opt in explicitly).
+os.environ["TPU_UNET_DATA_CACHE"] = ""
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -35,6 +35,38 @@ def test_resize_bilinear_matches_numpy_reference():
     np.testing.assert_allclose(out[..., 0].astype(np.float64), ref, atol=1.0)
 
 
+def test_resize_area_matches_pil_bilinear():
+    """'area' mode (the production default, transforms.py) must reproduce PIL's
+    widened-triangle BILINEAR resampling within 1 LSB, up- and downscale."""
+    from PIL import Image
+    rng = np.random.default_rng(3)
+    for (sh, sw), (dh, dw) in [((90, 90), (32, 32)), ((130, 50), (96, 48)),
+                               ((20, 30), (64, 64)), ((64, 64), (64, 32))]:
+        img = rng.integers(0, 256, (sh, sw, 3), dtype=np.uint8)
+        ours = native.resize_u8(img, (dh, dw), mode="area")
+        theirs = np.asarray(Image.fromarray(img).resize((dw, dh), Image.BILINEAR),
+                            np.uint8)
+        d = np.abs(ours.astype(np.int16) - theirs.astype(np.int16))
+        assert d.max() <= 1, (sh, sw, dh, dw, d.max())
+
+
+def test_load_image_rgb_native_default_matches_pil_within_tolerance(tmp_path):
+    """The production loader path (native area default) stays within 1 LSB of the
+    PIL path it replaced (TPU_UNET_NATIVE_RESIZE=0 parity guard)."""
+    from PIL import Image
+
+    from tpu_unet.data import transforms as T
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (90, 70, 3), dtype=np.uint8)
+    p = str(tmp_path / "x.png")
+    Image.fromarray(img).save(p)
+    got = T.load_image_rgb(p, (32, 32))
+    ref = np.asarray(Image.open(p).convert("RGB").resize((32, 32), Image.BILINEAR),
+                     np.uint8)
+    d = np.abs(got.astype(np.int16) - ref.astype(np.int16))
+    assert d.max() <= 1
+
+
 def test_resize_nearest_values_preserved():
     rng = np.random.default_rng(2)
     img = rng.integers(0, 4, (10, 10), dtype=np.uint8)

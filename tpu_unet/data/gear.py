@@ -23,6 +23,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 from PIL import Image, ImageDraw
 
+from tpu_unet.data import diskcache
 from tpu_unet.data.cache import SampleCache, cached_load
 from tpu_unet.data.transforms import load_image_rgb, resize_mask_array
 
@@ -104,7 +105,10 @@ class GearDataset:
     def __init__(self, root_dir: str, split: str = "train",
                  image_size: Tuple[int, int] = (512, 512),
                  enable_priority_logging: bool = False,
-                 cache_masks: bool = True, cache_samples: bool = True):
+                 cache_masks: bool = True, cache_samples: bool = True,
+                 disk_cache_dir: Optional[str] = "auto"):
+        if disk_cache_dir == "auto":
+            disk_cache_dir = diskcache.default_cache_root()
         self._cache = SampleCache() if cache_samples else None
         self.root_dir = root_dir
         self.split = split
@@ -149,6 +153,16 @@ class GearDataset:
         print(f"Classes: {self.class_names}")
         print(f"Number of classes (including background): {self.num_classes}")
 
+        # Priority-stat collection needs the live raster pass, so it bypasses the pack.
+        self._pack = None
+        if disk_cache_dir and not enable_priority_logging:
+            fp = diskcache.fingerprint(
+                f"gear|{split}|{image_size[0]}x{image_size[1]}",
+                self.image_paths + self.label_paths)
+            self._pack = diskcache.PackedStore.open_or_build(
+                disk_cache_dir, fp, len(self.image_paths), self._load_uncached,
+                log=print)
+
     def __len__(self) -> int:
         return len(self.image_paths)
 
@@ -165,6 +179,8 @@ class GearDataset:
         return mask
 
     def load(self, idx: int) -> Dict:
+        if self._pack is not None:
+            return self._pack.load(idx)
         return cached_load(self._cache, idx, lambda: self._load_uncached(idx))
 
     def _load_uncached(self, idx: int) -> Dict:

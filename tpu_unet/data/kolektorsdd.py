@@ -13,11 +13,12 @@ from __future__ import annotations
 
 import os
 import random
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 from PIL import Image
 
+from tpu_unet.data import diskcache
 from tpu_unet.data.cache import SampleCache, cached_load
 from tpu_unet.data.transforms import load_image_rgb, resize_mask_array
 
@@ -63,7 +64,10 @@ class KolektorSDDDataset:
     def __init__(self, root_dir: str, split: str = "train",
                  image_size: Tuple[int, int] = (1024, 512),
                  train_split: float = 0.7, val_split: float = 0.15,
-                 cache_samples: bool = True):
+                 cache_samples: bool = True,
+                 disk_cache_dir: Optional[str] = "auto"):
+        if disk_cache_dir == "auto":
+            disk_cache_dir = diskcache.default_cache_root()
         self._cache = SampleCache() if cache_samples else None
         self.root_dir = root_dir
         self.split = split
@@ -76,11 +80,21 @@ class KolektorSDDDataset:
         print(f"Found {len(self.image_paths)} samples in {split} split")
         print(f"Classes: {self.class_names}")
         print(f"Number of classes: {self.num_classes}")
+        self._pack = None
+        if disk_cache_dir:
+            fp = diskcache.fingerprint(
+                f"ksdd|{split}|{image_size[0]}x{image_size[1]}|{train_split}|{val_split}",
+                self.image_paths + self.mask_paths)
+            self._pack = diskcache.PackedStore.open_or_build(
+                disk_cache_dir, fp, len(self.image_paths), self._load_uncached,
+                log=print)
 
     def __len__(self) -> int:
         return len(self.image_paths)
 
     def load(self, idx: int) -> Dict:
+        if self._pack is not None:
+            return self._pack.load(idx)
         return cached_load(self._cache, idx, lambda: self._load_uncached(idx))
 
     def _load_uncached(self, idx: int) -> Dict:

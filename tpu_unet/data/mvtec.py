@@ -16,6 +16,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from tpu_unet.data import diskcache
 from tpu_unet.data.cache import SampleCache, cached_load
 from tpu_unet.data.transforms import load_image_rgb, load_mask
 
@@ -33,7 +34,10 @@ class MVTecDataset:
 
     def __init__(self, root_dir: str, category: str, split: str = "train",
                  image_size: int = 256, is_train: bool = True,
-                 cache_samples: bool = True):
+                 cache_samples: bool = True,
+                 disk_cache_dir: Optional[str] = "auto"):
+        if disk_cache_dir == "auto":
+            disk_cache_dir = diskcache.default_cache_root()
         self.root_dir = root_dir
         self.category = category
         self.split = split
@@ -42,6 +46,15 @@ class MVTecDataset:
         self.samples: List[MVTecSample] = []
         self._cache = SampleCache() if cache_samples else None
         self._load_index()
+        self._pack = None
+        if disk_cache_dir:
+            paths = [s.image_path for s in self.samples] + [
+                s.mask_path for s in self.samples if s.mask_path]
+            fp = diskcache.fingerprint(
+                f"mvtec|{category}|{split}|{image_size}|{is_train}", paths)
+            self._pack = diskcache.PackedStore.open_or_build(
+                disk_cache_dir, fp, len(self.samples), self._load_uncached,
+                log=print)
 
     def _load_index(self):
         category_dir = os.path.join(self.root_dir, self.category)
@@ -75,6 +88,8 @@ class MVTecDataset:
         return len(self.samples)
 
     def load(self, idx: int) -> Dict:
+        if self._pack is not None:
+            return self._pack.load(idx)
         return cached_load(self._cache, idx, lambda: self._load_uncached(idx))
 
     def _load_uncached(self, idx: int) -> Dict:

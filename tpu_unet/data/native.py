@@ -16,19 +16,27 @@ from typing import Optional
 
 import numpy as np
 
+_EXPECTED_VERSION = 2  # bump together with tu_version() in loader_core.cpp
+
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "loader_core.cpp")
-_LIB_PATH = os.path.join(_REPO_ROOT, "native", "libloader_core.so")
+# Versioned filename: a stale build from an older wrapper is simply ignored
+# (dlopen caches by path, so rebuilding in place can't refresh a live process).
+_LIB_PATH = os.path.join(_REPO_ROOT, "native",
+                         f"libloader_core.v{_EXPECTED_VERSION}.so")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
+_MODES = {"nearest": 0, "bilinear": 1, "area": 2}
+
 
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB_PATH, _SRC, "-lpthread"],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", _LIB_PATH, _SRC, "-lpthread"],
             check=True, capture_output=True, timeout=300)
         return True
     except (subprocess.CalledProcessError, FileNotFoundError, subprocess.TimeoutExpired):
@@ -69,9 +77,14 @@ def available() -> bool:
     return get_lib() is not None
 
 
-def resize_u8(src: np.ndarray, out_hw, mode: str = "bilinear",
+def resize_u8(src: np.ndarray, out_hw, mode: str = "area",
               n_threads: int = 0) -> np.ndarray:
-    """Resize (H,W,C) or (H,W) uint8 array natively; falls back to PIL."""
+    """Resize (H,W,C) or (H,W) uint8 array natively; falls back to PIL.
+
+    Modes: 'area' (PIL-BILINEAR-parity triangle filter — alias-free downscale,
+    classic bilinear on upscale; the production default), 'bilinear' (4-tap),
+    'nearest' (label maps).
+    """
     lib = get_lib()
     dh, dw = out_hw
     squeeze = src.ndim == 2
@@ -83,7 +96,7 @@ def resize_u8(src: np.ndarray, out_hw, mode: str = "bilinear",
         return out[..., 0] if squeeze else out
     if lib is None:
         from PIL import Image
-        resample = Image.BILINEAR if mode == "bilinear" else Image.NEAREST
+        resample = Image.NEAREST if mode == "nearest" else Image.BILINEAR
         if c == 1:
             im = Image.fromarray(src[..., 0])
             out = np.asarray(im.resize((dw, dh), resample), np.uint8)[..., None]
@@ -96,7 +109,7 @@ def resize_u8(src: np.ndarray, out_hw, mode: str = "bilinear",
     if n_threads <= 0:
         n_threads = min(8, os.cpu_count() or 1)
     lib.tu_resize_u8(src.ctypes.data, sh, sw, c, out.ctypes.data, dh, dw,
-                     1 if mode == "bilinear" else 0, n_threads)
+                     _MODES[mode], n_threads)
     return out[..., 0] if squeeze else out
 
 

@@ -14,14 +14,16 @@ from typing import Tuple
 import numpy as np
 from PIL import Image
 
-# Opt-in native resize (native/loader_core.cpp). Default off: PIL's BILINEAR uses
-# area-weighted support on downscale (higher quality / reference parity); the native
-# kernel is classic 4-tap bilinear but multi-threaded and GIL-free.
-_USE_NATIVE = os.environ.get("TPU_UNET_NATIVE_RESIZE", "0") == "1"
+# Native resize (native/loader_core.cpp), DEFAULT ON: 'area' mode implements the
+# same widened-triangle-filter resampling as PIL's BILINEAR (alias-free downscale;
+# validated within ±1 LSB of PIL across shapes, tests/test_native.py) at ~2.2x
+# PIL's speed on the 900²→256² MVTec downscale, GIL-free. Set
+# TPU_UNET_NATIVE_RESIZE=0 to force the PIL path.
+_USE_NATIVE = os.environ.get("TPU_UNET_NATIVE_RESIZE", "1") == "1"
 
 
 def load_image_rgb(path: str, size_hw: Tuple[int, int]) -> np.ndarray:
-    """Decode an image to RGB and bilinearly resize to (H, W); returns (H,W,3) uint8."""
+    """Decode an image to RGB and area-resize to (H, W); returns (H,W,3) uint8."""
     with Image.open(path) as im:
         im = im.convert("RGB")
         h, w = size_hw
@@ -30,7 +32,7 @@ def load_image_rgb(path: str, size_hw: Tuple[int, int]) -> np.ndarray:
         if _USE_NATIVE:
             from tpu_unet.data import native
             if native.available():
-                return native.resize_u8(np.asarray(im, np.uint8), (h, w), "bilinear")
+                return native.resize_u8(np.asarray(im, np.uint8), (h, w), "area")
         return np.asarray(im.resize((w, h), Image.BILINEAR), dtype=np.uint8)
 
 

@@ -74,6 +74,13 @@ def validate_anomaly_epoch(state, eval_fn, loader) -> Dict:
         all_masks_true.append(np.asarray(batch["mask"])[valid, ..., 0])
         all_masks_pred.append(np.asarray(out["anomaly_map"])[valid])
 
+    if not losses:  # empty val loader (e.g. a category with no test split yet)
+        return {
+            "total_loss": 0.0, "recon_loss": 0.0, "seg_loss": 0.0,
+            "image_metrics": {}, "pixel_metrics": {},
+            "predictions": {"labels": np.zeros(0, int), "scores": np.zeros(0),
+                            "masks_true": np.zeros((0,)), "masks_pred": np.zeros((0,))},
+        }
     counts_arr = np.asarray(counts, np.float64)
     loss_out = {}
     for name in ("total_loss", "recon_loss", "seg_loss"):
