@@ -7,6 +7,14 @@ bandwidth-bound op. This kernel performs it in one HBM read + one HBM write with
 the row-block resident in VMEM, emitting the compute dtype (bf16) directly so the
 f32 intermediate never touches HBM.
 
+**Status: validated but intentionally NOT on the production path.** Measured on
+v5e (r2, 2026-08-16, device-resident 16x256x256x3 batch, 20-op jitted chains):
+XLA's fusion of ``to_float + normalize`` costs 1.318 ms vs 1.315 ms for this
+kernel — XLA already emits the same single-pass fused multiply-add, so wiring the
+kernel in buys nothing. It is kept as the repo's tested Pallas exemplar (the
+Mosaic gotchas in CLAUDE.md were learned here) and as the template for any future
+op XLA does NOT fuse well.
+
 A jnp reference path (`normalize_u8_reference`) provides the numeric oracle and the
 fallback for non-TPU backends; `normalize_u8` dispatches between them.
 """
