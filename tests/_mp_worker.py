@@ -1,0 +1,123 @@
+"""Worker for the 2-process jax.distributed CPU tests (tests/test_multiprocess.py).
+
+Run as: python tests/_mp_worker.py <coordinator_port> <process_id> <num_processes>
+
+Each process gets 4 virtual CPU devices (XLA_FLAGS set by the parent) for a global
+8-device world. Exercises the REAL multi-process branches that single-process
+tests can only pass through: process_allgather, shard_map psum over a
+cross-process mesh, per-process DataLoader sharding + make_array_from_process_
+local_data, and the multi-process validate_seg_epoch gathering.
+"""
+
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # before any backend init (axon ignores env)
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    port, pid, nproc = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc, jax.process_count()
+    n_local = len(jax.local_devices())
+    n_global = len(jax.devices())
+    assert n_global == nproc * n_local, (n_global, n_local)
+
+    from tpu_unet.parallel import make_mesh, shard_batch
+    from tpu_unet.parallel.collectives import (all_gather_host_values, local_rows,
+                                               psum_scalar)
+
+    # 1. process_allgather with DISTINCT payloads, order must be process-major.
+    mine = np.arange(3, dtype=np.float32) + 100 * pid
+    gathered = all_gather_host_values(mine)
+    expect = np.concatenate([np.arange(3, dtype=np.float32) + 100 * p
+                             for p in range(nproc)])
+    np.testing.assert_array_equal(gathered, expect)
+
+    # 2. psum_scalar: each process contributes only its local shard's sum.
+    mesh = make_mesh()  # all 8 global devices on the data axis
+    vals = np.arange(n_global, dtype=np.float32)  # 0..7 -> sum 28
+    got = psum_scalar(vals, mesh)
+    assert abs(got - vals.sum()) < 1e-6, (got, vals.sum())
+
+    # 3. Per-process DataLoader sharding + global array formation.
+    class ArrayDataset:
+        def __init__(self, n):
+            self.x = np.arange(n, dtype=np.int32)
+
+        def __len__(self):
+            return len(self.x)
+
+        def load(self, i):
+            return {"v": np.full((2, 2), self.x[i], np.float32),
+                    "label": np.int32(self.x[i])}
+
+    ds = ArrayDataset(10)
+    from tpu_unet.data.loader import DataLoader
+    loader = DataLoader(ds, batch_size=8, shuffle=True, seed=7, pad_last=True,
+                        num_workers=2)
+    assert loader.process_count == nproc and loader.local_batch_size == 8 // nproc
+
+    total = 0.0
+    count = 0
+    seen_labels = []
+    for batch in loader:
+        assert batch["v"].shape[0] == loader.local_batch_size  # local block only
+        g = shard_batch(mesh, {"v": batch["v"], "valid": batch["valid"]})
+        assert g["v"].shape[0] == 8  # global batch
+        # masked global sum on device (replicated result)
+        s = jax.jit(lambda v, m: (v * m[:, None, None]).sum())(
+            g["v"], g["valid"].astype(np.float32))
+        total += float(s)
+        count += int(float(jax.jit(lambda m: m.sum())(g["valid"])))
+        seen_labels.append(local_rows(g["valid"]))
+    # Every sample exactly once: sum over dataset of 4*value.
+    assert count == len(ds), count
+    assert abs(total - 4.0 * ds.x.sum()) < 1e-5, total
+
+    # 4. Multi-process validate_seg_epoch end-to-end with a real jitted eval.
+    from tpu_unet.train.loop import validate_seg_epoch
+
+    class SegDataset:
+        def __len__(self):
+            return 6
+
+        def load(self, i):
+            img = np.full((4, 4, 3), i * 10, np.uint8)
+            lbl = np.full((4, 4), i % 3, np.int32)
+            return {"image": img, "mask": lbl}
+
+    def to_device(b):
+        return {k: shard_batch(mesh, v) if hasattr(v, "shape") else v
+                for k, v in b.items()}
+
+    seg_loader = DataLoader(SegDataset(), batch_size=8, pad_last=True,
+                            num_workers=1, transform=to_device)
+
+    def eval_fn(state, images, labels, valid=None):
+        # Perfect predictor: preds == labels; losses = masked mean of label.
+        import jax.numpy as jnp
+        preds = labels
+        w = valid.astype(jnp.float32) if valid is not None else jnp.ones(labels.shape[0])
+        loss = (labels.mean(axis=(1, 2)) * w).sum() / jnp.maximum(w.sum(), 1e-9)
+        cm = None  # force... cm path: compute real device CM
+        from tpu_unet.metrics.confusion import confusion_matrix_batch
+        cm = confusion_matrix_batch(preds, labels, 3, None)
+        return {"total_loss": jax.jit(lambda x: x)(loss)}, preds, cm
+
+    out, metrics = validate_seg_epoch(None, eval_fn, seg_loader, num_classes=3)
+    cm = metrics.confusion_matrix
+    # 6 samples: labels 0,1,2,0,1,2 -> diagonal (2+2+2)*16 px; perfect preds.
+    assert cm.sum() == 6 * 16, cm
+    np.testing.assert_array_equal(np.diag(cm), [32, 32, 32])
+    assert 0.0 < out["total_loss"] < 3.0
+
+    print(f"MP-WORKER-OK pid={pid}")
+
+
+if __name__ == "__main__":
+    main()

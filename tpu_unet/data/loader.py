@@ -9,6 +9,13 @@ fields (paths, anomaly types) stay host-side lists.
 Fixed-shape guarantee: every dataset resizes to a static target size, and the final
 partial batch is either dropped (training) or zero-padded to the full batch size with
 a ``valid`` mask (evaluation) — so XLA compiles each step exactly once.
+
+Multi-process (multi-host) data sharding (SURVEY §2.14): ``batch_size`` is the
+GLOBAL batch. Every process computes the identical seeded index order, but each
+assembles (decodes) only its own contiguous 1/process_count block of every global
+batch — no host loads a sample it doesn't own. ``parallel.shard_batch`` then forms
+the global jax.Array from the per-process block via
+``jax.make_array_from_process_local_data``. Single-process runs are unchanged.
 """
 
 from __future__ import annotations
@@ -19,22 +26,23 @@ from typing import Callable, Dict, Iterator, Optional
 import numpy as np
 
 
-def _collate(samples, pad_to: Optional[int] = None) -> Dict:
+def _collate(samples, valid: Optional[np.ndarray] = None) -> Dict:
+    """Stack sample dicts; ``valid`` (bool rows) marks zero-padded entries."""
     batch: Dict = {}
-    n = len(samples)
     for key in samples[0]:
         vals = [s[key] for s in samples]
         if isinstance(vals[0], str):
             batch[key] = list(vals)
         else:
-            arr = np.stack(vals)
-            if pad_to is not None and n < pad_to:
-                pad_width = [(0, pad_to - n)] + [(0, 0)] * (arr.ndim - 1)
-                arr = np.pad(arr, pad_width)
-            batch[key] = arr
-    if pad_to is not None:
-        batch["valid"] = np.arange(pad_to) < n
+            batch[key] = np.stack(vals)
+    if valid is not None:
+        batch["valid"] = valid
     return batch
+
+
+def _zero_like_sample(template: Dict) -> Dict:
+    return {k: ("" if isinstance(v, str) else np.zeros_like(v))
+            for k, v in template.items()}
 
 
 class DataLoader:
@@ -56,9 +64,26 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False, seed: int = 0,
                  drop_last: bool = False, pad_last: bool = False,
                  num_workers: int = 8, prefetch: int = 2,
-                 transform: Optional[Callable[[Dict], Dict]] = None):
+                 transform: Optional[Callable[[Dict], Dict]] = None,
+                 process_count: Optional[int] = None,
+                 process_index: Optional[int] = None):
         if drop_last and pad_last:
             raise ValueError("drop_last and pad_last are mutually exclusive")
+        if process_count is None:
+            # Auto-detect multi-host runs (jax.distributed must be initialized
+            # before the first loader is built, as in the CLIs).
+            try:
+                import jax
+                process_count = jax.process_count()
+                process_index = jax.process_index()
+            except Exception:
+                process_count, process_index = 1, 0
+        if batch_size % process_count != 0:
+            raise ValueError(f"global batch_size {batch_size} not divisible by "
+                             f"process_count {process_count}")
+        self.process_count = process_count
+        self.process_index = process_index or 0
+        self.local_batch_size = batch_size // process_count
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -77,6 +102,7 @@ class DataLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _index_batches(self):
+        """Global index batches; padded rows are -1 (identical on all processes)."""
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
@@ -85,18 +111,34 @@ class DataLoader:
         batches = []
         for start in range(0, n, self.batch_size):
             idxs = order[start:start + self.batch_size]
-            if len(idxs) < self.batch_size and self.drop_last:
-                continue
+            if len(idxs) < self.batch_size:
+                if self.drop_last:
+                    continue
+                if self.pad_last:
+                    idxs = np.concatenate(
+                        [idxs, np.full(self.batch_size - len(idxs), -1, idxs.dtype)])
+                elif self.process_count > 1:
+                    raise ValueError(
+                        "multi-process loading needs drop_last or pad_last to keep "
+                        "the global batch divisible across processes")
             batches.append(idxs)
         return batches
 
     def __iter__(self) -> Iterator[Dict]:
         batches = self._index_batches()
-        pad_to = self.batch_size if self.pad_last else None
+        lo = self.process_index * self.local_batch_size
 
         def assemble(idxs):
-            samples = [self.dataset.load(int(i)) for i in idxs]
-            return _collate(samples, pad_to=pad_to)
+            # This process decodes only its contiguous block of the global batch.
+            local = idxs[lo:lo + self.local_batch_size] if self.process_count > 1 else idxs
+            samples = [self.dataset.load(int(i)) if i >= 0 else None for i in local]
+            template = next((s for s in samples if s is not None), None)
+            if template is None:  # a block that is entirely padding
+                template = self.dataset.load(0)
+            zero = _zero_like_sample(template)
+            samples = [s if s is not None else zero for s in samples]
+            valid = (local >= 0) if self.pad_last else None
+            return _collate(samples, valid=valid)
 
         with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             window: list = []

@@ -34,15 +34,49 @@ def all_gather_host_values(values: np.ndarray) -> np.ndarray:
     return np.asarray(gathered)
 
 
-def psum_scalar(x, mesh, axis: str = "data"):
-    """Sum a scalar across the mesh's data axis (one jitted collective)."""
+def psum_scalar(x, mesh, axis: str = "data") -> float:
+    """Global sum of a per-sample vector, as an explicit cross-device all-reduce.
+
+    The input's leading dim is zero-padded to the axis size, SHARDED over
+    ``axis`` (each device holds only its slice), and reduced with
+    ``shard_map`` + ``lax.psum`` — each device sums its local shard and the psum
+    crosses ICI. (The r1 version summed a replicated array — a collective in
+    name only; this one is unfakeable: the per-device function never sees the
+    full array.)
+    """
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    @jax.jit
-    def _sum(v):
-        return jnp.sum(v)
+    n_axis = mesh.shape[axis]
+    v = jnp.asarray(x, jnp.float32).reshape(-1)
+    pad = (-v.shape[0]) % n_axis
+    if pad:
+        v = jnp.concatenate([v, jnp.zeros(pad, v.dtype)])
+    v = jax.device_put(v, NamedSharding(mesh, P(axis)))
 
-    return float(_sum(jax.device_put(jnp.asarray(x), NamedSharding(mesh, P()))))
+    @jax.jit
+    @partial(shard_map, mesh=mesh, in_specs=P(axis), out_specs=P())
+    def _local_sum_then_psum(local):
+        return jax.lax.psum(jnp.sum(local), axis)
+
+    return float(_local_sum_then_psum(v))
+
+
+def local_rows(x) -> np.ndarray:
+    """This process's rows of a batch-sharded global jax.Array, in batch order.
+
+    Single-process (or numpy input): plain np.asarray. Multi-process: concatenate
+    the addressable shards sorted by their batch offset — the inverse of
+    ``shard_batch``'s contiguous-block placement, used by the eval drivers to get
+    host arrays for metric aggregation (then ``all_gather_host_values`` for the
+    global view).
+    """
+    if isinstance(x, np.ndarray) or jax.process_count() == 1:
+        return np.asarray(x)
+    shards = sorted(x.addressable_shards, key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards])
 
 
 def broadcast_from_host0(tree: Any) -> Any:

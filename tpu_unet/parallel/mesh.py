@@ -51,9 +51,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, spatial: bool = False):
-    """Place a host batch (pytree of arrays with leading batch dim) onto the mesh."""
+    """Place a host batch (pytree of arrays with leading batch dim) onto the mesh.
+
+    Multi-process: each process passes only its OWN contiguous block of the
+    global batch (what DataLoader assembles per-process); the global jax.Array is
+    formed from the per-process blocks without any host ever holding the full
+    batch (``jax.make_array_from_process_local_data``).
+    """
     sharding = batch_sharding(mesh, spatial)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() > 1:
+        put = lambda x: jax.make_array_from_process_local_data(
+            sharding, np.ascontiguousarray(x))
+    else:
+        put = lambda x: jax.device_put(x, sharding)
+    return jax.tree_util.tree_map(put, batch)
 
 
 def replicate(mesh: Mesh, tree):

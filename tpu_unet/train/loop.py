@@ -56,23 +56,30 @@ def train_anomaly_epoch(state, step_fn, loader, base_key, epoch: int,
 
 def validate_anomaly_epoch(state, eval_fn, loader) -> Dict:
     """Validation pass with the reference's image/pixel metric recipe
-    (/root/reference/src/train_utils.py:155-260)."""
-    losses, counts = [], []
-    all_labels, all_scores, all_masks_true, all_masks_pred = [], [], [], []
+    (/root/reference/src/train_utils.py:155-260).
+
+    Multi-process safe: each host reads only its addressable rows
+    (``local_rows``), then the epoch-level arrays are all-gathered so every
+    process computes the identical global metrics.
+    """
+    from tpu_unet.parallel.collectives import all_gather_host_values, local_rows
+
+    losses = []
+    valids, all_labels, all_scores, all_masks_true, all_masks_pred = [], [], [], [], []
     for batch in loader:
-        valid = np.asarray(batch["valid"]) if "valid" in batch else np.ones(
-            batch["image"].shape[0], bool)
         # Ship the valid mask to device so padded rows are excluded from the loss
         # scalars (not just from the host-side metrics).
-        out = eval_fn(state, batch["image"], batch["mask"],
-                      valid.astype(np.float32))
-        n = int(valid.sum())
+        v = batch.get("valid")
+        out = eval_fn(state, batch["image"], batch["mask"], v)
+        labels_l = local_rows(batch["label"])
+        valid_l = (local_rows(v).astype(bool) if v is not None
+                   else np.ones(labels_l.shape[0], bool))
         losses.append(out["losses"])
-        counts.append(n)
-        all_labels.append(np.asarray(batch["label"])[valid])
-        all_scores.append(np.asarray(out["score"])[valid])
-        all_masks_true.append(np.asarray(batch["mask"])[valid, ..., 0])
-        all_masks_pred.append(np.asarray(out["anomaly_map"])[valid])
+        valids.append(valid_l)
+        all_labels.append(labels_l)
+        all_scores.append(local_rows(out["score"]))
+        all_masks_true.append(local_rows(batch["mask"])[..., 0])
+        all_masks_pred.append(local_rows(out["anomaly_map"]))
 
     if not losses:  # empty val loader (e.g. a category with no test split yet)
         return {
@@ -81,16 +88,22 @@ def validate_anomaly_epoch(state, eval_fn, loader) -> Dict:
             "predictions": {"labels": np.zeros(0, int), "scores": np.zeros(0),
                             "masks_true": np.zeros((0,)), "masks_pred": np.zeros((0,))},
         }
-    counts_arr = np.asarray(counts, np.float64)
+    # Per-batch global valid counts: gather the per-process per-batch counts and
+    # sum over processes (the loss scalars are already replicated global values).
+    counts_local = np.asarray([v.sum() for v in valids], np.float64)
+    counts_arr = all_gather_host_values(counts_local).reshape(-1, len(valids)).sum(0)
     loss_out = {}
     for name in ("total_loss", "recon_loss", "seg_loss"):
         vals = np.asarray([float(d[name]) for d in losses])
         loss_out[name] = float((vals * counts_arr).sum() / counts_arr.sum())
 
-    labels = np.concatenate(all_labels)
-    scores = np.concatenate(all_scores)
-    masks_true = np.concatenate(all_masks_true)
-    masks_pred = np.concatenate(all_masks_pred)
+    # Gather the epoch arrays (fixed shapes on every process), THEN filter by the
+    # gathered valid mask — per-process valid counts may differ.
+    valid = all_gather_host_values(np.concatenate(valids))
+    labels = all_gather_host_values(np.concatenate(all_labels))[valid]
+    scores = all_gather_host_values(np.concatenate(all_scores))[valid]
+    masks_true = all_gather_host_values(np.concatenate(all_masks_true))[valid]
+    masks_pred = all_gather_host_values(np.concatenate(all_masks_pred))[valid]
 
     if len(np.unique(labels)) > 1:
         threshold = np.percentile(scores, 95)
@@ -157,25 +170,42 @@ def train_seg_epoch(state, step_fn, loader, base_key, epoch: int, num_classes: i
 
 
 def validate_seg_epoch(state, eval_fn, loader, num_classes: int):
-    """Validation pass; returns (loss dict, SegmentationMetrics)."""
+    """Validation pass; returns (loss dict, SegmentationMetrics).
+
+    Multi-process safe: each host accumulates a local confusion matrix over its
+    addressable valid rows; the CMs and valid counts are all-gathered at epoch
+    end so every process holds the identical global metrics.
+    """
+    import jax
+
+    from tpu_unet.parallel.collectives import all_gather_host_values, local_rows
+
+    multiproc = jax.process_count() > 1
     metrics = SegmentationMetrics(num_classes)
-    per_batch, counts = [], []
+    per_batch, counts_local = [], []
     for batch in loader:
-        valid_f = (np.asarray(batch["valid"]).astype(np.float32)
-                   if "valid" in batch
-                   else np.ones(batch["image"].shape[0], np.float32))
-        losses, preds, cm = eval_fn(state, batch["image"], batch["mask"], valid_f)
-        if "valid" in batch and not bool(np.all(batch["valid"])):
-            # Recompute the CM over valid rows only (padded rows are zeros-on-zeros
-            # and would pollute the background class).
-            valid = np.asarray(batch["valid"])
-            metrics.update(np.asarray(preds)[valid], np.asarray(batch["mask"])[valid])
+        v = batch.get("valid")
+        losses, preds, cm = eval_fn(state, batch["image"], batch["mask"], v)
+        valid_l = (local_rows(v).astype(bool) if v is not None
+                   else np.ones(local_rows(preds).shape[0], bool))
+        if multiproc or (v is not None and not bool(valid_l.all())):
+            # Host CM over this process's valid rows (padded rows are
+            # zeros-on-zeros and would pollute the background class).
+            metrics.update(local_rows(preds)[valid_l],
+                           local_rows(batch["mask"])[valid_l])
         else:
             metrics.confusion_matrix = metrics.confusion_matrix + np.asarray(cm, np.int64)
         per_batch.append(losses)
-        counts.append(int(np.asarray(batch.get("valid", np.ones(1))).sum())
-                      if "valid" in batch else batch["image"].shape[0])
-    counts_arr = np.asarray(counts, np.float64) if counts else np.asarray([1.0])
+        counts_local.append(int(valid_l.sum()))
+    if multiproc and per_batch:
+        gathered = all_gather_host_values(
+            metrics.confusion_matrix.astype(np.int64))
+        metrics.confusion_matrix = gathered.reshape(-1, num_classes, num_classes).sum(0)
+    if counts_local:
+        counts_arr = all_gather_host_values(
+            np.asarray(counts_local, np.float64)).reshape(-1, len(counts_local)).sum(0)
+    else:
+        counts_arr = np.asarray([1.0])
     out = {}
     if per_batch:
         for name in per_batch[0]:
