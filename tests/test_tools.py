@@ -34,6 +34,17 @@ def test_analyze_class_overlaps(tmp_path):
     with open(tmp_path / "overlap_out" / "overlap_analysis_detailed.json") as f:
         loaded = json.load(f)
     assert loaded["total"]["class_pixels"]
+    # Reference-parity artifacts and report fields (heatmap + bars + rich stats).
+    assert os.path.exists(tmp_path / "overlap_out" / "overlap_matrix.png")
+    assert os.path.exists(tmp_path / "overlap_out" / "overlap_analysis.png")
+    assert loaded["summary"]["total_files_processed"] == 9
+    assert loaded["summary"]["files_with_any_overlap"] == 9  # every fixture file overlaps
+    assert loaded["summary"]["percentage_files_with_overlap"] == 100.0
+    assert loaded["detailed_stats"][0]["overlap_pixels"] >= loaded["detailed_stats"][-1]["overlap_pixels"]
+    assert all(0.0 <= d["overlap_ratio_a"] <= 1.0 for d in loaded["detailed_stats"])
+    # Both directions of the percentage are reported (% of A and % of B).
+    keys = loaded["total"]["overlap_percentages"]
+    assert any("% of pitting" in k for k in keys) and any("% of spalling" in k for k in keys)
 
 
 def test_analyze_kolektorsdd(tmp_path, capsys):
