@@ -1,0 +1,59 @@
+"""Spatial (H-axis) sharding at the real KolektorSDD aspect ratio (1024x512).
+
+SURVEY §2.13 stretch / VERDICT r1 item 9: the 'space' mesh axis was previously
+validated only at 32px in the dryrun. This proves halo-exchange correctness of
+the FULL seg train step (augment + fwd + loss + bwd + SGD update) at the real
+elongated shape: an 8-way H-sharded ('space') run must reproduce the unsharded
+single-device numerics — XLA inserts conv halo exchanges at every UNet depth
+(1024 -> 64 rows at the bottleneck, i.e. 8 rows per shard).
+"""
+
+import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tpu_unet.models import SegmentationUNet
+from tpu_unet.parallel import make_mesh, replicate
+from tpu_unet.train import (AugmentConfig, create_train_state,
+                            make_seg_train_step, make_optimizer)
+from tpu_unet.train.steps import SegLossConfig
+
+
+def _run_step(mesh_spec, images, labels, key):
+    model = SegmentationUNet(n_classes=3, base_features=4, dropout=0.0)
+    tx = make_optimizer("sgd", 1e-2, 0.0)
+    state = create_train_state(model, jax.random.key(0), (1, 1024, 512, 3), tx)
+    step = make_seg_train_step(
+        num_classes=3,
+        loss_cfg=SegLossConfig(class_weights=(1.0, 50.0, 50.0)),  # KSDD weights
+        aug_cfg=AugmentConfig(degrees=0.0),  # rotation-free: pure conv/halo path
+        donate_state=False)
+    if mesh_spec is not None:
+        n_data, n_space = mesh_spec
+        mesh = make_mesh(n_data=n_data, n_space=n_space)
+        state = replicate(mesh, state)
+        sharding = NamedSharding(mesh, P("data", "space"))
+        images = jax.device_put(images, sharding)
+        labels = jax.device_put(labels, NamedSharding(mesh, P("data", "space")))
+    state, losses, cm = step(state, images, labels, key)
+    return (float(losses["total_loss"]),
+            np.asarray(cm),
+            [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)])
+
+
+def test_h_sharded_train_step_matches_unsharded_at_1024x512(devices):
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, (2, 1024, 512, 3), dtype=np.uint8)
+    labels = np.zeros((2, 1024, 512), np.int32)
+    labels[:, 400:430, 100:140] = 1  # elongated defect bands crossing shard rows
+    labels[:, 700:720, 300:360] = 2
+    key = jax.random.key(7)
+
+    loss_ref, cm_ref, params_ref = _run_step(None, images, labels, key)
+    loss_sh, cm_sh, params_sh = _run_step((1, 8), images, labels, key)
+
+    assert np.isfinite(loss_ref) and np.isfinite(loss_sh)
+    assert abs(loss_ref - loss_sh) < 1e-4 * max(1.0, abs(loss_ref)), (loss_ref, loss_sh)
+    np.testing.assert_array_equal(cm_ref, cm_sh)
+    for a, b in zip(params_ref, params_sh):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
