@@ -40,6 +40,37 @@ def test_visualize_mvtec(tmp_path):
     assert pngs, "expected rendered panels"
 
 
+def test_visualize_mvtec_interactive_browser(tmp_path):
+    """--interactive returns the Previous/Next/Info browser; navigation wraps and
+    Info prints sample metadata (reference AnomalyVisualizer parity, headless-driven)."""
+    from tpu_unet.cli.visualize_mvtec import main
+
+    root = make_mvtec(os.path.join(tmp_path, "data"), size=32)
+    exp, ckpt = make_ckpt(tmp_path, AnomalyUNet(base_features=4), (32, 32))
+
+    browser = main([
+        "--data_root", root, "--category", "bottle", "--image_size", "32",
+        "--checkpoint", ckpt, "--output_dir", os.path.join(tmp_path, "viz"),
+        "--batch_size", "4", "--num_workers", "2", "--max_samples", "3",
+        "--base_features", "4", "--precision", "f32", "--n_devices", "2",
+        "--interactive",
+    ])
+    assert browser is not None and len(browser.records) == 3
+    assert browser.idx == 0
+    browser.next()
+    assert browser.idx == 1
+    browser.prev()
+    browser.prev()
+    assert browser.idx == 2  # wraps backwards
+    browser.next()
+    assert browser.idx == 0  # wraps forwards
+    title = browser.fig._suptitle.get_text()
+    assert "Sample 1/3" in title and "score=" in title
+    browser.info()  # prints metadata; must not raise
+    assert {"image", "mask", "anomaly_map", "reconstruction", "error_map",
+            "score", "label", "anomaly_type", "image_path"} <= set(browser.records[0])
+
+
 def test_visualize_seg_gear(tmp_path):
     from tpu_unet.cli.visualize_seg import main
 

@@ -4,8 +4,13 @@
 Capability parity with /root/reference/src/visualize.py: renders per-sample panels
 (original | GT overlay | predicted heatmap | reconstruction | error map) and a
 summary grid, with checkpoint auto-discovery by walking the outputs directory.
-The reference's interactive matplotlib-button browser is replaced by batch PNG
-rendering (works headless on TPU hosts); ``--max_samples`` controls how many panels.
+
+Two modes:
+- default: batch PNG rendering (works headless on TPU hosts); ``--max_samples``
+  controls how many panels;
+- ``--interactive``: a matplotlib browser with Previous/Next/Info buttons and
+  left/right/i keyboard navigation (parity with the reference's
+  AnomalyVisualizer, /root/reference/src/visualize.py:20-190) for non-headless use.
 """
 
 from __future__ import annotations
@@ -45,6 +50,9 @@ def parse_args(argv=None):
     parser.add_argument("--precision", type=str, default="bf16", choices=["bf16", "f32"])
     parser.add_argument("--n_devices", type=int, default=None)
     parser.add_argument("--base_features", type=int, default=64)
+    parser.add_argument("--interactive", action="store_true",
+                        help="open the Previous/Next/Info matplotlib browser "
+                             "instead of writing batch PNGs")
     return parser.parse_args(argv)
 
 
@@ -79,6 +87,77 @@ def render_panel(ax_row, image, mask_true, anomaly_map, reconstruction, error_ma
         ax.axis("off")
 
 
+class AnomalyBrowser:
+    """Interactive sample browser: Previous/Next/Info buttons + arrow keys.
+
+    Capability parity with the reference's AnomalyVisualizer
+    (/root/reference/src/visualize.py:20-190): wrapping navigation over
+    precomputed records, an Info action printing sample metadata, and the same
+    5-panel rendering as the batch mode (shared ``render_panel``).
+    """
+
+    def __init__(self, records, plt):
+        if not records:
+            raise ValueError("no samples to browse")
+        self.records = records
+        self.idx = 0
+        self.plt = plt
+        self.fig, axes = plt.subplots(1, 5, figsize=(20, 4.4))
+        self.axes = list(np.atleast_1d(axes).ravel())
+        from matplotlib.widgets import Button
+
+        self.fig.subplots_adjust(bottom=0.2)
+        self._buttons = []
+        for label, x, cb in (("Previous", 0.30, lambda e: self.prev()),
+                             ("Next", 0.45, lambda e: self.next()),
+                             ("Info", 0.60, lambda e: self.info())):
+            ax = self.fig.add_axes([x, 0.04, 0.1, 0.07])
+            b = Button(ax, label)
+            b.on_clicked(cb)
+            self._buttons.append(b)
+        self.fig.canvas.mpl_connect("key_press_event", self._on_key)
+        self.show_current()
+
+    def _on_key(self, event):
+        if event.key in ("right", "n"):
+            self.next()
+        elif event.key in ("left", "p"):
+            self.prev()
+        elif event.key == "i":
+            self.info()
+
+    def show_current(self):
+        r = self.records[self.idx]
+        for ax in self.axes:
+            ax.clear()
+        render_panel(self.axes, r["image"], r["mask"], r["anomaly_map"],
+                     r["reconstruction"], r["error_map"])
+        self.fig.suptitle(
+            f"Sample {self.idx + 1}/{len(self.records)}  "
+            f"type={r['anomaly_type']}  score={r['score']:.5f}", fontsize=13)
+        self.fig.canvas.draw_idle()
+
+    def next(self):
+        self.idx = (self.idx + 1) % len(self.records)
+        self.show_current()
+
+    def prev(self):
+        self.idx = (self.idx - 1) % len(self.records)
+        self.show_current()
+
+    def info(self):
+        r = self.records[self.idx]
+        print(f"\nSample {self.idx + 1}/{len(self.records)}")
+        print(f"  path:         {r['image_path']}")
+        print(f"  anomaly type: {r['anomaly_type']}")
+        print(f"  label:        {'anomalous' if r['label'] else 'normal'}")
+        print(f"  image score:  {r['score']:.6f}")
+        print(f"  GT defect px: {int((r['mask'] > 0.5).sum())}")
+
+    def show(self):
+        self.plt.show()
+
+
 def main(argv=None):
     args = parse_args(argv)
     plt = _plt()
@@ -107,35 +186,52 @@ def main(argv=None):
     state = load_params(state, checkpoint)
     eval_step = make_anomaly_eval_step(dual_decoder=(args.model == "anomaly_unet"))
 
-    os.makedirs(args.output_dir, exist_ok=True)
-    rendered = 0
+    # Collect per-sample records once; both modes render from them.
+    records = []
     for batch in loader:
-        if rendered >= args.max_samples:
+        if len(records) >= args.max_samples:
             break
         out = eval_step(state, batch["image"], batch["mask"])
         valid = np.asarray(batch.get("valid", np.ones(len(batch["label"]), bool)))
-        n = int(valid.sum())
-        fig, axes = plt.subplots(n, 5, figsize=(20, 3.2 * n), squeeze=False)
-        row = 0
         for i in range(len(valid)):
-            if not valid[i] or rendered + row >= args.max_samples:
+            if not valid[i] or len(records) >= args.max_samples:
                 continue
-            render_panel(axes[row],
-                         np.asarray(out["image"])[i],
-                         np.asarray(batch["mask"])[i, ..., 0],
-                         np.asarray(out["anomaly_map"])[i],
-                         np.asarray(out["reconstruction"])[i],
-                         np.asarray(out["error_map"])[i])
-            axes[row][0].set_ylabel(batch["anomaly_type"][i])
-            row += 1
+            records.append({
+                "image": np.asarray(out["image"])[i],
+                "mask": np.asarray(batch["mask"])[i, ..., 0],
+                "anomaly_map": np.asarray(out["anomaly_map"])[i],
+                "reconstruction": np.asarray(out["reconstruction"])[i],
+                "error_map": np.asarray(out["error_map"])[i],
+                "score": float(np.asarray(out["score"])[i]),
+                "label": int(np.asarray(batch["label"])[i]),
+                "anomaly_type": batch["anomaly_type"][i],
+                "image_path": batch["image_path"][i],
+            })
+
+    if args.interactive:
+        browser = AnomalyBrowser(records, plt)
+        print("Interactive browser: Previous/Next/Info buttons, "
+              "arrow keys + 'i' for info, close the window to exit.")
+        browser.show()
+        return browser
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    per_fig = 8
+    for start in range(0, len(records), per_fig):
+        chunk = records[start:start + per_fig]
+        fig, axes = plt.subplots(len(chunk), 5, figsize=(20, 3.2 * len(chunk)),
+                                 squeeze=False)
+        for row, r in enumerate(chunk):
+            render_panel(axes[row], r["image"], r["mask"], r["anomaly_map"],
+                         r["reconstruction"], r["error_map"])
+            axes[row][0].set_ylabel(r["anomaly_type"])
         fig.tight_layout()
         path = os.path.join(args.output_dir,
-                            f"{args.category}_panel_{rendered:03d}.png")
+                            f"{args.category}_panel_{start:03d}.png")
         fig.savefig(path, dpi=120, bbox_inches="tight")
         plt.close(fig)
         print(f"Saved {path}")
-        rendered += row
-    print(f"Rendered {rendered} sample panels to {args.output_dir}")
+    print(f"Rendered {len(records)} sample panels to {args.output_dir}")
     return args.output_dir
 
 
