@@ -102,6 +102,51 @@ class TestColorJitter:
                            saturation=0, hue=0)
         np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
 
+    def test_random_order_matches_manual_permutation(self):
+        """random_order=True applies the ops in the drawn permutation exactly."""
+        import jax
+
+        from tpu_unet.ops.augment import color_jitter
+
+        import itertools
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.uniform(size=(2, 8, 8, 3)).astype(np.float32))
+        perms_seen = set()
+        hue_moved_and_differed = 0
+        for seed in range(16):
+            key = jax.random.key(seed)
+            out_rand = color_jitter(x, key, random_order=True)
+            out_fixed = color_jitter(x, key, random_order=False)
+            # Reconstruct the permutation the same way color_jitter draws it.
+            kperm = jax.random.split(key, 5)[4]
+            idx = int(jax.random.randint(kperm, (), 0, 24))
+            perm = list(itertools.permutations(range(4)))[idx]
+            perms_seen.add(perm)
+            # brightness/contrast/saturation are mutually commuting linear blends
+            # (when clipping doesn't bind), so only hue's position is guaranteed
+            # to change the composition numerically.
+            if perm.index(3) != 3:
+                assert not np.allclose(np.asarray(out_rand), np.asarray(out_fixed),
+                                       atol=1e-6), \
+                    f"seed {seed}: hue moved ({perm}) but output matched fixed order"
+                hue_moved_and_differed += 1
+            elif perm == (0, 1, 2, 3):
+                np.testing.assert_allclose(np.asarray(out_rand),
+                                           np.asarray(out_fixed), atol=1e-6)
+        assert len(perms_seen) >= 6       # the order really varies across keys
+        assert hue_moved_and_differed >= 4  # and it changes the output
+
+    def test_random_order_zero_strength_identity(self):
+        import jax
+
+        from tpu_unet.ops.augment import color_jitter
+
+        x = jnp.asarray(np.random.default_rng(0).uniform(size=(2, 8, 8, 3)).astype(np.float32))
+        out = color_jitter(x, jax.random.key(5), brightness=0, contrast=0,
+                           saturation=0, hue=0, random_order=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-7)
+
     def test_hue_roundtrip_preserves_value(self):
         # Hue rotation must not change the HSV 'value' (max channel).
         rng = np.random.default_rng(10)

@@ -126,7 +126,8 @@ def run_seg_training(args, workload: Workload):
                              focal_weight=args.focal_weight, class_weights=class_weights)
     augment = dataclasses.replace(
         workload.augment,
-        rotation_mode=getattr(args, "rotation_mode", "per_batch_shear"))
+        rotation_mode=getattr(args, "rotation_mode", "per_batch_shear"),
+        color_jitter_random_order=getattr(args, "color_jitter_random_order", False))
     train_step = make_seg_train_step(num_classes, loss_cfg, augment)
     eval_step = make_seg_eval_step(num_classes, loss_cfg)
 

@@ -50,6 +50,9 @@ def add_common_args(parser):
                         choices=["per_sample", "per_batch_shear"],
                         help="Rotation augmentation: per-batch MXU shear matmuls "
                              "(default, fast) or per-sample gathers (reference semantics)")
+    parser.add_argument("--color_jitter_random_order", action="store_true",
+                        help="Randomize the ColorJitter op order per step "
+                             "(torchvision semantics; ~35%% step-time cost)")
 
 
 def parse_args(argv=None):

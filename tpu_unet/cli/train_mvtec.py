@@ -120,6 +120,9 @@ def parse_args(argv=None):
                         choices=["per_sample", "per_batch_shear"],
                         help="Rotation augmentation: per-batch MXU shear matmuls "
                              "(default, fast) or per-sample gathers (reference semantics)")
+    parser.add_argument("--color_jitter_random_order", action="store_true",
+                        help="Randomize the ColorJitter op order per step "
+                             "(torchvision semantics; ~35%% step-time cost)")
 
     return parser.parse_args(argv)
 
@@ -207,7 +210,10 @@ def main(argv=None):
     )
     dual = args.model == "anomaly_unet"
     train_step = make_anomaly_train_step(
-        loss_cfg, AugmentConfig(rotation_mode=args.rotation_mode), dual_decoder=dual)
+        loss_cfg,
+        AugmentConfig(rotation_mode=args.rotation_mode,
+                      color_jitter_random_order=args.color_jitter_random_order),
+        dual_decoder=dual)
     eval_step = make_anomaly_eval_step(loss_cfg, dual_decoder=dual)
     scheduler = LRScheduler(args.scheduler, args.learning_rate, args.epochs)
 

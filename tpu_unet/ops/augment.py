@@ -193,28 +193,68 @@ def _hsv_to_rgb(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
 
 def color_jitter(images: jnp.ndarray, key: jax.Array, *,
                  brightness: float = 0.1, contrast: float = 0.1,
-                 saturation: float = 0.1, hue: float = 0.05) -> jnp.ndarray:
-    """Per-sample brightness/contrast/saturation/hue jitter, torch factor ranges."""
-    n = images.shape[0]
-    kb, kc, ks, kh = jax.random.split(key, 4)
-    x = images
+                 saturation: float = 0.1, hue: float = 0.05,
+                 random_order: bool = False) -> jnp.ndarray:
+    """Per-sample brightness/contrast/saturation/hue jitter, torch factor ranges.
 
-    if brightness > 0:
-        fb = jax.random.uniform(kb, (n, 1, 1, 1), minval=1 - brightness, maxval=1 + brightness)
-        x = jnp.clip(x * fb, 0.0, 1.0)
-    if contrast > 0:
-        fc = jax.random.uniform(kc, (n, 1, 1, 1), minval=1 - contrast, maxval=1 + contrast)
+    torchvision's ColorJitter applies the enabled ops in a RANDOM order per call;
+    ``random_order=True`` reproduces that with one permutation shared by the batch
+    per step, as ONE ``lax.switch`` over the 24 statically-composed op orders
+    (each branch a fully-fused fixed pipeline — per-op dynamic control flow
+    measured far worse). Even so, the switch boundary costs ~35% of train-step
+    throughput on v5e (measured r2, same-session A/B), so the DEFAULT is the
+    fixed brightness→contrast→saturation→hue order (documented deviation,
+    README "Deviations"); pass ``--color_jitter_random_order`` for torchvision
+    order semantics.
+    """
+    import itertools
+    n = images.shape[0]
+    kb, kc, ks, kh, kperm = jax.random.split(key, 5)
+
+    # Factors are drawn up front (independent of op order, like torchvision).
+    fb = jax.random.uniform(kb, (n, 1, 1, 1), minval=1 - brightness, maxval=1 + brightness)
+    fc = jax.random.uniform(kc, (n, 1, 1, 1), minval=1 - contrast, maxval=1 + contrast)
+    fs = jax.random.uniform(ks, (n, 1, 1, 1), minval=1 - saturation, maxval=1 + saturation)
+    fh = jax.random.uniform(kh, (n, 1, 1), minval=-hue, maxval=hue)
+
+    def op_brightness(x):
+        return jnp.clip(x * fb, 0.0, 1.0) if brightness > 0 else x
+
+    def op_contrast(x):
+        if contrast <= 0:
+            return x
         mean = jnp.mean(_rgb_to_gray(x), axis=(1, 2), keepdims=True)
-        x = jnp.clip(fc * x + (1 - fc) * mean, 0.0, 1.0)
-    if saturation > 0:
-        fs = jax.random.uniform(ks, (n, 1, 1, 1), minval=1 - saturation, maxval=1 + saturation)
+        return jnp.clip(fc * x + (1 - fc) * mean, 0.0, 1.0)
+
+    def op_saturation(x):
+        if saturation <= 0:
+            return x
         gray = _rgb_to_gray(x)
-        x = jnp.clip(fs * x + (1 - fs) * gray, 0.0, 1.0)
-    if hue > 0:
-        fh = jax.random.uniform(kh, (n, 1, 1), minval=-hue, maxval=hue)
+        return jnp.clip(fs * x + (1 - fs) * gray, 0.0, 1.0)
+
+    def op_hue(x):
+        if hue <= 0:
+            return x
         h, s, v = _rgb_to_hsv(x)
-        x = _hsv_to_rgb((h + fh) % 1.0, s, v)
-    return x
+        return _hsv_to_rgb((h + fh) % 1.0, s, v)
+
+    ops = (op_brightness, op_contrast, op_saturation, op_hue)
+    if not random_order:
+        x = images
+        for op in ops:
+            x = op(x)
+        return x
+
+    def compose(order):
+        def run(x):
+            for j in order:
+                x = ops[j](x)
+            return x
+        return run
+
+    branches = [compose(order) for order in itertools.permutations(range(4))]
+    perm_idx = jax.random.randint(kperm, (), 0, len(branches))
+    return jax.lax.switch(perm_idx, branches, images)
 
 
 # ---------------------------------------------------------------------------
@@ -225,14 +265,16 @@ def train_transform(images_u8: jnp.ndarray, masks: Optional[jnp.ndarray],
                     key: jax.Array, *, degrees: float = 10.0, p_flip: float = 0.5,
                     brightness: float = 0.1, contrast: float = 0.1,
                     saturation: float = 0.1, hue: float = 0.05,
-                    rotation_mode: str = "per_sample"):
+                    rotation_mode: str = "per_sample",
+                    color_jitter_random_order: bool = False):
     """uint8 NHWC -> augmented, normalized float32 (+ paired mask)."""
     k_geo, k_col = jax.random.split(key)
     img = to_float(images_u8)
     img, masks = paired_geometric_augment(img, masks, k_geo, degrees=degrees,
                                           p_flip=p_flip, rotation_mode=rotation_mode)
     img = color_jitter(img, k_col, brightness=brightness, contrast=contrast,
-                       saturation=saturation, hue=hue)
+                       saturation=saturation, hue=hue,
+                       random_order=color_jitter_random_order)
     return normalize(img), masks
 
 

@@ -46,6 +46,10 @@ class AugmentConfig:
     # per-image gather-based rotation; TPU gathers are slow). Marginal angle
     # distribution across steps is identical; see ops/rotate_shear.py.
     rotation_mode: str = "per_batch_shear"
+    # torchvision randomizes the ColorJitter op order per call; True reproduces
+    # that (24-way lax.switch) at ~35% step cost — fixed order is the default
+    # (README "Deviations"; ops/augment.py::color_jitter has the measurements).
+    color_jitter_random_order: bool = False
 
     def kwargs(self) -> Dict[str, float]:
         return dataclasses.asdict(self)
