@@ -148,3 +148,50 @@ def test_full_checkpoint_blob_roundtrip(tmp_path):
     out = model.apply({"params": params, "batch_stats": stats},
                       jnp.zeros((1, 32, 32, 3)), train=False)
     assert out.shape == (1, 32, 32, 1)
+
+
+def test_export_roundtrips_to_reference_names():
+    """export_state_dict is the exact inverse of convert_state_dict: same key set
+    as a reference checkpoint, and import(export(x)) == x bitwise."""
+    from tpu_unet.utils.torch_import import export_state_dict
+
+    for model_name in ("unet", "anomaly_unet"):
+        sd = make_reference_named_state_dict(base=4, model=model_name)
+        params, stats = convert_state_dict(sd, model=model_name)
+        exported = export_state_dict(params, stats, model=model_name)
+        # Key parity with the reference naming (+ num_batches_tracked, which the
+        # fixture omits but real torch checkpoints contain).
+        exp_keys = {k for k in exported if not k.endswith("num_batches_tracked")}
+        assert exp_keys == set(sd), model_name
+        for k in sd:
+            np.testing.assert_array_equal(exported[k], sd[k], err_msg=k)
+
+
+def test_export_pth_loads_in_torch_and_reimports(tmp_path):
+    """A framework-trained model exports to .pth, loads with torch, and re-imports
+    with identical weights (full migration circle)."""
+    from tpu_unet.utils.torch_import import load_torch_checkpoint, save_torch_checkpoint
+
+    model = AnomalyUNet(base_features=4)
+    variables = model.init(jax.random.key(1), jnp.zeros((1, 32, 32, 3)), train=False)
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables["batch_stats"])
+
+    path = str(tmp_path / "exported.pth")
+    save_torch_checkpoint(path, params, stats, model="anomaly_unet",
+                          epoch=7, loss=0.25)
+    blob = torch.load(path, map_location="cpu", weights_only=True)
+    assert blob["epoch"] == 7 and abs(blob["loss"] - 0.25) < 1e-9
+    assert "inc.double_conv.0.weight" in blob["model_state_dict"]
+    assert blob["model_state_dict"]["inc.double_conv.1.num_batches_tracked"].dtype == torch.int64
+
+    params2, stats2 = load_torch_checkpoint(path, model="anomaly_unet")
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(params),
+            jax.tree_util.tree_leaves_with_path(params2)):
+        assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
+        np.testing.assert_array_equal(np.asarray(a, np.float32), b, err_msg=jax.tree_util.keystr(ka))
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(stats),
+            jax.tree_util.tree_leaves_with_path(stats2)):
+        np.testing.assert_array_equal(np.asarray(a, np.float32), b, err_msg=jax.tree_util.keystr(ka))

@@ -28,6 +28,8 @@ def main():
     parser.add_argument("--bilinear", action="store_true")
     parser.add_argument("--image_size", type=int, default=256,
                         help="Spatial size used to initialize the optimizer state")
+    parser.add_argument("--base_features", type=int, default=64,
+                        help="UNet width of the checkpoint (64 = reference)")
     parser.add_argument("--output", type=str, required=True,
                         help="Orbax checkpoint directory to write")
     args = parser.parse_args()
@@ -40,20 +42,26 @@ def main():
     params, batch_stats = load_torch_checkpoint(
         args.torch_checkpoint, model=args.model, bilinear=args.bilinear)
 
-    model = build_model(args.model, n_classes=args.n_classes, bilinear=args.bilinear)
+    model = build_model(args.model, n_classes=args.n_classes, bilinear=args.bilinear,
+                        base_features=args.base_features)
     tx = make_optimizer("adam", 1e-3, 0.0)
     state = create_train_state(model, jax.random.key(0),
                                (1, args.image_size, args.image_size, 3), tx)
 
-    # Structure check against a fresh init, then swap in the converted weights.
-    ref_paths = {jax.tree_util.keystr(k)
-                 for k, _ in jax.tree_util.tree_leaves_with_path(state.params)}
-    new_paths = {jax.tree_util.keystr(k)
-                 for k, _ in jax.tree_util.tree_leaves_with_path(params)}
+    # Structure AND shape check against a fresh init (a path-only check would
+    # silently accept a checkpoint trained at a different --base_features).
+    ref_paths = {jax.tree_util.keystr(k): v.shape
+                 for k, v in jax.tree_util.tree_leaves_with_path(state.params)}
+    new_paths = {jax.tree_util.keystr(k): v.shape
+                 for k, v in jax.tree_util.tree_leaves_with_path(params)}
     if ref_paths != new_paths:
-        missing = sorted(ref_paths - new_paths)[:5]
-        extra = sorted(new_paths - ref_paths)[:5]
-        raise SystemExit(f"Parameter tree mismatch.\n  missing: {missing}\n  extra: {extra}")
+        missing = sorted(set(ref_paths) - set(new_paths))[:5]
+        extra = sorted(set(new_paths) - set(ref_paths))[:5]
+        shape_diffs = sorted(k for k in set(ref_paths) & set(new_paths)
+                             if ref_paths[k] != new_paths[k])[:5]
+        raise SystemExit("Parameter tree mismatch (check --model/--base_features/"
+                         f"--bilinear).\n  missing: {missing}\n  extra: {extra}\n"
+                         f"  shape diffs: {shape_diffs}")
 
     import jax.numpy as jnp
     params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float32), params)
