@@ -80,9 +80,11 @@ def main():
     # step_flops covers the FULL training step (augment+fwd+loss+bwd+Adam): the
     # basis for HFU (hardware FLOP utilization). fwd_flops is the model forward
     # alone; MFU uses the conventional 3x-forward model-FLOPs estimate.
-    step_nodonate = make_anomaly_train_step(aug_cfg=AugmentConfig(), donate_state=False)
-    step_flops, step_bytes = _cost(
-        step_nodonate.lower(state, images, masks, jax.random.key(1)).compile())
+    # The timed step is AOT-compiled ONCE and that same executable is both
+    # cost-analyzed and run — no second full-step compile on a cold cache.
+    step_compiled = step.lower(state, images, masks, jax.random.key(0)).compile()
+    step_flops, step_bytes = _cost(step_compiled)
+    step = step_compiled
     fwd = jax.jit(lambda p, s, x: state.apply_fn({"params": p, "batch_stats": s}, x,
                                                  train=False))
     x_f32 = shard_batch(mesh, np.zeros((batch, IMAGE_SIZE, IMAGE_SIZE, 3), np.float32))

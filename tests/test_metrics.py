@@ -159,3 +159,28 @@ class TestAnomalyScore:
         recon = rng.uniform(size=(2, 8, 8, 3)).astype(np.float32)
         s = np.asarray(anomaly_score(jnp.asarray(recon), jnp.asarray(img), method="l1"))
         np.testing.assert_allclose(s, np.abs(recon - img).mean(axis=(1, 2, 3)), rtol=1e-6)
+
+
+def test_confusion_matrix_chunked_contraction_exact():
+    """The chunked one-hot contraction (f32-exactness guard) equals the direct
+    count for any chunk size, including chunk boundaries and ignore_index."""
+    from tpu_unet.metrics.confusion import _confusion_matrix_impl
+
+    rng = np.random.default_rng(11)
+    t = rng.integers(0, 3, 1000).astype(np.int32)
+    p = rng.integers(0, 3, 1000).astype(np.int32)
+    expect = np.zeros((3, 3), np.int64)
+    for a, b in zip(t, p):
+        expect[a, b] += 1
+    for max_exact in (7, 100, 999, 1000, 10**9):
+        got = np.asarray(_confusion_matrix_impl(jnp.asarray(p), jnp.asarray(t), 3,
+                                                max_exact=max_exact))
+        np.testing.assert_array_equal(got, expect, err_msg=f"max_exact={max_exact}")
+    # ignore_index with chunking
+    expect_ig = expect.copy()
+    expect_ig[2, :] = 0
+    got = np.asarray(_confusion_matrix_impl(jnp.asarray(p), jnp.asarray(t), 3,
+                                            ignore_index=2, max_exact=13))
+    # rows for ignored target removed; ignored pixels contribute nothing
+    assert got[2].sum() == 0
+    np.testing.assert_array_equal(got[:2], expect_ig[:2])

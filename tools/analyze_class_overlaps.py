@@ -20,9 +20,7 @@ from itertools import combinations
 import numpy as np
 from PIL import Image, ImageDraw
 
-from tpu_unet.data.gear import CLASS_NAMES_MAP, parse_label_file
-
-CLASS_NAMES = ["pitting", "spalling", "scrape"]
+from tpu_unet.data.gear import CLASS_NAMES_MAP, CLASS_ORDER as CLASS_NAMES, parse_label_file
 
 
 def per_class_masks(label_path: str, w: int, h: int):

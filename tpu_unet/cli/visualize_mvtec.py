@@ -209,6 +209,9 @@ def main(argv=None):
             })
 
     if args.interactive:
+        if not records:
+            print("No samples to browse (empty test split?)")
+            return None
         browser = AnomalyBrowser(records, plt)
         print("Interactive browser: Previous/Next/Info buttons, "
               "arrow keys + 'i' for info, close the window to exit.")

@@ -89,6 +89,7 @@ class PackedStore:
                 return cls(path)
             except Exception:
                 shutil.rmtree(path, ignore_errors=True)  # corrupt — rebuild
+        tmp = None
         try:
             os.makedirs(cache_root, exist_ok=True)
             tmp = tempfile.mkdtemp(prefix=f".{fp}.", dir=cache_root)
@@ -99,6 +100,8 @@ class PackedStore:
                 shutil.rmtree(tmp, ignore_errors=True)  # another process won
             return cls(path)
         except Exception as e:
+            if tmp is not None:  # never leak a partial build into the cache root
+                shutil.rmtree(tmp, ignore_errors=True)
             if log:
                 log(f"disk cache build failed ({type(e).__name__}: {e}); "
                     "continuing without it")

@@ -156,8 +156,9 @@ class GearDataset:
         # Priority-stat collection needs the live raster pass, so it bypasses the pack.
         self._pack = None
         if disk_cache_dir and not enable_priority_logging:
+            from tpu_unet.data.transforms import resize_backend_tag
             fp = diskcache.fingerprint(
-                f"gear|{split}|{image_size[0]}x{image_size[1]}",
+                f"gear|{split}|{image_size[0]}x{image_size[1]}|{resize_backend_tag()}",
                 self.image_paths + self.label_paths)
             self._pack = diskcache.PackedStore.open_or_build(
                 disk_cache_dir, fp, len(self.image_paths), self._load_uncached,

@@ -82,8 +82,10 @@ class KolektorSDDDataset:
         print(f"Number of classes: {self.num_classes}")
         self._pack = None
         if disk_cache_dir:
+            from tpu_unet.data.transforms import resize_backend_tag
             fp = diskcache.fingerprint(
-                f"ksdd|{split}|{image_size[0]}x{image_size[1]}|{train_split}|{val_split}",
+                f"ksdd|{split}|{image_size[0]}x{image_size[1]}|{train_split}|"
+                f"{val_split}|{resize_backend_tag()}",
                 self.image_paths + self.mask_paths)
             self._pack = diskcache.PackedStore.open_or_build(
                 disk_cache_dir, fp, len(self.image_paths), self._load_uncached,

@@ -71,11 +71,14 @@ class DataLoader:
             raise ValueError("drop_last and pad_last are mutually exclusive")
         if process_count is None:
             # Auto-detect multi-host runs (jax.distributed must be initialized
-            # before the first loader is built, as in the CLIs).
+            # before the first loader is built, as in the CLIs). Read the
+            # distributed state directly — jax.process_count() would initialize
+            # the device backend, which host-only tools (e.g. the input-pipeline
+            # benchmark) must not do.
             try:
-                import jax
-                process_count = jax.process_count()
-                process_index = jax.process_index()
+                from jax._src.distributed import global_state
+                process_count = int(global_state.num_processes or 1)
+                process_index = int(global_state.process_id or 0)
             except Exception:
                 process_count, process_index = 1, 0
         if batch_size % process_count != 0:

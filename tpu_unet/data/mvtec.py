@@ -50,8 +50,10 @@ class MVTecDataset:
         if disk_cache_dir:
             paths = [s.image_path for s in self.samples] + [
                 s.mask_path for s in self.samples if s.mask_path]
+            from tpu_unet.data.transforms import resize_backend_tag
             fp = diskcache.fingerprint(
-                f"mvtec|{category}|{split}|{image_size}|{is_train}", paths)
+                f"mvtec|{category}|{split}|{image_size}|{is_train}|"
+                f"{resize_backend_tag()}", paths)
             self._pack = diskcache.PackedStore.open_or_build(
                 disk_cache_dir, fp, len(self.samples), self._load_uncached,
                 log=print)

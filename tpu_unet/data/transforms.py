@@ -22,6 +22,19 @@ from PIL import Image
 _USE_NATIVE = os.environ.get("TPU_UNET_NATIVE_RESIZE", "1") == "1"
 
 
+def resize_backend_tag() -> str:
+    """Identifies the active image resampler ('native-area-vN' | 'pil-bilinear').
+
+    Included in disk-pack fingerprints so toggling TPU_UNET_NATIVE_RESIZE (or a
+    host without g++) never serves pixels produced by the other backend.
+    """
+    if _USE_NATIVE:
+        from tpu_unet.data import native
+        if native.available():
+            return f"native-area-v{native._EXPECTED_VERSION}"
+    return "pil-bilinear"
+
+
 def load_image_rgb(path: str, size_hw: Tuple[int, int]) -> np.ndarray:
     """Decode an image to RGB and area-resize to (H, W); returns (H,W,3) uint8."""
     with Image.open(path) as im:

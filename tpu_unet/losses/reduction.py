@@ -27,9 +27,3 @@ def weighted_mean(x: jnp.ndarray, sample_weight: Optional[jnp.ndarray]) -> jnp.n
     w = sample_weight.astype(jnp.float32)
     per_sample = jnp.mean(x, axis=tuple(range(1, x.ndim))) if x.ndim > 1 else x
     return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1e-12)
-
-
-def expand_to(sample_weight: jnp.ndarray, ndim: int) -> jnp.ndarray:
-    """Broadcast (N,) weights to an (N, 1, 1, ...) shape with `ndim` axes."""
-    return sample_weight.astype(jnp.float32).reshape(
-        sample_weight.shape[0], *([1] * (ndim - 1)))

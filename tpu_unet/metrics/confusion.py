@@ -20,15 +20,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@partial(jax.jit, static_argnames=("num_classes", "ignore_index"))
-def confusion_matrix_batch(preds: jnp.ndarray, targets: jnp.ndarray,
-                           num_classes: int,
-                           ignore_index: Optional[int] = None) -> jnp.ndarray:
-    """(C, C) confusion matrix (rows = target, cols = pred) for one batch.
+_F32_EXACT_MAX = 1 << 24  # largest count a float32 accumulator holds exactly
 
-    preds/targets: integer arrays of identical shape. Runs fully on device via a
-    one-hot matmul: CM = onehot(t)^T @ onehot(p).
-    """
+
+def _confusion_matrix_impl(preds: jnp.ndarray, targets: jnp.ndarray,
+                           num_classes: int,
+                           ignore_index: Optional[int] = None,
+                           max_exact: int = _F32_EXACT_MAX) -> jnp.ndarray:
     t = targets.reshape(-1)
     p = preds.reshape(-1)
     if ignore_index is not None:
@@ -39,12 +37,40 @@ def confusion_matrix_batch(preds: jnp.ndarray, targets: jnp.ndarray,
         w = valid.astype(jnp.float32)
     else:
         w = jnp.ones_like(t, dtype=jnp.float32)
-    t_oh = jax.nn.one_hot(t, num_classes, dtype=jnp.float32) * w[:, None]
-    p_oh = jax.nn.one_hot(p, num_classes, dtype=jnp.float32)
-    cm = jnp.einsum("nc,nd->cd", t_oh, p_oh, preferred_element_type=jnp.float32)
-    # int32 on device (a single batch is ≤ ~8.4e6 px/cell, exact in f32 and int32);
-    # the epoch accumulator is host-side np.int64 to avoid overflow on long runs.
-    return cm.astype(jnp.int32)
+
+    # f32 accumulation is exact only up to 2^24 counts per cell; a KolektorSDD
+    # eval at batch 32 (1024x512) already exceeds it. Contract in static chunks
+    # of <= 2^24 pixels and sum the per-chunk CMs as int32 (exact to 2^31).
+    n = t.shape[0]
+    n_chunks = max(1, -(-n // max_exact))
+    chunk = -(-n // n_chunks)
+    pad = n_chunks * chunk - n
+    if pad:
+        t = jnp.concatenate([t, jnp.zeros(pad, t.dtype)])
+        p = jnp.concatenate([p, jnp.zeros(pad, p.dtype)])
+        w = jnp.concatenate([w, jnp.zeros(pad, w.dtype)])
+    cm = jnp.zeros((num_classes, num_classes), jnp.int32)
+    for i in range(n_chunks):
+        sl = slice(i * chunk, (i + 1) * chunk)
+        t_oh = jax.nn.one_hot(t[sl], num_classes, dtype=jnp.float32) * w[sl][:, None]
+        p_oh = jax.nn.one_hot(p[sl], num_classes, dtype=jnp.float32)
+        cm = cm + jnp.einsum("nc,nd->cd", t_oh, p_oh,
+                             preferred_element_type=jnp.float32).astype(jnp.int32)
+    # The epoch accumulator is host-side np.int64 (overflow-safe on long runs).
+    return cm
+
+
+@partial(jax.jit, static_argnames=("num_classes", "ignore_index"))
+def confusion_matrix_batch(preds: jnp.ndarray, targets: jnp.ndarray,
+                           num_classes: int,
+                           ignore_index: Optional[int] = None) -> jnp.ndarray:
+    """(C, C) confusion matrix (rows = target, cols = pred) for one batch.
+
+    preds/targets: integer arrays of identical shape. Runs fully on device via a
+    one-hot matmul, CM = onehot(t)^T @ onehot(p), chunked to stay within f32's
+    exact-integer range.
+    """
+    return _confusion_matrix_impl(preds, targets, num_classes, ignore_index)
 
 
 class SegmentationMetrics:

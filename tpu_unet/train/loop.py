@@ -186,8 +186,11 @@ def validate_seg_epoch(state, eval_fn, loader, num_classes: int):
     for batch in loader:
         v = batch.get("valid")
         losses, preds, cm = eval_fn(state, batch["image"], batch["mask"], v)
+        # No padding -> all rows valid; size from shape alone (local_rows(preds)
+        # would device-to-host copy the full predictions tensor just to count).
+        n_local = preds.shape[0] // max(jax.process_count(), 1)
         valid_l = (local_rows(v).astype(bool) if v is not None
-                   else np.ones(local_rows(preds).shape[0], bool))
+                   else np.ones(n_local, bool))
         if multiproc or (v is not None and not bool(valid_l.all())):
             # Host CM over this process's valid rows (padded rows are
             # zeros-on-zeros and would pollute the background class).
