@@ -79,3 +79,33 @@ def test_priority_resolution_tool(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "Priority Resolution Stats" in out
     assert any(f.endswith("_mask.png") for f in os.listdir(out_dir))
+
+
+def test_make_report(tmp_path):
+    import base64
+
+    import make_report
+
+    exp = tmp_path / "exp"
+    (exp / "results").mkdir(parents=True)
+    (exp / "checkpoints").mkdir()
+    with open(exp / "args.json", "w") as f:
+        json.dump({"category": "bottle", "epochs": 3, "lr": 1e-3}, f)
+    with open(exp / "results" / "training_results.json", "w") as f:
+        json.dump({"train_losses": [1.0, 0.5, 0.2], "val_losses": [0.9, 0.4, 0.3],
+                   "best_val_loss": 0.3}, f)
+    with open(exp / "results" / "test_metrics.json", "w") as f:
+        json.dump({"image_metrics": {"auroc": 0.97, "f1_score": 0.8},
+                   "pixel_metrics": {"pixel_f1_@0.5": 0.6}, "threshold": 0.42}, f)
+    png = base64.b64decode(  # 1x1 black pixel
+        b"iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4nGNgYGBgAAAABQAB"
+        b"h6FO1AAAAABJRU5ErkJggg==")
+    with open(exp / "results" / "training_curves.png", "wb") as f:
+        f.write(png)
+
+    out = make_report.main(["--experiment_dir", str(exp)])
+    html_text = open(out).read()
+    assert "Run configuration" in html_text and "Evaluation (anomaly)" in html_text
+    assert "auroc" in html_text and "0.97" in html_text
+    assert "data:image/png;base64," in html_text
+    assert "final train loss <b>0.2</b>" in html_text
