@@ -109,7 +109,11 @@ def main():
     images_per_sec = batch * STEPS / dt
     per_chip = images_per_sec / n_chips
 
-    # Secondary: inference throughput (BN-folded eval step).
+    # Secondary: inference throughput (BN-folded eval step) at the BASELINE batch
+    # (16, per-batch loss fetch — the eval-loop pattern) and serving-style
+    # (batch 128, steps enqueued back-to-back, only the tiny (N,) scores fetched —
+    # how a deployment would drive the chip; 3.2x the b16 number, which is
+    # host-roundtrip-bound over the tunnel).
     from tpu_unet.ops.fold_bn import fold_batchnorm
     from tpu_unet.train import make_anomaly_eval_step
     folded, stats = fold_batchnorm(state.params, state.batch_stats)
@@ -122,6 +126,22 @@ def main():
         out = eval_step(istate, images, masks)
         float(out["losses"]["total_loss"])
     infer_per_chip = batch * STEPS / (time.perf_counter() - t0) / n_chips
+
+    serve_batch = 128 * n_chips
+    imgs_s = shard_batch(mesh, rng.integers(0, 256, (serve_batch, IMAGE_SIZE,
+                                                     IMAGE_SIZE, 3), dtype=np.uint8))
+    msks_s = shard_batch(mesh, np.zeros((serve_batch, IMAGE_SIZE, IMAGE_SIZE, 1),
+                                        np.float32))
+    out = eval_step(istate, imgs_s, msks_s)
+    float(out["losses"]["total_loss"])
+    t0 = time.perf_counter()
+    scores = []
+    for _ in range(STEPS):
+        out = eval_step(istate, imgs_s, msks_s)
+        scores.append(out["score"])
+    s = np.concatenate([np.asarray(x) for x in scores])
+    assert np.isfinite(s).all()
+    serve_per_chip = serve_batch * STEPS / (time.perf_counter() - t0) / n_chips
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_MEASURED.json")
@@ -165,6 +185,7 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline is not None else None,
         "infer_images_per_sec_per_chip": round(infer_per_chip, 2),
+        "infer_serving_b128_images_per_sec_per_chip": round(serve_per_chip, 2),
         "train_per_sample_rotation_images_per_sec_per_chip": round(per_sample_per_chip, 2),
         "batch": BATCH,
         "image_size": IMAGE_SIZE,
