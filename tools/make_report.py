@@ -82,7 +82,7 @@ def _flatten_metrics(blob: Dict) -> List[str]:
     """Render the known metric JSON shapes as tables."""
     parts = []
     for key in ("image_metrics", "overall_metrics", "pixel_metrics",
-                "per_type_metrics", "per_class_metrics", "loss"):
+                "type_metrics", "per_type_metrics", "per_class_metrics", "loss"):
         if isinstance(blob.get(key), dict) and blob[key]:
             sub = blob[key]
             # per_class arrays -> one row per class
@@ -97,7 +97,7 @@ def _flatten_metrics(blob: Dict) -> List[str]:
                     for c in range(classes))
                 parts.append(f"<h3>per-class metrics</h3><table><tr><th></th>"
                              f"{header}</tr>{body}</table>")
-            elif key == "per_type_metrics":
+            elif key in ("type_metrics", "per_type_metrics"):
                 for t, m in sub.items():
                     if isinstance(m, dict):
                         parts.append(_table(m, f"anomaly type: {t}"))
