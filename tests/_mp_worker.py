@@ -9,7 +9,12 @@ cross-process mesh, per-process DataLoader sharding + make_array_from_process_
 local_data, and the multi-process validate_seg_epoch gathering.
 """
 
+import os
 import sys
+
+# Running as `python tests/_mp_worker.py` puts tests/ (not the repo root) on
+# sys.path; make tpu_unet importable regardless of the parent's PYTHONPATH.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

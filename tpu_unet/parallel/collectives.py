@@ -46,7 +46,7 @@ def psum_scalar(x, mesh, axis: str = "data") -> float:
     """
     from functools import partial
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n_axis = mesh.shape[axis]
