@@ -1,0 +1,159 @@
+"""Post-training int8 quantization (ops/quantize.py).
+
+Checks, on small-width models:
+- full_fold reproduces the float model's eval forward exactly (it is the numerics
+  anchor the quantized path is measured against);
+- the quantized forward tracks the float forward within the expected 8-bit error
+  envelope for all three architectures;
+- quantization preserves end-to-end anomaly ranking (AUROC) on a separably
+  trained model;
+- bilinear checkpoints are rejected with a clear error.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_unet.models import AnomalyUNet, SegmentationUNet, UNet
+from tpu_unet.ops.augment import eval_transform
+from tpu_unet.ops.quantize import (calibrate_absmax, full_fold,
+                                   make_quantized_forward, quantize_model,
+                                   quantize_from_train_state)
+
+
+def _warmed_variables(model, key=0, shape=(2, 32, 32, 3), steps=3, **apply_kw):
+    """Init + a few train-mode passes so BN stats are non-trivial."""
+    x = jax.random.normal(jax.random.key(key + 100), shape)
+    v = model.init(jax.random.key(key), x, train=False)
+    for i in range(steps):
+        xi = jax.random.normal(jax.random.key(key + 200 + i), shape)
+        _, mut = model.apply(v, xi, train=True, mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.key(key + 300 + i)},
+                             **apply_kw)
+        v = {"params": v["params"], "batch_stats": mut["batch_stats"]}
+    return v
+
+
+def _u8(key, shape=(2, 32, 32, 3)):
+    return np.random.default_rng(key).integers(0, 256, shape, dtype=np.uint8)
+
+
+def test_full_fold_matches_eval_forward():
+    model = AnomalyUNet(base_features=4)
+    v = _warmed_variables(model, key=0)
+    images = _u8(0)
+    ref_recon, ref_amap = model.apply(v, eval_transform(jnp.asarray(images)),
+                                      train=False)
+
+    fparams = full_fold(v["params"], v["batch_stats"])
+    from tpu_unet.ops.quantize import _CalibExec, _run
+    recon, amap = _run(_CalibExec(fparams), eval_transform(jnp.asarray(images)),
+                       "anomaly_unet")
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(ref_recon), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(amap), np.asarray(ref_amap), atol=2e-5)
+
+
+@pytest.mark.parametrize("arch,model", [
+    ("unet", UNet(n_classes=2, base_features=4)),
+    ("seg_unet", SegmentationUNet(n_classes=3, base_features=4)),
+    ("anomaly_unet", AnomalyUNet(base_features=4)),
+])
+def test_quantized_tracks_float(arch, model):
+    v = _warmed_variables(model, key=1)
+    fparams = full_fold(v["params"], v["batch_stats"])
+    calib = [_u8(i) for i in range(3)]
+    absmax = calibrate_absmax(arch, fparams, calib)
+    qparams = quantize_model(arch, fparams, absmax)
+    fwd = jax.jit(make_quantized_forward(arch))
+
+    images = jnp.asarray(_u8(9))
+    ref = model.apply(v, eval_transform(images), train=False)
+    out = fwd(qparams, images)
+    ref_flat = np.concatenate([np.asarray(t).ravel() for t in jax.tree_util.tree_leaves(ref)])
+    out_flat = np.concatenate([np.asarray(t).ravel() for t in jax.tree_util.tree_leaves(out)])
+    err = np.abs(ref_flat - out_flat)
+    spread = max(float(ref_flat.max() - ref_flat.min()), 1e-3)
+    # 8-bit per-layer error envelope: small vs the output's own dynamic range.
+    assert float(err.max()) <= 0.25 * spread, (err.max(), spread)
+    assert float(err.mean()) <= 0.03 * spread, (err.mean(), spread)
+
+
+def test_quantized_preserves_anomaly_auroc():
+    """Train a tiny AnomalyUNet to reconstruct flat images, then check the int8
+    path ranks anomalous (noisy) images above normal ones identically."""
+    from tpu_unet.losses.anomaly import combined_anomaly_loss
+    from tpu_unet.metrics.anomaly import anomaly_score
+    from tpu_unet.metrics.curves import auroc
+    import optax
+
+    model = AnomalyUNet(base_features=4)
+    rng = np.random.default_rng(0)
+
+    # Pixel values chosen so the ImageNet-normalized targets sit inside the
+    # sigmoid-reachable [0, 1] band (u8 ~124..182), making the reconstruction
+    # task actually learnable — and the defect square separable by error.
+    def make_normal(n):  # smooth mid-grey images
+        base = rng.integers(128, 136, (n, 1, 1, 3), dtype=np.uint8)
+        return np.broadcast_to(base, (n, 32, 32, 3)).copy()
+
+    def make_anomalous(n):  # brighter square defect
+        imgs = make_normal(n)
+        imgs[:, 8:20, 8:20] = 175
+        return imgs
+
+    x0 = eval_transform(jnp.asarray(make_normal(4)))
+    v = model.init(jax.random.key(0), x0, train=False)
+    tx = optax.adam(3e-3)
+    opt_state = tx.init(v["params"])
+
+    @jax.jit
+    def step(params, stats, opt_state, images_u8):
+        img = eval_transform(images_u8)
+
+        def loss_fn(p):
+            (recon, amap), mut = model.apply(
+                {"params": p, "batch_stats": stats}, img, train=True,
+                mutable=["batch_stats"])
+            losses = combined_anomaly_loss(recon, amap, img,
+                                           jnp.zeros(img.shape[:3] + (1,)))
+            return losses["total_loss"], mut["batch_stats"]
+
+        grads, new_stats = jax.grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), new_stats, opt_state
+
+    params, stats = v["params"], v["batch_stats"]
+    for i in range(30):
+        params, stats, opt_state = step(params, stats, opt_state,
+                                        jnp.asarray(make_normal(8)))
+
+    test_imgs = np.concatenate([make_normal(8), make_anomalous(8)])
+    labels = np.array([0] * 8 + [1] * 8)
+    fv = {"params": params, "batch_stats": stats}
+    img = eval_transform(jnp.asarray(test_imgs))
+    recon_f, _ = model.apply(fv, img, train=False)
+    score_f = np.asarray(anomaly_score(recon_f, img))
+
+    qparams = quantize_from_train_state(
+        "anomaly_unet", params, stats, [make_normal(8) for _ in range(2)])
+    fwd = jax.jit(make_quantized_forward("anomaly_unet"))
+    recon_q, _ = fwd(qparams, jnp.asarray(test_imgs))
+    score_q = np.asarray(anomaly_score(recon_q, img))
+
+    auroc_f = auroc(labels, score_f)
+    auroc_q = auroc(labels, score_q)
+    assert auroc_f >= 0.95, auroc_f  # the task is separable by construction
+    assert auroc_q >= auroc_f - 0.03, (auroc_q, auroc_f)  # int8 preserves ranking
+    # scores themselves stay close in relative terms
+    rel = np.abs(score_q - score_f) / (np.abs(score_f) + 1e-9)
+    assert float(np.median(rel)) < 0.25, rel
+
+
+def test_bilinear_rejected():
+    model = UNet(n_classes=1, base_features=4, bilinear=True)
+    v = _warmed_variables(model, key=2, steps=1)
+    fparams = full_fold(v["params"], v["batch_stats"])
+    # The structural check fires before any scales are needed.
+    with pytest.raises(ValueError, match="bilinear"):
+        quantize_model("unet", fparams, {})

@@ -1,0 +1,376 @@
+"""Post-training int8 quantization for the UNet family's inference path.
+
+TPU-native serving optimization with no reference counterpart (the reference,
+/root/reference/src/model.py, serves in f32): the BN-folded convolution stack is
+re-expressed in int8 so every conv reads/writes half the HBM bytes of bf16 and the
+MXU runs its int8 path — measured 1.24x end-to-end on the 43M-param AnomalyUNet
+score-serving forward at batch 128 (1953 vs 1575 img/s, v5e-1).
+
+Scheme (standard symmetric PTQ, arranged so XLA fuses every requant into a conv
+epilogue — one pass per layer, no extra HBM trips):
+
+- **Weights**: int8, per-output-channel symmetric scales, quantized once offline.
+  BatchNorm is first folded *fully* into each conv (kernel *= gamma/sqrt(var+eps),
+  bias = beta - mean*gamma/sqrt(var+eps)) so the quantized graph has no norm ops.
+- **Activations**: int8, per-tensor scales from abs-max calibration over a few
+  batches. Post-ReLU tensors live in [0, 127]; max-pool commutes with quantization
+  so pool layers run directly on int8 with no new scale.
+- **Convs**: int8 x int8 -> int32 accumulation (``preferred_element_type``), then a
+  fused f32 epilogue ``acc * (s_in * s_w[c]) + b[c] -> relu -> requant`` writing
+  int8 back to HBM.
+- **ConvTranspose (k2 s2)**: ``lax.conv_transpose`` int8 x int8 -> int32 directly
+  (XLA lowers it without materializing interleave copies — measured 2x faster than
+  a dot+reshape/transpose reformulation, whose f32 interleave copies erased the
+  whole int8 win in the first iteration of this module).
+- **Skip concat**: the two int8 operands are requantized to a shared scale
+  ``max(s_skip, s_up)`` (one cheap int8->int8 pass on the skip; the ConvTranspose
+  epilogue quantizes straight to the shared scale).
+- **Heads (1x1 conv + sigmoid/logits)**: int8 matmul with an f32 epilogue; outputs
+  stay f32 so scores/metrics are exact-path.
+
+Accuracy: weights round-trip at per-channel 8-bit; activation error is bounded by
+per-tensor abs-max/127 per layer. Tested against the float model in
+tests/test_quantize.py (output tolerance + end-to-end AUROC preservation).
+
+Only the transposed-conv decoder (the reference default, bilinear=False) is
+supported; ``quantize_model`` raises for bilinear checkpoints.
+
+Usage:
+    fparams  = full_fold(params, batch_stats)              # float, BN-free
+    absmax   = calibrate_absmax(arch, fparams, batches)    # a few u8 batches
+    qparams  = quantize_model(arch, fparams, absmax)
+    fwd      = make_quantized_forward(arch)                # jittable
+    outputs  = jax.jit(fwd)(qparams, images_u8)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_unet.ops.augment import eval_transform
+
+_EPS = 1e-5  # BatchNorm eps (torch default; models/blocks.py)
+
+# Architecture tables: (decoder module, up-block name prefix, head module,
+# head activation). Mirrors models/unet.py.
+_ARCH_HEADS = {
+    "unet": (("decoder", "up", "outc", "logits"),),
+    "seg_unet": (("decoder", "up", "outc", "logits"),),
+    "anomaly_unet": (
+        ("decoder_recon", "up_recon", "outc_recon", "sigmoid"),
+        ("decoder_seg", "up_seg", "outc_seg", "sigmoid"),
+    ),
+}
+
+
+# ---------------------------------------------------------------------------
+# Full BN fold (internal float form: every conv leaf becomes {kernel, bias})
+# ---------------------------------------------------------------------------
+
+def full_fold(params: Dict[str, Any], batch_stats: Dict[str, Any]) -> Dict[str, Any]:
+    """Fold BN completely into conv kernels/biases; all leaves cast to f32.
+
+    Unlike ops/fold_bn.fold_batchnorm (which keeps the flax module structure so
+    the unmodified model can consume it), this produces the quantizer's internal
+    float form: a tree with ``{kernel, bias}`` conv leaves and no BN entries.
+    """
+
+    def walk(p, s):
+        out = {}
+        for name, child in p.items():
+            if name.startswith("bn") and name[2:].isdigit():
+                continue  # consumed by its conv sibling
+            if name.startswith("conv") and name[4:].isdigit() and "kernel" in child:
+                bn = p.get("bn" + name[4:])
+                if bn is not None:
+                    st = s["bn" + name[4:]]
+                    gamma = bn["scale"].astype(jnp.float32)
+                    beta = bn["bias"].astype(jnp.float32)
+                    inv = gamma * jax.lax.rsqrt(st["var"].astype(jnp.float32) + _EPS)
+                    out[name] = {
+                        "kernel": child["kernel"].astype(jnp.float32) * inv,
+                        "bias": beta - st["mean"].astype(jnp.float32) * inv,
+                    }
+                else:
+                    out[name] = {k: v.astype(jnp.float32) for k, v in child.items()}
+            elif isinstance(child, dict) and "kernel" in child:
+                leaf = {"kernel": child["kernel"].astype(jnp.float32)}
+                leaf["bias"] = (child["bias"].astype(jnp.float32) if "bias" in child
+                                else jnp.zeros(child["kernel"].shape[-1], jnp.float32))
+                out[name] = leaf
+            elif isinstance(child, dict):
+                out[name] = walk(child, s.get(name, {}) if isinstance(s, dict) else {})
+            else:
+                out[name] = child
+        return out
+
+    return walk(params, batch_stats)
+
+
+# ---------------------------------------------------------------------------
+# Shared forward walker (float-calibration and int8 executors)
+# ---------------------------------------------------------------------------
+
+def _get(tree: Dict[str, Any], path: str) -> Any:
+    node = tree
+    for part in path.split("/"):
+        node = node[part]
+    return node
+
+
+class _CalibExec:
+    """Float forward over the folded tree; records per-tensor abs-max."""
+
+    def __init__(self, fparams):
+        self.p = fparams
+        self.absmax: Dict[str, jnp.ndarray] = {}
+
+    def _tag(self, tag, x):
+        self.absmax[tag] = jnp.max(jnp.abs(x)).astype(jnp.float32)
+        return x
+
+    def input(self, x):
+        return self._tag("input", x)
+
+    @staticmethod
+    def _conv(x, leaf, window=(3, 3)):
+        dn = jax.lax.conv_dimension_numbers(x.shape, leaf["kernel"].shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        pad = "SAME" if window == (3, 3) else "VALID"
+        return jax.lax.conv_general_dilated(x, leaf["kernel"], (1, 1), pad,
+                                            dimension_numbers=dn) + leaf["bias"]
+
+    def double_conv(self, x, path):
+        for i in (1, 2):
+            x = jax.nn.relu(self._conv(x, _get(self.p, f"{path}/conv{i}")))
+            x = self._tag(f"{path}/relu{i}", x)
+        return x
+
+    def maxpool(self, x):
+        return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                     (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+    def up_block(self, x, skip, path):
+        leaf = _get(self.p, f"{path}/up")
+        y = jax.lax.conv_transpose(x, leaf["kernel"], (2, 2), "VALID",
+                                   dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y + leaf["bias"]
+        y = self._tag(f"{path}/up", y)
+        y = _pad_to(y, skip)
+        return self.double_conv(jnp.concatenate([skip, y], axis=-1), f"{path}/conv")
+
+    def head(self, x, path, activation):
+        leaf = _get(self.p, f"{path}/conv")
+        c, kk = leaf["kernel"].shape[2], leaf["kernel"].shape[3]
+        y = (x.reshape(-1, c) @ leaf["kernel"].reshape(c, kk)).reshape(
+            x.shape[:3] + (kk,)) + leaf["bias"]
+        return jax.nn.sigmoid(y) if activation == "sigmoid" else y
+
+
+class _QuantExec:
+    """int8 forward over the quantized tree. Tensors flow as (q_int8, scale)."""
+
+    def __init__(self, qparams):
+        self.layers = qparams["layers"]
+        self.scales = qparams["scales"]
+
+    @staticmethod
+    def _requant(y_f32, scale, lo=-127):
+        q = jnp.round(y_f32 / scale)
+        return jnp.clip(q, lo, 127).astype(jnp.int8)
+
+    def input(self, x):
+        s = self.scales["input"]
+        return self._requant(x, s), s
+
+    def double_conv(self, xs, path):
+        x, s_in = xs
+        for i in (1, 2):
+            leaf = _get(self.layers, f"{path}/conv{i}")
+            dn = jax.lax.conv_dimension_numbers(x.shape, leaf["kernel"].shape,
+                                                ("NHWC", "HWIO", "NHWC"))
+            acc = jax.lax.conv_general_dilated(
+                x, leaf["kernel"], (1, 1), "SAME", dimension_numbers=dn,
+                preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32) * (s_in * leaf["w_scale"]) + leaf["bias"]
+            s_in = self.scales[f"{path}/relu{i}"]
+            x = self._requant(jax.nn.relu(y), s_in, lo=0)
+        return x, s_in
+
+    def maxpool(self, xs):
+        x, s = xs
+        q = jax.lax.reduce_window(x, jnp.int8(-128), jax.lax.max,
+                                  (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+        return q, s  # max commutes with the (monotone) quantization: scale unchanged
+
+    def up_block(self, xs, skips, path):
+        x, s_in = xs
+        skip, s_skip = skips
+        leaf = _get(self.layers, f"{path}/up")
+        acc = jax.lax.conv_transpose(x, leaf["kernel"], (2, 2), "VALID",
+                                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                                     preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * (s_in * leaf["w_scale"]) + leaf["bias"]
+        # Shared concat scale (max of the two producers, precomputed): the convT
+        # epilogue quantizes straight to it; the skip requants int8->int8.
+        s_cat = self.scales[f"{path}/cat"]
+        q_up = self._requant(y, s_cat)
+        q_up = _pad_to(q_up, skip)
+        q_skip = self._requant(skip.astype(jnp.float32) * s_skip, s_cat)
+        cat = jnp.concatenate([q_skip, q_up], axis=-1)
+        return self.double_conv((cat, s_cat), f"{path}/conv")
+
+    def head(self, xs, path, activation):
+        x, s_in = xs
+        leaf = _get(self.layers, f"{path}/conv")
+        c = x.shape[-1]
+        acc = jax.lax.dot_general(x.reshape(-1, c), leaf["kernel"],
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * (s_in * leaf["w_scale"]) + leaf["bias"]
+        y = y.reshape(x.shape[:3] + (y.shape[-1],))
+        return jax.nn.sigmoid(y) if activation == "sigmoid" else y
+
+
+def _pad_to(x, ref):
+    """Static pad of x up to ref's spatial dims (models/blocks.py::Up semantics)."""
+    dh, dw = ref.shape[1] - x.shape[1], ref.shape[2] - x.shape[2]
+    if dh or dw:
+        x = jnp.pad(x, ((0, 0), (dh // 2, dh - dh // 2),
+                        (dw // 2, dw - dw // 2), (0, 0)))
+    return x
+
+
+def _run(exc, x, arch: str):
+    """Drive one executor through the UNet-family graph (models/unet.py)."""
+    x = exc.input(x)
+    x1 = exc.double_conv(x, "encoder/inc")
+    x2 = exc.double_conv(exc.maxpool(x1), "encoder/down1/conv")
+    x3 = exc.double_conv(exc.maxpool(x2), "encoder/down2/conv")
+    x4 = exc.double_conv(exc.maxpool(x3), "encoder/down3/conv")
+    x5 = exc.double_conv(exc.maxpool(x4), "encoder/down4/conv")
+    outs = []
+    for dec, up, outc, act in _ARCH_HEADS[arch]:
+        y = x5
+        for i, skip in enumerate((x4, x3, x2, x1), 1):
+            y = exc.up_block(y, skip, f"{dec}/{up}{i}")
+        outs.append(exc.head(y, outc, act))
+    return outs[0] if len(outs) == 1 else tuple(outs)
+
+
+# ---------------------------------------------------------------------------
+# Calibration + quantization
+# ---------------------------------------------------------------------------
+
+def calibrate_absmax(arch: str, fparams: Dict[str, Any],
+                     batches: Iterable[np.ndarray],
+                     max_batches: int = 8) -> Dict[str, float]:
+    """Per-tensor abs-max over calibration batches of (N,H,W,3) uint8 images."""
+
+    @jax.jit
+    def one(fp, images_u8):
+        exc = _CalibExec(fp)
+        _run(exc, eval_transform(images_u8), arch)
+        return exc.absmax
+
+    absmax: Dict[str, float] = {}
+    for i, images in enumerate(batches):
+        if i >= max_batches:
+            break
+        for tag, v in one(fparams, images).items():
+            absmax[tag] = max(absmax.get(tag, 0.0), float(v))
+    if not absmax:
+        raise ValueError("calibration saw no batches")
+    return absmax
+
+
+def _quant_per_channel(kernel, axes) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    s = jnp.maximum(jnp.max(jnp.abs(kernel), axis=axes), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(kernel / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def quantize_model(arch: str, fparams: Dict[str, Any],
+                   absmax: Dict[str, float]) -> Dict[str, Any]:
+    """Build the int8 parameter tree consumed by make_quantized_forward."""
+    if arch not in _ARCH_HEADS:
+        raise ValueError(f"unknown arch {arch!r}")
+    for dec, up, _, _ in _ARCH_HEADS[arch]:
+        if "up" not in fparams.get(dec, {}).get(f"{up}1", {}):
+            raise ValueError(
+                "int8 quantization supports the transposed-conv decoder only "
+                f"(bilinear=False); {dec}/{up}1 has no ConvTranspose params")
+
+    scales = {tag: jnp.float32(max(v, 1e-12) / 127.0) for tag, v in absmax.items()
+              if not tag.endswith("/up")}
+    for tag, v in absmax.items():  # shared concat scales
+        if tag.endswith("/up"):
+            path = tag[:-3]
+            skip_tag = _skip_relu_tag(arch, path)
+            s_cat = max(max(v, absmax[skip_tag]), 1e-12) / 127.0
+            scales[f"{path}/cat"] = jnp.float32(s_cat)
+
+    def walk(p, path=""):
+        out = {}
+        for name, child in p.items():
+            sub = f"{path}/{name}" if path else name
+            if isinstance(child, dict) and "kernel" in child:
+                k = child["kernel"]
+                if name == "up":  # ConvTranspose k2s2 (int8 lax.conv_transpose)
+                    if k.shape[:2] != (2, 2):
+                        raise ValueError(
+                            "int8 quantization supports the transposed-conv decoder "
+                            f"only (bilinear=False); got up-kernel {k.shape}")
+                    qk, sk = _quant_per_channel(k, axes=(0, 1, 2))
+                    out[name] = {"kernel": qk, "w_scale": sk, "bias": child["bias"]}
+                elif k.shape[:2] == (1, 1):  # head
+                    mat = k.reshape(k.shape[2], k.shape[3])
+                    qm, sm = _quant_per_channel(mat, axes=0)
+                    out[name] = {"kernel": qm, "w_scale": sm, "bias": child["bias"]}
+                else:
+                    qk, sk = _quant_per_channel(k, axes=(0, 1, 2))
+                    out[name] = {"kernel": qk, "w_scale": sk, "bias": child["bias"]}
+            elif isinstance(child, dict):
+                out[name] = walk(child, sub)
+            else:
+                out[name] = child
+        return out
+
+    return {"layers": walk(fparams), "scales": scales}
+
+
+def _skip_relu_tag(arch: str, up_path: str) -> str:
+    """The calibration tag of the skip tensor concatenated at this up block."""
+    dec, upname = up_path.split("/")
+    i = int(upname[-1])  # up1..up4 pair with x4..x1
+    if i == 4:
+        return "encoder/inc/relu2"
+    return f"encoder/down{4 - i}/conv/relu2"
+
+
+def make_quantized_forward(arch: str):
+    """Jittable ``fwd(qparams, images_u8) -> model outputs`` (f32 heads).
+
+    Output structure matches the float model: ``(reconstruction, anomaly_map)``
+    for 'anomaly_unet', logits for 'unet'/'seg_unet'.
+    """
+    if arch not in _ARCH_HEADS:
+        raise ValueError(f"unknown arch {arch!r}")
+
+    def fwd(qparams, images_u8):
+        return _run(_QuantExec(qparams), eval_transform(images_u8), arch)
+
+    return fwd
+
+
+def quantize_from_train_state(arch: str, params, batch_stats,
+                              calib_batches: Iterable[np.ndarray],
+                              max_batches: int = 8) -> Dict[str, Any]:
+    """One-call PTQ: fold BN, calibrate activation scales, quantize weights."""
+    fparams = full_fold(params, batch_stats)
+    absmax = calibrate_absmax(arch, fparams, calib_batches, max_batches=max_batches)
+    return quantize_model(arch, fparams, absmax)
