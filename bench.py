@@ -143,6 +143,17 @@ def main():
     assert np.isfinite(s).all()
     serve_per_chip = serve_batch * STEPS / (time.perf_counter() - t0) / n_chips
 
+    # Serving path (tpu_unet/serve.py): score-only program (seg decoder DCE'd)
+    # in bf16 and int8-quantized. Single-chip jit (serving is per-chip replicas).
+    from tpu_unet.serve import AnomalyScorer
+    serve_bf16 = AnomalyScorer.from_variables(
+        state.params, state.batch_stats, image_size=IMAGE_SIZE,
+        batch_size=128).throughput(STEPS)
+    calib = rng.integers(0, 256, (32, IMAGE_SIZE, IMAGE_SIZE, 3), dtype=np.uint8)
+    serve_int8 = AnomalyScorer.from_variables(
+        state.params, state.batch_stats, image_size=IMAGE_SIZE,
+        batch_size=128, quantize="int8", calib_images=calib).throughput(STEPS)
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_MEASURED.json")
     vs_baseline = None
@@ -186,6 +197,9 @@ def main():
         "vs_baseline": round(vs_baseline, 2) if vs_baseline is not None else None,
         "infer_images_per_sec_per_chip": round(infer_per_chip, 2),
         "infer_serving_b128_images_per_sec_per_chip": round(serve_per_chip, 2),
+        # tpu_unet/serve.py: score-only program (seg decoder DCE'd) + int8 PTQ
+        "serve_score_only_b128_images_per_sec_per_chip": round(serve_bf16, 2),
+        "serve_int8_b128_images_per_sec_per_chip": round(serve_int8, 2),
         "train_per_sample_rotation_images_per_sec_per_chip": round(per_sample_per_chip, 2),
         "batch": BATCH,
         "image_size": IMAGE_SIZE,

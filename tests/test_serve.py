@@ -1,0 +1,160 @@
+"""Serving engine (tpu_unet/serve.py) + serve CLI + quantized test-CLI path.
+
+Trains one tiny AnomalyUNet checkpoint on the synthetic MVTec fixture, then
+drives the deployment surfaces against it: AnomalyScorer (bf16 + int8),
+score_paths decode pipelining/padding, the serve CLI artifact, and the test
+CLI's --quantize int8 mode.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_data import make_mvtec
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """(mvtec_root, checkpoint_dir) for a 2-epoch tiny training run."""
+    root = make_mvtec(str(tmp_path_factory.mktemp("mvtec")), n_train=8,
+                      n_test_good=3, n_broken=3, size=32)
+    from tpu_unet.cli.train_mvtec import main as train_main
+    save_dir = str(tmp_path_factory.mktemp("outputs"))
+    exp_dir = train_main([
+        "--data_root", root, "--category", "bottle",
+        "--image_size", "32", "--epochs", "2", "--batch_size", "4",
+        "--val_freq", "1", "--save_freq", "1", "--num_workers", "2",
+        "--save_dir", save_dir, "--base_features", "4", "--precision", "f32",
+        "--n_devices", "2",
+    ])
+    return root, os.path.join(exp_dir, "checkpoints", "best_model")
+
+
+def test_scorer_matches_eval_step(trained):
+    import jax
+
+    from tpu_unet.serve import AnomalyScorer
+    from tpu_unet.train import make_anomaly_eval_step
+    from tpu_unet.train.checkpoint import load_params
+    from tpu_unet.train.optim import make_optimizer
+    from tpu_unet.train.state import create_train_state
+    from tpu_unet.core.precision import get_policy
+    from tpu_unet.models import build_model
+
+    root, ckpt = trained
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, (5, 32, 32, 3), dtype=np.uint8)
+
+    scorer = AnomalyScorer.from_checkpoint(ckpt, image_size=32, batch_size=4,
+                                           precision="f32", base_features=4)
+    scores = scorer.score_array(images)  # 5 images, batch 4 -> padded final batch
+    assert scores.shape == (5,) and np.isfinite(scores).all()
+
+    model = build_model("anomaly_unet", policy=get_policy("f32"), base_features=4)
+    state = create_train_state(model, jax.random.key(0), (1, 32, 32, 3),
+                               make_optimizer("adam", 1e-3, 0.0))
+    state = load_params(state, ckpt)
+    step = make_anomaly_eval_step()
+    ref = np.asarray(step(state, images,
+                          np.zeros((5, 32, 32, 1), np.float32))["score"])
+    # BN folding is the only numeric difference on the score path.
+    np.testing.assert_allclose(scores, ref, rtol=2e-3, atol=1e-6)
+
+
+def test_scorer_int8_tracks_float(trained):
+    from tpu_unet.serve import AnomalyScorer
+
+    root, ckpt = trained
+    rng = np.random.default_rng(1)
+    calib = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+    images = rng.integers(0, 256, (6, 32, 32, 3), dtype=np.uint8)
+
+    f = AnomalyScorer.from_checkpoint(ckpt, image_size=32, batch_size=4,
+                                      precision="f32", base_features=4)
+    q = AnomalyScorer.from_checkpoint(ckpt, image_size=32, batch_size=4,
+                                      quantize="int8", calib_images=calib,
+                                      base_features=4)
+    sf, sq = f.score_array(images), q.score_array(images)
+    assert np.isfinite(sq).all()
+    # int8 scores track the float scores in relative terms.
+    rel = np.abs(sq - sf) / (np.abs(sf) + 1e-9)
+    assert float(np.median(rel)) < 0.3, (sf, sq)
+
+    with pytest.raises(ValueError, match="calib_images"):
+        AnomalyScorer.from_checkpoint(ckpt, image_size=32, quantize="int8",
+                                      base_features=4)
+
+
+def test_score_paths_and_empty(trained, tmp_path):
+    from PIL import Image
+
+    from tpu_unet.serve import AnomalyScorer
+
+    root, ckpt = trained
+    scorer = AnomalyScorer.from_checkpoint(ckpt, image_size=32, batch_size=4,
+                                           precision="f32", base_features=4)
+    rng = np.random.default_rng(2)
+    paths = []
+    for i in range(7):  # not a multiple of the batch -> padding + pipelining
+        p = os.path.join(tmp_path, f"img_{i}.png")
+        Image.fromarray(rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)).save(p)
+        paths.append(p)
+    scores = scorer.score_paths(paths, num_workers=2)
+    assert scores.shape == (7,) and np.isfinite(scores).all()
+
+    # path scores equal array scores for the same pixels
+    from tpu_unet.data.transforms import load_image_rgb
+    arr = np.stack([load_image_rgb(p, (32, 32)) for p in paths])
+    np.testing.assert_allclose(scores, scorer.score_array(arr), rtol=1e-5)
+
+    assert scorer.score_array(np.zeros((0, 32, 32, 3), np.uint8)).shape == (0,)
+
+
+def test_serve_cli(trained, tmp_path):
+    from tpu_unet.cli.serve_mvtec import main as serve_main
+
+    root, ckpt = trained
+    test_dir = os.path.join(root, "bottle", "test")
+    out = os.path.join(tmp_path, "scores.json")
+    payload = serve_main([
+        "--checkpoint", ckpt, "--input_dir", test_dir, "--image_size", "32",
+        "--batch_size", "4", "--precision", "f32", "--base_features", "4",
+        "--threshold", "0.0", "--output", out,
+    ])
+    assert payload is not None
+    with open(out) as f:
+        saved = json.load(f)
+    assert len(saved["scores"]) == 6  # 3 good + 3 broken
+    assert len(saved["verdicts"]) == 6
+    assert saved["throughput_img_per_sec"] > 0
+
+    # int8 mode with calibration from the train split
+    out_q = os.path.join(tmp_path, "scores_q.json")
+    payload_q = serve_main([
+        "--checkpoint", ckpt, "--input_dir", test_dir, "--image_size", "32",
+        "--batch_size", "4", "--base_features", "4",
+        "--quantize", "int8", "--calib_dir",
+        os.path.join(root, "bottle", "train", "good"),
+        "--output", out_q,
+    ])
+    assert payload_q is not None and len(payload_q["scores"]) == 6
+    assert all(np.isfinite(list(payload_q["scores"].values())))
+
+
+def test_test_cli_quantized(trained, tmp_path):
+    from tpu_unet.cli.test_mvtec import main as test_main
+
+    root, ckpt = trained
+    out_dir = os.path.join(tmp_path, "test_results")
+    evaluation = test_main([
+        "--data_root", root, "--category", "bottle",
+        "--image_size", "32", "--batch_size", "4", "--num_workers", "2",
+        "--checkpoint", ckpt, "--output_dir", out_dir, "--n_devices", "2",
+        "--base_features", "4", "--quantize", "int8", "--calib_samples", "8",
+    ])
+    assert evaluation is not None
+    assert "auroc" in evaluation["image_metrics"]
+    assert os.path.exists(os.path.join(out_dir, "bottle_test_results",
+                                       "test_metrics.json"))

@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""Batch anomaly-scoring service CLI (TPU-native serving path).
+
+Loads a trained AnomalyUNet checkpoint and scores a directory of images (or an
+MVTec category's test split) at serving throughput — BN-folded, score-only
+program (the segmentation decoder is dead-code-eliminated), optional int8
+post-training quantization, pipelined host decode. Writes ``scores.json``:
+per-image anomaly scores, optional thresholded verdicts, and the measured
+throughput.
+
+No reference counterpart: /root/reference stops at per-experiment test scripts
+(src/test.py); this is the deployment entry point those experiments feed.
+
+Examples:
+  python -m tpu_unet.cli.serve_mvtec --checkpoint outputs/exp/checkpoints/best_model \
+      --input_dir datasets/mvtec/bottle/test/broken_large --threshold 0.012
+  python -m tpu_unet.cli.serve_mvtec --checkpoint ... --input_dir imgs/ \
+      --quantize int8 --calib_dir datasets/mvtec/bottle/train/good
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import time
+
+import numpy as np
+
+from tpu_unet.serve import AnomalyScorer
+from tpu_unet.utils import save_json
+
+_IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Serve anomaly scores for a directory of images")
+    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--input_dir", type=str, required=True,
+                   help="Directory of images to score (searched recursively)")
+    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=128,
+                   help="Serving batch (one fixed XLA program; inputs are padded)")
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--precision", type=str, default="bf16", choices=["bf16", "f32"])
+    p.add_argument("--quantize", type=str, default="none", choices=["none", "int8"])
+    p.add_argument("--calib_dir", type=str, default=None,
+                   help="Directory of in-domain images for int8 calibration "
+                        "(e.g. the category's train/good); required with --quantize int8")
+    p.add_argument("--calib_samples", type=int, default=64)
+    p.add_argument("--threshold", type=float, default=None,
+                   help="Optional score threshold; adds boolean verdicts to the output")
+    p.add_argument("--base_features", type=int, default=64)
+    p.add_argument("--bilinear", action="store_true")
+    p.add_argument("--output", type=str, default="scores.json")
+    return p.parse_args(argv)
+
+
+def _list_images(root: str):
+    paths = [p for p in glob.glob(os.path.join(root, "**", "*"), recursive=True)
+             if p.lower().endswith(_IMG_EXTS)]
+    return sorted(paths)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    paths = _list_images(args.input_dir)
+    if not paths:
+        print(f"No images found under {args.input_dir}")
+        return None
+    print(f"Scoring {len(paths)} images from {args.input_dir}")
+
+    calib_images = None
+    if args.quantize == "int8":
+        if not args.calib_dir:
+            raise SystemExit("--quantize int8 requires --calib_dir "
+                             "(in-domain images, e.g. the category's train/good)")
+        from tpu_unet.data.transforms import load_image_rgb
+        calib_paths = _list_images(args.calib_dir)[:args.calib_samples]
+        if not calib_paths:
+            raise SystemExit(f"no calibration images under {args.calib_dir}")
+        calib_images = np.stack([
+            load_image_rgb(p, (args.image_size, args.image_size))
+            for p in calib_paths])
+        print(f"Calibrated int8 scales on {len(calib_paths)} images")
+
+    scorer = AnomalyScorer.from_checkpoint(
+        args.checkpoint, image_size=args.image_size, batch_size=args.batch_size,
+        precision=args.precision,
+        quantize=None if args.quantize == "none" else args.quantize,
+        calib_images=calib_images, base_features=args.base_features,
+        bilinear=args.bilinear)
+
+    t0 = time.perf_counter()
+    scores = scorer.score_paths(paths, num_workers=args.num_workers)
+    dt = time.perf_counter() - t0
+    throughput = len(paths) / dt
+    print(f"Scored {len(paths)} images in {dt:.2f}s "
+          f"({throughput:.1f} img/s incl. first-batch compile)")
+
+    payload = {
+        "checkpoint": args.checkpoint,
+        "quantize": args.quantize,
+        "image_size": args.image_size,
+        "throughput_img_per_sec": round(throughput, 2),
+        "scores": {os.path.relpath(p, args.input_dir): float(s)
+                   for p, s in zip(paths, scores)},
+    }
+    if args.threshold is not None:
+        payload["threshold"] = args.threshold
+        payload["verdicts"] = {os.path.relpath(p, args.input_dir):
+                               bool(s > args.threshold)
+                               for p, s in zip(paths, scores)}
+        n_anom = int((scores > args.threshold).sum())
+        print(f"{n_anom}/{len(paths)} images above threshold {args.threshold}")
+
+    save_json(payload, args.output)
+    print(f"Scores written to {args.output}")
+    return payload
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,11 @@ def parse_args(argv=None):
     parser.add_argument("--base_features", type=int, default=64)
     parser.add_argument("--fold_bn", action="store_true",
                         help="Fold BatchNorm into conv weights for inference")
+    parser.add_argument("--quantize", type=str, default="none", choices=["none", "int8"],
+                        help="int8 post-training quantization for inference "
+                             "(activation scales calibrated on the train split)")
+    parser.add_argument("--calib_samples", type=int, default=64,
+                        help="Calibration images for --quantize int8")
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--debug_samples", type=int, default=20)
     return parser.parse_args(argv)
@@ -187,7 +192,25 @@ def main(argv=None):
         state = state.replace(params=folded, batch_stats=stats)
         print("BatchNorm folded into conv weights for inference")
 
-    eval_step = make_anomaly_eval_step(dual_decoder=(args.model == "anomaly_unet"))
+    if args.quantize == "int8":
+        if args.model != "anomaly_unet" or args.bilinear:
+            raise SystemExit("--quantize int8 supports the transposed-conv "
+                             "anomaly_unet only")
+        from tpu_unet.ops.quantize import (make_quantized_anomaly_eval_step,
+                                           quantize_from_train_state)
+        calib_ds = MVTecDataset(args.data_root, args.category, "train",
+                                args.image_size, is_train=True)
+        n_calib = min(len(calib_ds), args.calib_samples)
+        calib_imgs = np.stack([calib_ds.load(i)["image"] for i in range(n_calib)])
+        qparams = quantize_from_train_state(
+            "anomaly_unet", state.params, state.batch_stats,
+            [calib_imgs[i:i + 16] for i in range(0, n_calib, 16)])
+        qstep = make_quantized_anomaly_eval_step()
+        eval_step = lambda _state, images, masks, valid=None: qstep(
+            qparams, images, masks, valid)
+        print(f"int8 quantized inference (calibrated on {n_calib} train images)")
+    else:
+        eval_step = make_anomaly_eval_step(dual_decoder=(args.model == "anomaly_unet"))
     print("Testing model...")
     results = test_model(eval_step, state, loader)
     print("Evaluating results...")

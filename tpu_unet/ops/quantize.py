@@ -374,3 +374,34 @@ def quantize_from_train_state(arch: str, params, batch_stats,
     fparams = full_fold(params, batch_stats)
     absmax = calibrate_absmax(arch, fparams, calib_batches, max_batches=max_batches)
     return quantize_model(arch, fparams, absmax)
+
+
+def make_quantized_anomaly_eval_step(loss_cfg=None):
+    """Quantized drop-in for train.steps.make_anomaly_eval_step.
+
+    Returns jitted ``step(qparams, images_u8, masks, valid=None) -> outputs dict``
+    with the same keys as the float eval step, so the epoch drivers and the test
+    CLI work unchanged on int8 inference.
+    """
+    from tpu_unet.losses.anomaly import combined_anomaly_loss
+    from tpu_unet.metrics.anomaly import anomaly_error_map, anomaly_score
+    from tpu_unet.train.steps import AnomalyLossConfig
+
+    cfg = loss_cfg if loss_cfg is not None else AnomalyLossConfig()
+    fwd = make_quantized_forward("anomaly_unet")
+
+    def step(qparams, images_u8, masks, valid=None):
+        img = eval_transform(images_u8)
+        recon, amap = fwd(qparams, images_u8)
+        losses = combined_anomaly_loss(recon, amap, img, masks,
+                                       sample_weight=valid, **cfg.kwargs())
+        return {
+            "losses": losses,
+            "score": anomaly_score(recon, img),
+            "error_map": anomaly_error_map(recon, img),
+            "anomaly_map": amap[..., 0],
+            "reconstruction": recon,
+            "image": img,
+        }
+
+    return jax.jit(step)

@@ -1,0 +1,195 @@
+"""Production anomaly-scoring engine (batched TPU serving).
+
+The deployment-facing counterpart of the experiment CLIs: load a trained
+AnomalyUNet once, then score streams of images at full chip throughput. No
+reference counterpart (/root/reference stops at per-experiment test scripts);
+this is the TPU-native serving layer the framework's BN-folding, score-only
+program specialization, and int8 quantization exist for.
+
+Serving-specific optimizations (all measured on v5e-1, 256px, batch 128):
+- **Score-only program**: the jitted forward returns only the per-image scalar
+  score, so XLA dead-code-eliminates the entire segmentation decoder (half the
+  model) — 1575 img/s vs 992 img/s for the full-output eval step (bf16).
+- **int8 PTQ** (``quantize='int8'``): 1953 img/s (1.24x over bf16 score-only,
+  2x the full-output bf16 step). See ops/quantize.py.
+- **Pipelined dispatch**: batches are enqueued back-to-back and only the (N,)
+  score vectors are fetched, keeping the device busy across the host roundtrip.
+- **Fixed shapes**: inputs are padded to the serving batch size so exactly one
+  XLA program is compiled.
+
+Usage:
+    scorer = AnomalyScorer.from_checkpoint("outputs/exp/checkpoints/best_model",
+                                           calib_images=calib_u8)   # or quantize=None
+    scores = scorer.score_paths(glob.glob("line_camera/*.png"))
+    verdicts = scores > threshold
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_unet.core.precision import get_policy
+from tpu_unet.data.transforms import load_image_rgb
+from tpu_unet.metrics.anomaly import anomaly_score
+from tpu_unet.models import build_model
+from tpu_unet.ops.augment import eval_transform
+from tpu_unet.ops.fold_bn import fold_batchnorm
+
+
+class AnomalyScorer:
+    """Batched anomaly scorer over one jitted, score-only program.
+
+    Construct via :meth:`from_checkpoint` (production) or :meth:`from_variables`
+    (tests / in-process use).
+    """
+
+    def __init__(self, score_fn, params_arg, image_size: int, batch_size: int):
+        self._score_fn = score_fn
+        self._params = params_arg
+        self.image_size = int(image_size)
+        self.batch_size = int(batch_size)
+
+    # -- constructors -------------------------------------------------------
+
+    @classmethod
+    def from_variables(cls, params, batch_stats, *, image_size: int = 256,
+                       batch_size: int = 128, precision: str = "bf16",
+                       quantize: Optional[str] = None,
+                       calib_images: Optional[np.ndarray] = None,
+                       base_features: int = 64, bilinear: bool = False,
+                       fold_bn: bool = True) -> "AnomalyScorer":
+        """Build a scorer from an AnomalyUNet's (params, batch_stats)."""
+        if quantize not in (None, "none", "int8"):
+            raise ValueError(f"unsupported quantize mode {quantize!r}")
+        if quantize == "int8":
+            from tpu_unet.ops.quantize import (make_quantized_forward,
+                                               quantize_from_train_state)
+            if calib_images is None:
+                raise ValueError("int8 quantization needs calib_images "
+                                 "(a (N,H,W,3) uint8 array of in-domain images)")
+            calib = [calib_images[i:i + 16]
+                     for i in range(0, len(calib_images), 16)]
+            qparams = quantize_from_train_state("anomaly_unet", params,
+                                                batch_stats, calib)
+            fwd = make_quantized_forward("anomaly_unet")
+
+            def score_fn(qp, images_u8):
+                recon, _ = fwd(qp, images_u8)
+                return anomaly_score(recon, eval_transform(images_u8))
+
+            return cls(jax.jit(score_fn), qparams, image_size, batch_size)
+
+        policy = get_policy(precision)
+        model = build_model("anomaly_unet", bilinear=bilinear, policy=policy,
+                            base_features=base_features)
+        if fold_bn:
+            params, batch_stats = fold_batchnorm(params, batch_stats)
+        variables = {"params": params, "batch_stats": batch_stats}
+
+        def score_fn(v, images_u8):
+            img = eval_transform(images_u8)
+            recon, _ = model.apply(v, img, train=False)  # seg decoder DCE'd
+            return anomaly_score(recon, img)
+
+        return cls(jax.jit(score_fn), variables, image_size, batch_size)
+
+    @classmethod
+    def from_checkpoint(cls, checkpoint: str, *, image_size: int = 256,
+                        batch_size: int = 128, precision: str = "bf16",
+                        quantize: Optional[str] = None,
+                        calib_images: Optional[np.ndarray] = None,
+                        base_features: int = 64,
+                        bilinear: bool = False) -> "AnomalyScorer":
+        """Load an Orbax checkpoint (best_model / checkpoint_epoch_N layout)."""
+        from tpu_unet.train.checkpoint import load_params
+        from tpu_unet.train.optim import make_optimizer
+        from tpu_unet.train.state import create_train_state
+
+        model = build_model("anomaly_unet", bilinear=bilinear,
+                            policy=get_policy(precision),
+                            base_features=base_features)
+        # The optimizer must match the trainer's so the checkpoint's opt_state
+        # template round-trips (its values are discarded; cf. cli/test_mvtec.py).
+        state = create_train_state(model, jax.random.key(0),
+                                   (1, image_size, image_size, 3),
+                                   make_optimizer("adam", 1e-3, 0.0))
+        state = load_params(state, checkpoint)
+        return cls.from_variables(state.params, state.batch_stats,
+                                  image_size=image_size, batch_size=batch_size,
+                                  precision=precision, quantize=quantize,
+                                  calib_images=calib_images,
+                                  base_features=base_features, bilinear=bilinear)
+
+    # -- scoring ------------------------------------------------------------
+
+    def score_array(self, images_u8: np.ndarray) -> np.ndarray:
+        """Score a (N,H,W,3) uint8 array; returns (N,) float32 scores.
+
+        Batches are padded to the fixed serving batch and enqueued back-to-back;
+        only the score vectors are fetched (forces completion, tiny transfer).
+        """
+        n = len(images_u8)
+        if n == 0:
+            return np.zeros((0,), np.float32)
+        pending = []
+        for lo in range(0, n, self.batch_size):
+            chunk = np.asarray(images_u8[lo:lo + self.batch_size])
+            if len(chunk) < self.batch_size:
+                pad = np.zeros((self.batch_size - len(chunk),) + chunk.shape[1:],
+                               chunk.dtype)
+                chunk = np.concatenate([chunk, pad])
+            pending.append(self._score_fn(self._params, jnp.asarray(chunk)))
+        return np.concatenate([np.asarray(s) for s in pending])[:n]
+
+    def score_paths(self, paths: Sequence[str], num_workers: int = 4) -> np.ndarray:
+        """Decode, resize, and score image files; returns (N,) scores.
+
+        Decode of batch k+1 overlaps the device scoring of batch k (the decode
+        pool runs GIL-free inside the native resampler).
+        """
+        size = (self.image_size, self.image_size)
+        pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
+        try:
+            def load_batch(batch_paths: Sequence[str]) -> np.ndarray:
+                return np.stack(list(pool.map(
+                    lambda p: load_image_rgb(p, size), batch_paths)))
+
+            chunks = [paths[lo:lo + self.batch_size]
+                      for lo in range(0, len(paths), self.batch_size)]
+            if not chunks:
+                return np.zeros((0,), np.float32)
+            pending: List = []
+            next_imgs = load_batch(chunks[0])
+            for i, chunk in enumerate(chunks):
+                imgs = next_imgs
+                future = (pool.submit(load_batch, chunks[i + 1])
+                          if i + 1 < len(chunks) else None)
+                if len(imgs) < self.batch_size:
+                    pad = np.zeros((self.batch_size - len(imgs),) + imgs.shape[1:],
+                                   imgs.dtype)
+                    imgs = np.concatenate([imgs, pad])
+                pending.append(self._score_fn(self._params, jnp.asarray(imgs)))
+                if future is not None:
+                    next_imgs = future.result()
+            return np.concatenate([np.asarray(s) for s in pending])[:len(paths)]
+        finally:
+            pool.shutdown(wait=False)
+
+    def throughput(self, n_batches: int = 10) -> float:
+        """Measured serving throughput (img/s) on synthetic data; warms compile."""
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.integers(
+            0, 256, (self.batch_size, self.image_size, self.image_size, 3),
+            dtype=np.uint8))
+        np.asarray(self._score_fn(self._params, imgs))  # compile
+        t0 = time.perf_counter()
+        out = [self._score_fn(self._params, imgs) for _ in range(n_batches)]
+        s = np.concatenate([np.asarray(x) for x in out])
+        assert np.isfinite(s).all()
+        return self.batch_size * n_batches / (time.perf_counter() - t0)
