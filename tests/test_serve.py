@@ -143,6 +143,32 @@ def test_serve_cli(trained, tmp_path):
     assert all(np.isfinite(list(payload_q["scores"].values())))
 
 
+def test_seg_cli_quantized(tmp_path):
+    """Gear train -> test CLI with --quantize int8 (the seg quantized path)."""
+    from tests.test_data import make_gear
+    from tpu_unet.cli.train_gear import main as train_main
+    from tpu_unet.cli.test_gear import main as test_main
+
+    root = make_gear(os.path.join(tmp_path, "gear"), n_per_split=4, size=32)
+    exp_dir = train_main([
+        "--data_root", root, "--image_size", "32", "--epochs", "1",
+        "--batch_size", "4", "--val_freq", "1", "--save_freq", "1",
+        "--num_workers", "2", "--save_dir", os.path.join(tmp_path, "out"),
+        "--base_features", "4", "--precision", "f32", "--n_devices", "2",
+    ])
+    best = os.path.join(exp_dir, "checkpoints", "best_model")
+    out_dir = os.path.join(tmp_path, "eval_q")
+    summary = test_main([
+        "--data_root", root, "--image_size", "32", "--batch_size", "4",
+        "--num_workers", "2", "--checkpoint", best, "--output_dir", out_dir,
+        "--base_features", "4", "--n_devices", "2",
+        "--quantize", "int8", "--calib_samples", "4",
+    ])
+    assert summary is not None
+    assert 0.0 <= summary["overall_metrics"]["pixel_accuracy"] <= 1.0
+    assert os.path.exists(os.path.join(out_dir, "evaluation_results.json"))
+
+
 def test_test_cli_quantized(trained, tmp_path):
     from tpu_unet.cli.test_mvtec import main as test_main
 

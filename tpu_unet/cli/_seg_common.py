@@ -223,7 +223,23 @@ def run_seg_evaluation(args, workload: Workload, split: str = "test"):
 
     class_weights = parse_class_weights(getattr(args, "class_weights", None), num_classes)
     loss_cfg = SegLossConfig(class_weights=class_weights)
-    eval_step = make_seg_eval_step(num_classes, loss_cfg)
+    if getattr(args, "quantize", "none") == "int8":
+        if args.model not in ("seg_unet", "segmentation_unet") or args.bilinear:
+            raise SystemExit("--quantize int8 supports the transposed-conv "
+                             "seg_unet only")
+        from tpu_unet.ops.quantize import (make_quantized_seg_eval_step,
+                                           quantize_from_train_state)
+        n_calib = min(len(train_ds), getattr(args, "calib_samples", 32))
+        calib_imgs = np.stack([train_ds.load(i)["image"] for i in range(n_calib)])
+        qparams = quantize_from_train_state(
+            "seg_unet", state.params, state.batch_stats,
+            [calib_imgs[i:i + 8] for i in range(0, n_calib, 8)])
+        qstep = make_quantized_seg_eval_step(num_classes, loss_cfg)
+        eval_step = lambda _state, images, labels, valid=None: qstep(
+            qparams, images, labels, valid)
+        print(f"int8 quantized inference (calibrated on {n_calib} train images)")
+    else:
+        eval_step = make_seg_eval_step(num_classes, loss_cfg)
 
     os.makedirs(args.output_dir, exist_ok=True)
     losses, cm = validate_seg_epoch(state, eval_step, loader, num_classes)

@@ -39,6 +39,11 @@ def parse_args(argv=None):
     parser.add_argument("--base_features", type=int, default=64)
     parser.add_argument("--fold_bn", action="store_true",
                         help="Fold BatchNorm into conv weights for inference")
+    parser.add_argument("--quantize", type=str, default="none", choices=["none", "int8"],
+                        help="int8 post-training quantization for inference "
+                             "(activation scales calibrated on the train split)")
+    parser.add_argument("--calib_samples", type=int, default=32,
+                        help="Calibration images for --quantize int8")
     return parser.parse_args(argv)
 
 

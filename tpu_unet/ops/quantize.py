@@ -405,3 +405,29 @@ def make_quantized_anomaly_eval_step(loss_cfg=None):
         }
 
     return jax.jit(step)
+
+
+def make_quantized_seg_eval_step(num_classes: int, loss_cfg=None):
+    """Quantized drop-in for train.steps.make_seg_eval_step.
+
+    Returns jitted ``step(qparams, images_u8, labels, valid=None) ->
+    (loss_dict, preds, cm)`` — same contract as the float step, so
+    validate_seg_epoch and the test CLIs run unchanged on int8 inference.
+    """
+    from tpu_unet.losses.segmentation import combined_segmentation_loss
+    from tpu_unet.metrics.confusion import confusion_matrix_batch
+    from tpu_unet.train.steps import SegLossConfig
+
+    cfg = loss_cfg if loss_cfg is not None else SegLossConfig()
+    fwd = make_quantized_forward("seg_unet")
+
+    def step(qparams, images_u8, labels, valid=None):
+        logits = fwd(qparams, images_u8)
+        losses = combined_segmentation_loss(logits, labels, sample_weight=valid,
+                                            **cfg.kwargs())
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        cm = confusion_matrix_batch(preds, labels.astype(jnp.int32), num_classes,
+                                    cfg.ignore_index)
+        return losses, preds, cm
+
+    return jax.jit(step)
