@@ -78,3 +78,27 @@ def test_find_best_checkpoint(tmp_path):
     os.makedirs(os.path.join(ckpts, "best_model"))
     assert find_best_checkpoint(exp).endswith("best_model")
     assert find_best_checkpoint(os.path.join(exp, "nope")) is None
+
+
+def test_async_writer_roundtrip(tmp_path):
+    """CheckpointWriter: async saves (incl. same-path overwrite) flush on close
+    and load back bitwise; sync mode delegates to save_checkpoint."""
+    from tpu_unet.train import CheckpointWriter
+
+    state = make_state(0)
+    path = os.path.join(tmp_path, "checkpoints", "best_model")
+    with CheckpointWriter() as w:
+        w.save(state, epoch=1, loss=1.0, path=path)
+        w.save(state, epoch=2, loss=0.5, path=path)  # overwrite while in flight
+        w.wait()
+    restored, epoch, loss = load_checkpoint(make_state(1), path)
+    assert epoch == 2 and abs(loss - 0.5) < 1e-9
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    sync_path = os.path.join(tmp_path, "checkpoints", "epoch_3")
+    with CheckpointWriter(async_save=False) as w:
+        w.save(state, epoch=3, loss=0.25, path=sync_path)
+    _, epoch, loss = load_checkpoint(make_state(2), sync_path)
+    assert epoch == 3 and abs(loss - 0.25) < 1e-9

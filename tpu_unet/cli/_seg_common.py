@@ -33,7 +33,7 @@ from tpu_unet.train import (
     make_seg_eval_step,
     make_seg_train_step,
     num_params,
-    save_checkpoint,
+    CheckpointWriter,
 )
 from tpu_unet.train.loop import train_seg_epoch, validate_seg_epoch
 from tpu_unet.utils import create_output_dirs, save_json, setup_logging
@@ -141,6 +141,7 @@ def run_seg_training(args, workload: Workload):
     train_losses, val_losses = [], []
     best_val_miou = 0.0
 
+    ckpt_writer = CheckpointWriter()  # async: file writes overlap training
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         state, train_metrics, train_cm = train_seg_epoch(
@@ -157,8 +158,8 @@ def run_seg_training(args, workload: Workload):
             val_results = (val_metrics, val_all)
             if val_all["mean_iou"] > best_val_miou:
                 best_val_miou = val_all["mean_iou"]
-                save_checkpoint(state, epoch, val_metrics.get("total_loss", 0.0),
-                                os.path.join(output_dirs["checkpoints"], "best_model"))
+                ckpt_writer.save(state, epoch, val_metrics.get("total_loss", 0.0),
+                                 os.path.join(output_dirs["checkpoints"], "best_model"))
                 logger.info(f"New best model saved with mIoU: {best_val_miou:.4f}")
 
         msg = (f"Epoch {epoch}/{args.epochs - 1}: "
@@ -172,10 +173,11 @@ def run_seg_training(args, workload: Workload):
         logger.info(msg)
 
         if epoch % args.save_freq == 0 or epoch == args.epochs - 1:
-            save_checkpoint(state, epoch, train_metrics.get("total_loss", 0.0),
-                            os.path.join(output_dirs["checkpoints"],
-                                         f"checkpoint_epoch_{epoch}"))
+            ckpt_writer.save(state, epoch, train_metrics.get("total_loss", 0.0),
+                             os.path.join(output_dirs["checkpoints"],
+                                          f"checkpoint_epoch_{epoch}"))
 
+    ckpt_writer.close()  # flush in-flight writes before anyone reads them
     results = {
         "train_losses": train_losses,
         "val_losses": val_losses,

@@ -38,7 +38,7 @@ from tpu_unet.train import (
     make_anomaly_train_step,
     make_optimizer,
     num_params,
-    save_checkpoint,
+    CheckpointWriter,
     set_learning_rate,
 )
 from tpu_unet.train.loop import train_anomaly_epoch, validate_anomaly_epoch
@@ -228,6 +228,7 @@ def main(argv=None):
     train_losses, val_losses = [], []
     best_val_loss = float("inf")
 
+    ckpt_writer = CheckpointWriter()  # async: file writes overlap training
     for epoch in range(start_epoch, args.epochs):
         epoch_start = time.time()
         state = state.replace(opt_state=set_learning_rate(
@@ -262,16 +263,17 @@ def main(argv=None):
 
             if val_metrics["total_loss"] < best_val_loss:
                 best_val_loss = val_metrics["total_loss"]
-                save_checkpoint(state, epoch, val_metrics["total_loss"],
-                                os.path.join(output_dirs["checkpoints"], "best_model"))
+                ckpt_writer.save(state, epoch, val_metrics["total_loss"],
+                                 os.path.join(output_dirs["checkpoints"], "best_model"))
 
         if epoch % args.save_freq == 0 or epoch == args.epochs - 1:
-            save_checkpoint(state, epoch, train_metrics["total_loss"],
-                            os.path.join(output_dirs["checkpoints"],
-                                         f"checkpoint_epoch_{epoch}"))
+            ckpt_writer.save(state, epoch, train_metrics["total_loss"],
+                             os.path.join(output_dirs["checkpoints"],
+                                          f"checkpoint_epoch_{epoch}"))
 
         print(f"Epoch time: {time.time() - epoch_start:.2f}s")
 
+    ckpt_writer.close()  # flush in-flight writes before anyone reads them
     plot_training_curves(train_losses, val_losses,
                          os.path.join(output_dirs["results"], "training_curves.png"))
     results = {

@@ -1,4 +1,5 @@
 from tpu_unet.train.checkpoint import (
+    CheckpointWriter,
     find_best_checkpoint,
     load_checkpoint,
     load_params,
@@ -17,6 +18,7 @@ from tpu_unet.train.steps import (
 )
 
 __all__ = [
+    "CheckpointWriter",
     "find_best_checkpoint",
     "load_checkpoint",
     "load_params",

@@ -26,19 +26,64 @@ def _checkpointer() -> ocp.Checkpointer:
     return ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
 
 
-def save_checkpoint(state: TrainState, epoch: int, loss: float, path: str) -> None:
-    """Save a training checkpoint to ``path`` (a directory; overwritten if present)."""
-    path = os.path.abspath(path)
-    payload = {
+def _payload(state: TrainState, epoch: int, loss: float) -> dict:
+    return {
         "epoch": epoch,
         "loss": float(loss),
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
     }
+
+
+def save_checkpoint(state: TrainState, epoch: int, loss: float, path: str) -> None:
+    """Save a training checkpoint to ``path`` (a directory; overwritten if present)."""
+    path = os.path.abspath(path)
     with _checkpointer() as ckptr:
-        ckptr.save(path, payload, force=True)
+        ckptr.save(path, _payload(state, epoch, loss), force=True)
     print(f"Checkpoint saved to {path}")
+
+
+class CheckpointWriter:
+    """Asynchronous checkpoint writer: ``save()`` snapshots device state and
+    returns while the serialization/file write overlaps the next training epoch
+    (Orbax AsyncCheckpointer; atomic directory rename on completion preserved).
+
+    The reference blocks training for every torch.save
+    (/root/reference/src/train.py:261-270); here the chip keeps stepping. At most
+    one write is in flight (a new save waits for the previous one), and ``wait()``
+    must be called before reading a just-written checkpoint or exiting.
+    """
+
+    def __init__(self, async_save: bool = True):
+        self._async = async_save
+        self._ck = (ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+                    if async_save else None)
+
+    def save(self, state: TrainState, epoch: int, loss: float, path: str) -> None:
+        if self._ck is None:
+            save_checkpoint(state, epoch, loss, path)
+            return
+        path = os.path.abspath(path)
+        self._ck.wait_until_finished()  # at most one outstanding write
+        self._ck.save(path, _payload(state, epoch, loss), force=True)
+        print(f"Checkpoint save started (async): {path}")
+
+    def wait(self) -> None:
+        if self._ck is not None:
+            self._ck.wait_until_finished()
+
+    def close(self) -> None:
+        if self._ck is not None:
+            self._ck.wait_until_finished()
+            self._ck.close()
+            self._ck = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def load_checkpoint(state: TrainState, path: str,
