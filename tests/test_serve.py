@@ -87,6 +87,29 @@ def test_scorer_int8_tracks_float(trained):
                                       base_features=4)
 
 
+def test_scorer_multichip_matches_single(trained):
+    """DP serving: batches sharded over a 4-device 'data' mesh reproduce the
+    single-device scores (bf16 and int8)."""
+    from tpu_unet.serve import AnomalyScorer
+
+    root, ckpt = trained
+    rng = np.random.default_rng(3)
+    images = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+    calib = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+
+    for kw in ({"precision": "f32"}, {"quantize": "int8", "calib_images": calib}):
+        one = AnomalyScorer.from_checkpoint(ckpt, image_size=32, batch_size=4,
+                                            base_features=4, **kw)
+        multi = AnomalyScorer.from_checkpoint(ckpt, image_size=32, batch_size=4,
+                                              base_features=4, n_devices=4, **kw)
+        np.testing.assert_allclose(multi.score_array(images),
+                                   one.score_array(images), rtol=2e-5, atol=1e-8)
+
+    with pytest.raises(ValueError, match="divisible"):
+        AnomalyScorer.from_checkpoint(ckpt, image_size=32, batch_size=6,
+                                      base_features=4, n_devices=4)
+
+
 def test_score_paths_and_empty(trained, tmp_path):
     from PIL import Image
 

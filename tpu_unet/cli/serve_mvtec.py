@@ -52,6 +52,8 @@ def parse_args(argv=None):
                    help="Optional score threshold; adds boolean verdicts to the output")
     p.add_argument("--base_features", type=int, default=64)
     p.add_argument("--bilinear", action="store_true")
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="Shard each serving batch over this many chips (DP)")
     p.add_argument("--output", type=str, default="scores.json")
     return p.parse_args(argv)
 
@@ -90,7 +92,7 @@ def main(argv=None):
         precision=args.precision,
         quantize=None if args.quantize == "none" else args.quantize,
         calib_images=calib_images, base_features=args.base_features,
-        bilinear=args.bilinear)
+        bilinear=args.bilinear, n_devices=args.n_devices)
 
     t0 = time.perf_counter()
     scores = scorer.score_paths(paths, num_workers=args.num_workers)

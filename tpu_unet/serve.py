@@ -49,11 +49,22 @@ class AnomalyScorer:
     (tests / in-process use).
     """
 
-    def __init__(self, score_fn, params_arg, image_size: int, batch_size: int):
+    def __init__(self, score_fn, params_arg, image_size: int, batch_size: int,
+                 mesh=None):
         self._score_fn = score_fn
-        self._params = params_arg
         self.image_size = int(image_size)
         self.batch_size = int(batch_size)
+        self._mesh = mesh
+        if mesh is not None:
+            from tpu_unet.parallel import replicate
+            params_arg = replicate(mesh, params_arg)
+        self._params = params_arg
+
+    def _put(self, chunk: np.ndarray):
+        if self._mesh is None:
+            return jnp.asarray(chunk)
+        from tpu_unet.parallel import shard_batch
+        return shard_batch(self._mesh, chunk)
 
     # -- constructors -------------------------------------------------------
 
@@ -63,10 +74,23 @@ class AnomalyScorer:
                        quantize: Optional[str] = None,
                        calib_images: Optional[np.ndarray] = None,
                        base_features: int = 64, bilinear: bool = False,
-                       fold_bn: bool = True) -> "AnomalyScorer":
-        """Build a scorer from an AnomalyUNet's (params, batch_stats)."""
+                       fold_bn: bool = True,
+                       n_devices: Optional[int] = None) -> "AnomalyScorer":
+        """Build a scorer from an AnomalyUNet's (params, batch_stats).
+
+        ``n_devices > 1`` shards each serving batch over a 'data' mesh (data
+        parallelism by GSPMD — one compiled program, psum-free inference); the
+        serving batch must be divisible by it.
+        """
         if quantize not in (None, "none", "int8"):
             raise ValueError(f"unsupported quantize mode {quantize!r}")
+        mesh = None
+        if n_devices is not None and n_devices > 1:
+            from tpu_unet.parallel import make_mesh
+            if batch_size % n_devices:
+                raise ValueError(f"batch_size {batch_size} not divisible by "
+                                 f"n_devices {n_devices}")
+            mesh = make_mesh(n_data=n_devices)
         if quantize == "int8":
             from tpu_unet.ops.quantize import (make_quantized_forward,
                                                quantize_from_train_state)
@@ -83,7 +107,8 @@ class AnomalyScorer:
                 recon, _ = fwd(qp, images_u8)
                 return anomaly_score(recon, eval_transform(images_u8))
 
-            return cls(jax.jit(score_fn), qparams, image_size, batch_size)
+            return cls(jax.jit(score_fn), qparams, image_size, batch_size,
+                       mesh=mesh)
 
         policy = get_policy(precision)
         model = build_model("anomaly_unet", bilinear=bilinear, policy=policy,
@@ -97,15 +122,16 @@ class AnomalyScorer:
             recon, _ = model.apply(v, img, train=False)  # seg decoder DCE'd
             return anomaly_score(recon, img)
 
-        return cls(jax.jit(score_fn), variables, image_size, batch_size)
+        return cls(jax.jit(score_fn), variables, image_size, batch_size,
+                   mesh=mesh)
 
     @classmethod
     def from_checkpoint(cls, checkpoint: str, *, image_size: int = 256,
                         batch_size: int = 128, precision: str = "bf16",
                         quantize: Optional[str] = None,
                         calib_images: Optional[np.ndarray] = None,
-                        base_features: int = 64,
-                        bilinear: bool = False) -> "AnomalyScorer":
+                        base_features: int = 64, bilinear: bool = False,
+                        n_devices: Optional[int] = None) -> "AnomalyScorer":
         """Load an Orbax checkpoint (best_model / checkpoint_epoch_N layout)."""
         from tpu_unet.train.checkpoint import load_params
         from tpu_unet.train.optim import make_optimizer
@@ -124,7 +150,8 @@ class AnomalyScorer:
                                   image_size=image_size, batch_size=batch_size,
                                   precision=precision, quantize=quantize,
                                   calib_images=calib_images,
-                                  base_features=base_features, bilinear=bilinear)
+                                  base_features=base_features, bilinear=bilinear,
+                                  n_devices=n_devices)
 
     # -- scoring ------------------------------------------------------------
 
@@ -144,7 +171,7 @@ class AnomalyScorer:
                 pad = np.zeros((self.batch_size - len(chunk),) + chunk.shape[1:],
                                chunk.dtype)
                 chunk = np.concatenate([chunk, pad])
-            pending.append(self._score_fn(self._params, jnp.asarray(chunk)))
+            pending.append(self._score_fn(self._params, self._put(chunk)))
         return np.concatenate([np.asarray(s) for s in pending])[:n]
 
     def score_paths(self, paths: Sequence[str], num_workers: int = 4) -> np.ndarray:
@@ -174,7 +201,7 @@ class AnomalyScorer:
                     pad = np.zeros((self.batch_size - len(imgs),) + imgs.shape[1:],
                                    imgs.dtype)
                     imgs = np.concatenate([imgs, pad])
-                pending.append(self._score_fn(self._params, jnp.asarray(imgs)))
+                pending.append(self._score_fn(self._params, self._put(imgs)))
                 if future is not None:
                     next_imgs = future.result()
             return np.concatenate([np.asarray(s) for s in pending])[:len(paths)]
@@ -184,7 +211,7 @@ class AnomalyScorer:
     def throughput(self, n_batches: int = 10) -> float:
         """Measured serving throughput (img/s) on synthetic data; warms compile."""
         rng = np.random.default_rng(0)
-        imgs = jnp.asarray(rng.integers(
+        imgs = self._put(rng.integers(
             0, 256, (self.batch_size, self.image_size, self.image_size, 3),
             dtype=np.uint8))
         np.asarray(self._score_fn(self._params, imgs))  # compile
