@@ -89,8 +89,11 @@ def test_visualize_seg_gear(tmp_path):
     ])
     assert out is not None
     files = os.listdir(out)
-    assert any(f.startswith("gear_") and f.endswith("_viz.png") for f in files)
-    assert "gear_class_distribution.png" in files
+    # Reference artifact names (visualize.py:385,412,437): per-sample panels,
+    # predictions grid, class distribution.
+    assert any(f.startswith("prediction_") and f.endswith(".png") for f in files)
+    assert "predictions_grid.png" in files
+    assert "class_distribution.png" in files
 
 
 def test_demo_cli(tmp_path, monkeypatch):

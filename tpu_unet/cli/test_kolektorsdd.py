@@ -31,10 +31,14 @@ def parse_args(argv=None):
     parser.add_argument("--num_workers", type=int, default=4)
     parser.add_argument("--device", type=str, default="auto")
     parser.add_argument("--class_weights", type=str, default="1.0,50.0,50.0")
-    parser.add_argument("--output_dir", type=str, default="test_results/kolektorsdd")
+    parser.add_argument("--save_dir", "--output_dir", dest="output_dir",
+                        type=str, default="test_results/kolektorsdd")
+    parser.add_argument("--save_confusion_matrix", action="store_true",
+                        help="Reference-CLI compatibility; the confusion-matrix "
+                             "PNG is always saved here")
     parser.add_argument("--save_predictions", action="store_true")
     parser.add_argument("--debug", action="store_true")
-    parser.add_argument("--debug_samples", type=int, default=20)
+    parser.add_argument("--debug_samples", type=int, default=50)
     parser.add_argument("--precision", type=str, default="bf16", choices=["bf16", "f32"])
     parser.add_argument("--n_devices", type=int, default=None)
     parser.add_argument("--base_features", type=int, default=64)

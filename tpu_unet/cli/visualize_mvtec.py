@@ -43,7 +43,8 @@ def parse_args(argv=None):
                         help="Checkpoint path (default: auto-discover under --outputs_dir)")
     parser.add_argument("--outputs_dir", type=str, default="../outputs",
                         help="Directory walked for checkpoint auto-discovery")
-    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--device", type=str, default="auto")
     parser.add_argument("--num_workers", type=int, default=4)
     parser.add_argument("--output_dir", type=str, default="../visualizations")
     parser.add_argument("--max_samples", type=int, default=16)
@@ -160,6 +161,8 @@ class AnomalyBrowser:
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.device not in ("auto", "tpu"):
+        jax.config.update("jax_platforms", args.device)
     plt = _plt()
 
     checkpoint = args.checkpoint or discover_checkpoint(args.outputs_dir, args.category)

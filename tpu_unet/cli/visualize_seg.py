@@ -42,11 +42,26 @@ def parse_args(argv=None):
     parser.add_argument("--bilinear", action="store_true")
     parser.add_argument("--dropout", type=float, default=0.1)
     parser.add_argument("--checkpoint", type=str, required=True)
-    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--batch_size", type=int, default=4)
     parser.add_argument("--num_workers", type=int, default=4)
-    parser.add_argument("--output_dir", type=str, default=None,
-                        help="Default: derived from the checkpoint path")
-    parser.add_argument("--max_samples", type=int, default=12)
+    parser.add_argument("--device", type=str, default="auto")
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--save_dir", "--output_dir", dest="output_dir", type=str,
+                        default=None, help="Default: derived from the checkpoint path")
+    parser.add_argument("--num_samples", "--max_samples", dest="num_samples",
+                        type=int, default=10,
+                        help="Number of samples to visualize (first N, like the reference)")
+    parser.add_argument("--save_individual", action="store_true",
+                        help="Save individual prediction panels")
+    parser.add_argument("--save_grid", action="store_true",
+                        help="Save a grid visualization")
+    parser.add_argument("--always_save", action="store_true", default=True,
+                        help="Render both individual and grid outputs (reference default)")
+    parser.add_argument("--show_confidence", action="store_true",
+                        help="Add the softmax max-prob confidence map to each panel")
+    parser.add_argument("--figsize", type=float, nargs=2, default=[15, 5])
+    parser.add_argument("--grid_size", type=int, nargs=2, default=[2, 5],
+                        help="Grid rows x cols")
     parser.add_argument("--alpha", type=float, default=0.5, help="Overlay opacity")
     parser.add_argument("--precision", type=str, default="bf16", choices=["bf16", "f32"])
     parser.add_argument("--n_devices", type=int, default=None)
@@ -68,6 +83,8 @@ def build_dataset(args):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.device not in ("auto", "tpu"):
+        jax.config.update("jax_platforms", args.device)
     plt = _plt()
 
     output_dir = args.output_dir or os.path.join(
@@ -99,41 +116,80 @@ def main(argv=None):
         probs = jax.nn.softmax(logits, axis=-1)
         return jnp.argmax(logits, axis=-1), jnp.max(probs, axis=-1), img
 
-    gt_counts = np.zeros(num_classes, np.int64)
-    pred_counts = np.zeros(num_classes, np.int64)
-    rendered = 0
+    # Collect the first num_samples (reference visualize.py:352-373 semantics).
+    samples = []
     for batch in loader:
+        if len(samples) >= args.num_samples:
+            break
         preds, conf, images = infer(batch["image"])
         preds, conf, images = np.asarray(preds), np.asarray(conf), np.asarray(images)
         masks = np.asarray(batch["mask"])
         valid = np.asarray(batch.get("valid", np.ones(images.shape[0], bool)))
         for i in range(images.shape[0]):
-            if not valid[i]:
+            if not valid[i] or len(samples) >= args.num_samples:
                 continue
-            gt_counts += np.bincount(masks[i].ravel(), minlength=num_classes)
-            pred_counts += np.bincount(preds[i].ravel(), minlength=num_classes)
-            if rendered >= args.max_samples:
-                continue
-            fig, axes = plt.subplots(1, 5, figsize=(22, 4.5))
-            axes[0].imshow(denormalize_image(images[i]))
-            axes[0].set_title("Original")
-            axes[1].imshow(masks[i], cmap="tab10", vmin=0, vmax=num_classes - 1)
-            axes[1].set_title("Ground Truth")
-            axes[2].imshow(preds[i], cmap="tab10", vmin=0, vmax=num_classes - 1)
-            axes[2].set_title("Prediction")
-            axes[3].imshow(overlay_segmentation(images[i], preds[i], alpha=args.alpha))
-            axes[3].set_title("Overlay")
-            im = axes[4].imshow(conf[i], cmap="viridis", vmin=0, vmax=1)
-            axes[4].set_title(f"Confidence (mean {conf[i].mean():.3f})")
-            for ax in axes:
-                ax.axis("off")
+            samples.append({"image": images[i], "mask": masks[i], "pred": preds[i],
+                            "conf": conf[i],
+                            "stem": os.path.basename(batch["image_path"][i]).split(".")[0]})
+    print(f"Collected {len(samples)} samples for visualization")
+
+    gt_counts = np.zeros(num_classes, np.int64)
+    pred_counts = np.zeros(num_classes, np.int64)
+    rendered = 0
+    for idx, s in enumerate(samples):
+        gt_counts += np.bincount(s["mask"].ravel(), minlength=num_classes)
+        pred_counts += np.bincount(s["pred"].ravel(), minlength=num_classes)
+        # Per-sample stats line (reference visualize.py:239-257,396-399).
+        acc = float((s["pred"] == s["mask"]).mean())
+        print(f"Sample {idx + 1}: Accuracy={acc:.3f}, "
+              f"Confidence={s['conf'].mean():.3f}±{s['conf'].std():.3f}")
+        if not (args.save_individual or args.always_save):
+            continue
+        ncols = 5 if args.show_confidence else 4
+        fig, axes = plt.subplots(1, ncols, figsize=tuple(args.figsize))
+        axes[0].imshow(denormalize_image(s["image"]))
+        axes[0].set_title("Original")
+        axes[1].imshow(s["mask"], cmap="tab10", vmin=0, vmax=num_classes - 1)
+        axes[1].set_title("Ground Truth")
+        axes[2].imshow(s["pred"], cmap="tab10", vmin=0, vmax=num_classes - 1)
+        axes[2].set_title("Prediction")
+        axes[3].imshow(overlay_segmentation(s["image"], s["pred"], alpha=args.alpha))
+        axes[3].set_title(f"Overlay (conf {s['conf'].mean():.3f})")
+        if args.show_confidence:
+            im = axes[4].imshow(s["conf"], cmap="viridis", vmin=0, vmax=1)
+            axes[4].set_title(f"Confidence (mean {s['conf'].mean():.3f})")
             fig.colorbar(im, ax=axes[4], fraction=0.046)
-            fig.tight_layout()
-            stem = os.path.basename(batch["image_path"][i]).split(".")[0]
-            path = os.path.join(output_dir, f"{args.dataset}_{stem}_viz.png")
-            fig.savefig(path, dpi=120, bbox_inches="tight")
-            plt.close(fig)
-            rendered += 1
+        for ax in axes:
+            ax.axis("off")
+        fig.tight_layout()
+        path = os.path.join(output_dir,
+                            f"prediction_{idx:03d}_{s['stem']}.png")
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        rendered += 1
+
+    # Grid visualization (reference visualize.py:169-236; predictions_grid.png).
+    if samples and (args.save_grid or args.always_save):
+        gr, gc = args.grid_size
+        n = min(len(samples), gr * gc)
+        fig, axes = plt.subplots(gr, 2 * gc, figsize=(4 * gc, 2.5 * gr))
+        axes = np.atleast_2d(axes)
+        for k in range(gr * gc):
+            r, c = divmod(k, gc)
+            ax_gt, ax_pr = axes[r][2 * c], axes[r][2 * c + 1]
+            if k < n:
+                s = samples[k]
+                ax_gt.imshow(overlay_segmentation(s["image"], s["mask"], alpha=args.alpha))
+                ax_gt.set_title(f"Sample {k + 1}: GT", fontsize=9)
+                ax_pr.imshow(overlay_segmentation(s["image"], s["pred"], alpha=args.alpha))
+                ax_pr.set_title(f"Pred (conf {s['conf'].mean():.2f})", fontsize=9)
+            ax_gt.axis("off")
+            ax_pr.axis("off")
+        fig.tight_layout()
+        grid_path = os.path.join(output_dir, "predictions_grid.png")
+        fig.savefig(grid_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        print(f"Grid visualization saved to {grid_path}")
 
     # Class-distribution bars, GT vs prediction (reference visualize.py:411-441).
     fig, ax = plt.subplots(figsize=(10, 6))
@@ -148,7 +204,7 @@ def main(argv=None):
     ax.set_title(f"{args.dataset} class distribution ({args.split})")
     ax.legend()
     fig.tight_layout()
-    dist_path = os.path.join(output_dir, f"{args.dataset}_class_distribution.png")
+    dist_path = os.path.join(output_dir, "class_distribution.png")
     fig.savefig(dist_path, dpi=150, bbox_inches="tight")
     plt.close(fig)
 
