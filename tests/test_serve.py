@@ -192,6 +192,71 @@ def test_seg_cli_quantized(tmp_path):
     assert os.path.exists(os.path.join(out_dir, "evaluation_results.json"))
 
 
+@pytest.fixture(scope="module")
+def trained_seg(tmp_path_factory):
+    """(gear_root, checkpoint) from a 1-epoch tiny Gear training run."""
+    from tests.test_data import make_gear
+    from tpu_unet.cli.train_gear import main as train_main
+
+    root = make_gear(str(tmp_path_factory.mktemp("gear")), n_per_split=4, size=32)
+    exp_dir = train_main([
+        "--data_root", root, "--image_size", "32", "--epochs", "1",
+        "--batch_size", "4", "--val_freq", "1", "--save_freq", "1",
+        "--num_workers", "2", "--save_dir", str(tmp_path_factory.mktemp("out")),
+        "--base_features", "4", "--precision", "f32", "--n_devices", "2",
+    ])
+    return root, os.path.join(exp_dir, "checkpoints", "best_model")
+
+
+def test_seg_predictor_modes_agree(trained_seg):
+    """Float/int8/DP/spatial predictors produce consistent masks."""
+    from tpu_unet.serve import SegmentationPredictor
+
+    root, ckpt = trained_seg
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, (6, 32, 32, 3), dtype=np.uint8)
+    calib = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+    kw = dict(num_classes=4, image_size_hw=(32, 32), batch_size=4,
+              base_features=4)
+
+    base = SegmentationPredictor.from_checkpoint(ckpt, precision="f32", **kw)
+    masks, confs = base.predict_array(images)
+    assert masks.shape == (6, 32, 32) and masks.dtype == np.uint8
+    assert masks.max() < 4 and np.all((confs > 0) & (confs <= 1))
+
+    # DP x spatial mesh reproduces single-device masks exactly (f32).
+    sharded = SegmentationPredictor.from_checkpoint(
+        ckpt, precision="f32", n_devices=2, n_space=2, **kw)
+    m2, c2 = sharded.predict_array(images)
+    np.testing.assert_array_equal(m2, masks)
+    np.testing.assert_allclose(c2, confs, rtol=2e-5)
+
+    # int8 stays close: large majority of pixels agree with the float argmax.
+    q = SegmentationPredictor.from_checkpoint(ckpt, quantize="int8",
+                                              calib_images=calib, **kw)
+    mq, cq = q.predict_array(images)
+    assert (mq == masks).mean() > 0.9, (mq == masks).mean()
+
+
+def test_serve_seg_cli(trained_seg, tmp_path):
+    from tpu_unet.cli.serve_seg import main as serve_main
+
+    root, ckpt = trained_seg
+    out_dir = os.path.join(tmp_path, "masks")
+    payload = serve_main([
+        "--checkpoint", ckpt, "--input_dir", os.path.join(root, "images", "test"),
+        "--num_classes", "4", "--image_height", "32", "--image_width", "32",
+        "--batch_size", "4", "--precision", "f32", "--base_features", "4",
+        "--output_dir", out_dir,
+    ])
+    assert payload is not None and len(payload["predictions"]) == 4
+    masks = [f for f in os.listdir(out_dir) if f.endswith("_mask.png")]
+    assert len(masks) == 4
+    assert os.path.exists(os.path.join(out_dir, "predictions.json"))
+    rec = next(iter(payload["predictions"].values()))
+    assert abs(sum(rec["class_pixel_share"]) - 1.0) < 1e-3
+
+
 def test_test_cli_quantized(trained, tmp_path):
     from tpu_unet.cli.test_mvtec import main as test_main
 

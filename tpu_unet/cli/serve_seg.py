@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Batch segmentation-serving CLI (Gear / KolektorSDD models).
+
+Loads a trained SegmentationUNet checkpoint and predicts class masks for a
+directory of images at serving throughput — BN-folded, optional int8 PTQ,
+optional data x spatial mesh sharding (``--n_space`` splits each elongated
+image's height across chips with XLA halo exchanges). Writes one indexed-PNG
+mask per input plus ``predictions.json`` (per-image mean confidence and class
+pixel shares).
+
+No reference counterpart: /root/reference stops at per-experiment test scripts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import time
+
+import numpy as np
+
+from tpu_unet.serve import SegmentationPredictor
+from tpu_unet.utils import save_json
+
+_IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Serve segmentation masks for a directory of images")
+    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--input_dir", type=str, required=True)
+    p.add_argument("--num_classes", type=int, default=4,
+                   help="4 for Gear, 3 for KolektorSDD")
+    p.add_argument("--image_height", type=int, default=512)
+    p.add_argument("--image_width", type=int, default=512)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--precision", type=str, default="bf16", choices=["bf16", "f32"])
+    p.add_argument("--quantize", type=str, default="none", choices=["none", "int8"])
+    p.add_argument("--calib_dir", type=str, default=None,
+                   help="In-domain images for int8 calibration")
+    p.add_argument("--calib_samples", type=int, default=32)
+    p.add_argument("--base_features", type=int, default=64)
+    p.add_argument("--bilinear", action="store_true")
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="Shard each batch over this many chips (DP)")
+    p.add_argument("--n_space", type=int, default=1,
+                   help="Shard image height over this many chips (spatial)")
+    p.add_argument("--output_dir", type=str, default="served_masks")
+    return p.parse_args(argv)
+
+
+def _list_images(root: str):
+    return sorted(p for p in glob.glob(os.path.join(root, "**", "*"), recursive=True)
+                  if p.lower().endswith(_IMG_EXTS))
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from PIL import Image
+
+    paths = _list_images(args.input_dir)
+    if not paths:
+        print(f"No images found under {args.input_dir}")
+        return None
+    print(f"Predicting masks for {len(paths)} images from {args.input_dir}")
+
+    size_hw = (args.image_height, args.image_width)
+    calib_images = None
+    if args.quantize == "int8":
+        if not args.calib_dir:
+            raise SystemExit("--quantize int8 requires --calib_dir")
+        from tpu_unet.data.transforms import load_image_rgb
+        calib_paths = _list_images(args.calib_dir)[:args.calib_samples]
+        if not calib_paths:
+            raise SystemExit(f"no calibration images under {args.calib_dir}")
+        calib_images = np.stack([load_image_rgb(p, size_hw) for p in calib_paths])
+        print(f"Calibrated int8 scales on {len(calib_paths)} images")
+
+    predictor = SegmentationPredictor.from_checkpoint(
+        args.checkpoint, num_classes=args.num_classes, image_size_hw=size_hw,
+        batch_size=args.batch_size, precision=args.precision,
+        quantize=None if args.quantize == "none" else args.quantize,
+        calib_images=calib_images, base_features=args.base_features,
+        bilinear=args.bilinear, n_devices=args.n_devices, n_space=args.n_space)
+
+    t0 = time.perf_counter()
+    masks, confs = predictor.predict_paths(paths, num_workers=args.num_workers)
+    dt = time.perf_counter() - t0
+    print(f"Predicted {len(paths)} masks in {dt:.2f}s "
+          f"({len(paths)/dt:.1f} img/s incl. first-batch compile)")
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    records = {}
+    for path, mask, conf in zip(paths, masks, confs):
+        rel = os.path.relpath(path, args.input_dir)
+        stem = os.path.splitext(rel)[0].replace(os.sep, "_")
+        out_path = os.path.join(args.output_dir, f"{stem}_mask.png")
+        Image.fromarray(mask, mode="L").save(out_path)
+        shares = np.bincount(mask.ravel(), minlength=args.num_classes)
+        records[rel] = {
+            "mask": os.path.basename(out_path),
+            "mean_confidence": float(conf),
+            "class_pixel_share": (shares / shares.sum()).round(6).tolist(),
+        }
+    payload = {
+        "checkpoint": args.checkpoint,
+        "quantize": args.quantize,
+        "image_size_hw": list(size_hw),
+        "num_classes": args.num_classes,
+        "throughput_img_per_sec": round(len(paths) / dt, 2),
+        "predictions": records,
+    }
+    save_json(payload, os.path.join(args.output_dir, "predictions.json"))
+    print(f"Masks + predictions.json written to {args.output_dir}")
+    return payload
+
+
+if __name__ == "__main__":
+    main()

@@ -220,3 +220,153 @@ class AnomalyScorer:
         s = np.concatenate([np.asarray(x) for x in out])
         assert np.isfinite(s).all()
         return self.batch_size * n_batches / (time.perf_counter() - t0)
+
+
+class SegmentationPredictor:
+    """Batched mask-prediction engine for the segmentation workloads.
+
+    Same serving design as AnomalyScorer (fixed-shape batches enqueued
+    back-to-back; BN folded; optional int8 PTQ), returning per-image class maps
+    as uint8 (a 4x smaller fetch than int32 logits argmax would need) plus a
+    per-image mean-confidence scalar. Supports non-square inputs (KolektorSDD's
+    1024x512) and sharding each batch over a data x space mesh — ``n_space > 1``
+    shards the image HEIGHT so one elongated image's convs split across chips
+    (XLA inserts the halo exchanges; numerics proven vs unsharded in
+    tests/test_spatial_kolektorsdd.py).
+    """
+
+    def __init__(self, predict_fn, params_arg, image_size_hw, batch_size: int,
+                 mesh=None, spatial: bool = False):
+        self._predict_fn = predict_fn
+        self._params = params_arg
+        self.image_size_hw = tuple(int(x) for x in image_size_hw)
+        self.batch_size = int(batch_size)
+        self._mesh = mesh
+        self._spatial = spatial
+        if mesh is not None:
+            from tpu_unet.parallel import replicate
+            self._params = replicate(mesh, params_arg)
+
+    def _put(self, chunk: np.ndarray):
+        if self._mesh is None:
+            return jnp.asarray(chunk)
+        from tpu_unet.parallel import shard_batch
+        return shard_batch(self._mesh, chunk, spatial=self._spatial)
+
+    @classmethod
+    def from_variables(cls, params, batch_stats, *, num_classes: int,
+                       image_size_hw=(512, 512), batch_size: int = 16,
+                       precision: str = "bf16", quantize: Optional[str] = None,
+                       calib_images: Optional[np.ndarray] = None,
+                       base_features: int = 64, bilinear: bool = False,
+                       dropout: float = 0.1, fold_bn: bool = True,
+                       n_devices: Optional[int] = None,
+                       n_space: int = 1) -> "SegmentationPredictor":
+        if quantize not in (None, "none", "int8"):
+            raise ValueError(f"unsupported quantize mode {quantize!r}")
+        mesh = None
+        if (n_devices is not None and n_devices > 1) or n_space > 1:
+            from tpu_unet.parallel import make_mesh
+            n_data = n_devices if n_devices else 1
+            if batch_size % n_data:
+                raise ValueError(f"batch_size {batch_size} not divisible by "
+                                 f"n_devices {n_data}")
+            if n_space > 1 and image_size_hw[0] % n_space:
+                raise ValueError(f"image height {image_size_hw[0]} not divisible "
+                                 f"by n_space {n_space}")
+            mesh = make_mesh(n_data=n_data, n_space=n_space)
+
+        if quantize == "int8":
+            from tpu_unet.ops.quantize import (make_quantized_forward,
+                                               quantize_from_train_state)
+            if calib_images is None:
+                raise ValueError("int8 quantization needs calib_images")
+            calib = [calib_images[i:i + 8]
+                     for i in range(0, len(calib_images), 8)]
+            qparams = quantize_from_train_state("seg_unet", params, batch_stats,
+                                                calib)
+            fwd = make_quantized_forward("seg_unet")
+
+            def predict_fn(qp, images_u8):
+                logits = fwd(qp, images_u8)
+                probs = jax.nn.softmax(logits, axis=-1)
+                preds = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+                return preds, jnp.mean(jnp.max(probs, axis=-1), axis=(1, 2))
+
+            return cls(jax.jit(predict_fn), qparams, image_size_hw, batch_size,
+                       mesh=mesh, spatial=n_space > 1)
+
+        policy = get_policy(precision)
+        model = build_model("seg_unet", n_classes=num_classes, bilinear=bilinear,
+                            dropout=dropout, policy=policy,
+                            base_features=base_features)
+        if fold_bn:
+            params, batch_stats = fold_batchnorm(params, batch_stats)
+        variables = {"params": params, "batch_stats": batch_stats}
+
+        def predict_fn(v, images_u8):
+            logits = model.apply(v, eval_transform(images_u8), train=False)
+            probs = jax.nn.softmax(logits, axis=-1)
+            preds = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+            return preds, jnp.mean(jnp.max(probs, axis=-1), axis=(1, 2))
+
+        return cls(jax.jit(predict_fn), variables, image_size_hw, batch_size,
+                   mesh=mesh, spatial=n_space > 1)
+
+    @classmethod
+    def from_checkpoint(cls, checkpoint: str, *, num_classes: int,
+                        image_size_hw=(512, 512), batch_size: int = 16,
+                        precision: str = "bf16", quantize: Optional[str] = None,
+                        calib_images: Optional[np.ndarray] = None,
+                        base_features: int = 64, bilinear: bool = False,
+                        dropout: float = 0.1, n_devices: Optional[int] = None,
+                        n_space: int = 1) -> "SegmentationPredictor":
+        from tpu_unet.train.checkpoint import load_params
+        from tpu_unet.train.optim import make_optimizer
+        from tpu_unet.train.state import create_train_state
+
+        model = build_model("seg_unet", n_classes=num_classes, bilinear=bilinear,
+                            dropout=dropout, policy=get_policy(precision),
+                            base_features=base_features)
+        h, w = image_size_hw
+        state = create_train_state(model, jax.random.key(0), (1, h, w, 3),
+                                   make_optimizer("adam", 1e-3, 0.0))
+        state = load_params(state, checkpoint)
+        return cls.from_variables(state.params, state.batch_stats,
+                                  num_classes=num_classes,
+                                  image_size_hw=image_size_hw,
+                                  batch_size=batch_size, precision=precision,
+                                  quantize=quantize, calib_images=calib_images,
+                                  base_features=base_features, bilinear=bilinear,
+                                  dropout=dropout, n_devices=n_devices,
+                                  n_space=n_space)
+
+    def predict_array(self, images_u8: np.ndarray):
+        """(N,H,W,3) uint8 -> (masks (N,H,W) uint8, mean_confidence (N,) f32)."""
+        n = len(images_u8)
+        h, w = self.image_size_hw
+        if n == 0:
+            return np.zeros((0, h, w), np.uint8), np.zeros((0,), np.float32)
+        pending = []
+        for lo in range(0, n, self.batch_size):
+            chunk = np.asarray(images_u8[lo:lo + self.batch_size])
+            if len(chunk) < self.batch_size:
+                pad = np.zeros((self.batch_size - len(chunk),) + chunk.shape[1:],
+                               chunk.dtype)
+                chunk = np.concatenate([chunk, pad])
+            pending.append(self._predict_fn(self._params, self._put(chunk)))
+        masks = np.concatenate([np.asarray(p) for p, _ in pending])[:n]
+        confs = np.concatenate([np.asarray(c) for _, c in pending])[:n]
+        return masks, confs
+
+    def predict_paths(self, paths: Sequence[str], num_workers: int = 4):
+        """Decode+resize image files and predict; returns (masks, confidences)."""
+        size = self.image_size_hw
+        pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
+        try:
+            imgs = np.stack(list(pool.map(
+                lambda p: load_image_rgb(p, size), paths))) if paths else \
+                np.zeros((0,) + size + (3,), np.uint8)
+        finally:
+            pool.shutdown(wait=False)
+        return self.predict_array(imgs)
