@@ -21,7 +21,11 @@ TEST_DIR="${TEST_DIR:-test_results}"
 VIS_DIR="${VIS_DIR:-visualizations}"
 EXTRA_TRAIN_ARGS="${EXTRA_TRAIN_ARGS:-}"
 EXTRA_TEST_ARGS="${EXTRA_TEST_ARGS:-}"
+EXTRA_VIS_ARGS="${EXTRA_VIS_ARGS:-}"
+EXTRA_SERVE_ARGS="${EXTRA_SERVE_ARGS:-}"
 SKIP_TRAIN="${SKIP_TRAIN:-0}"
+SERVE_DIR="${SERVE_DIR:-}"             # optional: directory of images -> serving stage
+QUANTIZE="${QUANTIZE:-none}"           # serving precision: none | int8
 # =============================================================================
 
 TS=$(date +%Y%m%d_%H%M%S)
@@ -115,20 +119,57 @@ esac
 echo "=== [3/3] Visualizing ==="
 case "$DATASET" in
   mvtec)
+    # shellcheck disable=SC2086
     python -m tpu_unet.cli.visualize_mvtec --data_root "$DATA_ROOT" \
       --category "$CATEGORY" --model "$MODEL" --image_size "$IMAGE_SIZE" \
-      --checkpoint "$BEST" --output_dir "$VIS_DIR" --precision "$PRECISION"
+      --checkpoint "$BEST" --output_dir "$VIS_DIR" --precision "$PRECISION" \
+      $EXTRA_VIS_ARGS
     ;;
   gear)
+    # shellcheck disable=SC2086
     python -m tpu_unet.cli.visualize_seg --dataset gear --data_root "$DATA_ROOT" \
       --model "$MODEL" --image_size "$IMAGE_SIZE" --checkpoint "$BEST" \
-      --output_dir "$VIS_DIR" --precision "$PRECISION"
+      --output_dir "$VIS_DIR" --precision "$PRECISION" $EXTRA_VIS_ARGS
     ;;
   kolektorsdd)
+    # shellcheck disable=SC2086
     python -m tpu_unet.cli.visualize_seg --dataset kolektorsdd --data_root "$DATA_ROOT" \
       --model "$MODEL" --checkpoint "$BEST" --output_dir "$VIS_DIR" \
-      --precision "$PRECISION"
+      --precision "$PRECISION" $EXTRA_VIS_ARGS
     ;;
 esac
+
+if [[ -n "$SERVE_DIR" ]]; then
+  echo "=== [4/4] Serving $SERVE_DIR ==="
+  QARGS=()
+  if [[ "$QUANTIZE" == "int8" ]]; then
+    case "$DATASET" in
+      mvtec) QARGS=(--quantize int8 --calib_dir "$DATA_ROOT/$CATEGORY/train/good") ;;
+      *)     QARGS=(--quantize int8 --calib_dir "$DATA_ROOT/images/train") ;;
+    esac
+  fi
+  case "$DATASET" in
+    mvtec)
+      # shellcheck disable=SC2086
+      python -m tpu_unet.cli.serve_mvtec --checkpoint "$BEST" \
+        --input_dir "$SERVE_DIR" --image_size "$IMAGE_SIZE" \
+        --output "$TEST_DIR/scores.json" "${QARGS[@]}" $EXTRA_SERVE_ARGS
+      ;;
+    gear)
+      # shellcheck disable=SC2086
+      python -m tpu_unet.cli.serve_seg --checkpoint "$BEST" \
+        --input_dir "$SERVE_DIR" --num_classes 4 \
+        --image_height "$IMAGE_SIZE" --image_width "$IMAGE_SIZE" \
+        --output_dir "$TEST_DIR/served_masks" "${QARGS[@]}" $EXTRA_SERVE_ARGS
+      ;;
+    kolektorsdd)
+      # shellcheck disable=SC2086
+      python -m tpu_unet.cli.serve_seg --checkpoint "$BEST" \
+        --input_dir "$SERVE_DIR" --num_classes 3 \
+        --image_height 1024 --image_width 512 \
+        --output_dir "$TEST_DIR/served_masks" "${QARGS[@]}" $EXTRA_SERVE_ARGS
+      ;;
+  esac
+fi
 
 echo "Pipeline completed. Experiment: $LATEST_EXPERIMENT"

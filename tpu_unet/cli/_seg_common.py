@@ -196,6 +196,8 @@ def run_seg_training(args, workload: Workload):
 
 def run_seg_evaluation(args, workload: Workload, split: str = "test"):
     """Evaluate a checkpoint; writes evaluation_results.json + prediction panels."""
+    if getattr(args, "device", "auto") not in ("auto", "tpu"):
+        jax.config.update("jax_platforms", args.device)  # e.g. --device cpu
     print(f"JAX devices: {jax.devices()}")
     train_ds, val_ds, test_ds, num_classes, class_names = workload.make_datasets(args)
     ds = {"train": train_ds, "val": val_ds, "test": test_ds}[split]

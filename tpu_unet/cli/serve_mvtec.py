@@ -54,6 +54,7 @@ def parse_args(argv=None):
     p.add_argument("--bilinear", action="store_true")
     p.add_argument("--n_devices", type=int, default=None,
                    help="Shard each serving batch over this many chips (DP)")
+    p.add_argument("--device", type=str, default="auto")
     p.add_argument("--output", type=str, default="scores.json")
     return p.parse_args(argv)
 
@@ -66,6 +67,9 @@ def _list_images(root: str):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.device not in ("auto", "tpu"):
+        import jax
+        jax.config.update("jax_platforms", args.device)
 
     paths = _list_images(args.input_dir)
     if not paths:

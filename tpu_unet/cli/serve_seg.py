@@ -47,6 +47,7 @@ def parse_args(argv=None):
                    help="Shard each batch over this many chips (DP)")
     p.add_argument("--n_space", type=int, default=1,
                    help="Shard image height over this many chips (spatial)")
+    p.add_argument("--device", type=str, default="auto")
     p.add_argument("--output_dir", type=str, default="served_masks")
     return p.parse_args(argv)
 
@@ -58,6 +59,9 @@ def _list_images(root: str):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.device not in ("auto", "tpu"):
+        import jax
+        jax.config.update("jax_platforms", args.device)
     from PIL import Image
 
     paths = _list_images(args.input_dir)

@@ -152,6 +152,8 @@ def save_results(results, evaluation, output_dir, args):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.device not in ("auto", "tpu"):
+        jax.config.update("jax_platforms", args.device)  # e.g. --device cpu
     print(f"JAX devices: {jax.devices()}")
     print(f"Testing category: {args.category}")
 
