@@ -237,6 +237,14 @@ def test_seg_predictor_modes_agree(trained_seg):
     mq, cq = q.predict_array(images)
     assert (mq == masks).mean() > 0.9, (mq == masks).mean()
 
+    # int8 under a DP x spatial mesh matches single-device int8 exactly
+    # (integer conv accumulation is associativity-safe).
+    q_sharded = SegmentationPredictor.from_checkpoint(
+        ckpt, quantize="int8", calib_images=calib, n_devices=2, n_space=2, **kw)
+    mq2, _ = q_sharded.predict_array(images)
+    np.testing.assert_array_equal(mq2, mq)
+    assert q_sharded.throughput(n_batches=2) > 0
+
 
 def test_serve_seg_cli(trained_seg, tmp_path):
     from tpu_unet.cli.serve_seg import main as serve_main

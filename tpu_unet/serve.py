@@ -359,6 +359,22 @@ class SegmentationPredictor:
         confs = np.concatenate([np.asarray(c) for _, c in pending])[:n]
         return masks, confs
 
+    def throughput(self, n_batches: int = 10) -> float:
+        """Device mask-prediction throughput (img/s); completion forced by the
+        (N,) confidence fetch so the axon tunnel's MB-scale mask fetch doesn't
+        pollute the figure (production hosts fetch masks over local PCIe)."""
+        rng = np.random.default_rng(0)
+        h, w = self.image_size_hw
+        imgs = self._put(rng.integers(0, 256, (self.batch_size, h, w, 3),
+                                      dtype=np.uint8))
+        m, c = self._predict_fn(self._params, imgs)
+        np.asarray(c)  # compile + force
+        t0 = time.perf_counter()
+        pend = [self._predict_fn(self._params, imgs) for _ in range(n_batches)]
+        confs = np.concatenate([np.asarray(c) for _, c in pend])
+        assert np.isfinite(confs).all()
+        return self.batch_size * n_batches / (time.perf_counter() - t0)
+
     def predict_paths(self, paths: Sequence[str], num_workers: int = 4):
         """Decode+resize image files and predict; returns (masks, confidences)."""
         size = self.image_size_hw
