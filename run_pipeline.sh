@@ -28,6 +28,8 @@ SERVE_DIR="${SERVE_DIR:-}"             # optional: directory of images -> servin
 QUANTIZE="${QUANTIZE:-none}"           # serving precision: none | int8
 # =============================================================================
 
+STAGES=3; [[ -n "$SERVE_DIR" ]] && STAGES=4
+
 TS=$(date +%Y%m%d_%H%M%S)
 mkdir -p "$SAVE_DIR"
 {
@@ -71,7 +73,7 @@ case "$DATASET" in
 esac
 
 if [[ "$SKIP_TRAIN" != "1" ]]; then
-  echo "=== [1/3] Training ==="
+  echo "=== [1/$STAGES] Training ==="
   # shellcheck disable=SC2086
   python -m "$TRAIN_MOD" "${TRAIN_ARGS[@]}" $EXTRA_TRAIN_ARGS
 fi
@@ -91,7 +93,7 @@ fi
 echo "Experiment: $LATEST_EXPERIMENT"
 echo "Checkpoint: $BEST"
 
-echo "=== [2/3] Testing ==="
+echo "=== [2/$STAGES] Testing ==="
 case "$DATASET" in
   mvtec)
     # shellcheck disable=SC2086
@@ -116,7 +118,7 @@ case "$DATASET" in
     ;;
 esac
 
-echo "=== [3/3] Visualizing ==="
+echo "=== [3/$STAGES] Visualizing ==="
 case "$DATASET" in
   mvtec)
     # shellcheck disable=SC2086
@@ -140,7 +142,7 @@ case "$DATASET" in
 esac
 
 if [[ -n "$SERVE_DIR" ]]; then
-  echo "=== [4/4] Serving $SERVE_DIR ==="
+  echo "=== [4/$STAGES] Serving $SERVE_DIR ==="
   QARGS=()
   if [[ "$QUANTIZE" == "int8" ]]; then
     case "$DATASET" in

@@ -142,42 +142,44 @@ def run_seg_training(args, workload: Workload):
     best_val_miou = 0.0
 
     ckpt_writer = CheckpointWriter()  # async: file writes overlap training
-    for epoch in range(start_epoch, args.epochs):
-        t0 = time.time()
-        state, train_metrics, train_cm = train_seg_epoch(
-            state, train_step, train_loader, base_key, epoch, num_classes)
-        train_losses.append(train_metrics.get("total_loss", 0.0))
-        train_miou = float(np.nanmean(train_cm.compute_iou()))
+    try:
+        for epoch in range(start_epoch, args.epochs):
+            t0 = time.time()
+            state, train_metrics, train_cm = train_seg_epoch(
+                state, train_step, train_loader, base_key, epoch, num_classes)
+            train_losses.append(train_metrics.get("total_loss", 0.0))
+            train_miou = float(np.nanmean(train_cm.compute_iou()))
 
-        val_results = None
-        if epoch % args.val_freq == 0 or epoch == args.epochs - 1:
-            val_metrics, val_cm = validate_seg_epoch(state, eval_step, val_loader,
-                                                     num_classes)
-            val_losses.append(val_metrics.get("total_loss", 0.0))
-            val_all = val_cm.compute_all_metrics()
-            val_results = (val_metrics, val_all)
-            if val_all["mean_iou"] > best_val_miou:
-                best_val_miou = val_all["mean_iou"]
-                ckpt_writer.save(state, epoch, val_metrics.get("total_loss", 0.0),
-                                 os.path.join(output_dirs["checkpoints"], "best_model"))
-                logger.info(f"New best model saved with mIoU: {best_val_miou:.4f}")
+            val_results = None
+            if epoch % args.val_freq == 0 or epoch == args.epochs - 1:
+                val_metrics, val_cm = validate_seg_epoch(state, eval_step, val_loader,
+                                                         num_classes)
+                val_losses.append(val_metrics.get("total_loss", 0.0))
+                val_all = val_cm.compute_all_metrics()
+                val_results = (val_metrics, val_all)
+                if val_all["mean_iou"] > best_val_miou:
+                    best_val_miou = val_all["mean_iou"]
+                    ckpt_writer.save(state, epoch, val_metrics.get("total_loss", 0.0),
+                                     os.path.join(output_dirs["checkpoints"], "best_model"))
+                    logger.info(f"New best model saved with mIoU: {best_val_miou:.4f}")
 
-        msg = (f"Epoch {epoch}/{args.epochs - 1}: "
-               f"train loss {train_metrics.get('total_loss', 0):.4f} "
-               f"mIoU {train_miou:.4f}")
-        if val_results:
-            msg += (f" | val loss {val_results[0].get('total_loss', 0):.4f} "
-                    f"mIoU {val_results[1]['mean_iou']:.4f} "
-                    f"dice {val_results[1]['mean_dice']:.4f}")
-        msg += f" ({time.time() - t0:.1f}s)"
-        logger.info(msg)
+            msg = (f"Epoch {epoch}/{args.epochs - 1}: "
+                   f"train loss {train_metrics.get('total_loss', 0):.4f} "
+                   f"mIoU {train_miou:.4f}")
+            if val_results:
+                msg += (f" | val loss {val_results[0].get('total_loss', 0):.4f} "
+                        f"mIoU {val_results[1]['mean_iou']:.4f} "
+                        f"dice {val_results[1]['mean_dice']:.4f}")
+            msg += f" ({time.time() - t0:.1f}s)"
+            logger.info(msg)
 
-        if epoch % args.save_freq == 0 or epoch == args.epochs - 1:
-            ckpt_writer.save(state, epoch, train_metrics.get("total_loss", 0.0),
-                             os.path.join(output_dirs["checkpoints"],
-                                          f"checkpoint_epoch_{epoch}"))
+            if epoch % args.save_freq == 0 or epoch == args.epochs - 1:
+                ckpt_writer.save(state, epoch, train_metrics.get("total_loss", 0.0),
+                                 os.path.join(output_dirs["checkpoints"],
+                                              f"checkpoint_epoch_{epoch}"))
 
-    ckpt_writer.close()  # flush in-flight writes before anyone reads them
+    finally:
+        ckpt_writer.close()  # flush in-flight writes even on error
     results = {
         "train_losses": train_losses,
         "val_losses": val_losses,
@@ -231,13 +233,14 @@ def run_seg_evaluation(args, workload: Workload, split: str = "test"):
         if args.model not in ("seg_unet", "segmentation_unet") or args.bilinear:
             raise SystemExit("--quantize int8 supports the transposed-conv "
                              "seg_unet only")
-        from tpu_unet.ops.quantize import (make_quantized_seg_eval_step,
+        from tpu_unet.ops.quantize import (chunk_calibration,
+                                           make_quantized_seg_eval_step,
                                            quantize_from_train_state)
         n_calib = min(len(train_ds), getattr(args, "calib_samples", 32))
         calib_imgs = np.stack([train_ds.load(i)["image"] for i in range(n_calib)])
         qparams = quantize_from_train_state(
             "seg_unet", state.params, state.batch_stats,
-            [calib_imgs[i:i + 8] for i in range(0, n_calib, 8)])
+            chunk_calibration(calib_imgs, 8))
         qstep = make_quantized_seg_eval_step(num_classes, loss_cfg)
         eval_step = lambda _state, images, labels, valid=None: qstep(
             qparams, images, labels, valid)

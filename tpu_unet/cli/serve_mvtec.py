@@ -21,16 +21,14 @@ Examples:
 from __future__ import annotations
 
 import argparse
-import glob
 import os
 import time
 
 import numpy as np
 
 from tpu_unet.serve import AnomalyScorer
-from tpu_unet.utils import save_json
+from tpu_unet.utils.io import list_images, save_json
 
-_IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")
 
 
 def parse_args(argv=None):
@@ -59,19 +57,17 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def _list_images(root: str):
-    paths = [p for p in glob.glob(os.path.join(root, "**", "*"), recursive=True)
-             if p.lower().endswith(_IMG_EXTS)]
-    return sorted(paths)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    from tpu_unet.core.cache import enable_compilation_cache
+    enable_compilation_cache()
     if args.device not in ("auto", "tpu"):
         import jax
         jax.config.update("jax_platforms", args.device)
 
-    paths = _list_images(args.input_dir)
+    paths = list_images(args.input_dir)
     if not paths:
         print(f"No images found under {args.input_dir}")
         return None
@@ -83,7 +79,7 @@ def main(argv=None):
             raise SystemExit("--quantize int8 requires --calib_dir "
                              "(in-domain images, e.g. the category's train/good)")
         from tpu_unet.data.transforms import load_image_rgb
-        calib_paths = _list_images(args.calib_dir)[:args.calib_samples]
+        calib_paths = list_images(args.calib_dir)[:args.calib_samples]
         if not calib_paths:
             raise SystemExit(f"no calibration images under {args.calib_dir}")
         calib_images = np.stack([

@@ -198,7 +198,8 @@ def main(argv=None):
         if args.model != "anomaly_unet" or args.bilinear:
             raise SystemExit("--quantize int8 supports the transposed-conv "
                              "anomaly_unet only")
-        from tpu_unet.ops.quantize import (make_quantized_anomaly_eval_step,
+        from tpu_unet.ops.quantize import (chunk_calibration,
+                                           make_quantized_anomaly_eval_step,
                                            quantize_from_train_state)
         calib_ds = MVTecDataset(args.data_root, args.category, "train",
                                 args.image_size, is_train=True)
@@ -206,7 +207,7 @@ def main(argv=None):
         calib_imgs = np.stack([calib_ds.load(i)["image"] for i in range(n_calib)])
         qparams = quantize_from_train_state(
             "anomaly_unet", state.params, state.batch_stats,
-            [calib_imgs[i:i + 16] for i in range(0, n_calib, 16)])
+            chunk_calibration(calib_imgs, 16))
         qstep = make_quantized_anomaly_eval_step()
         eval_step = lambda _state, images, masks, valid=None: qstep(
             qparams, images, masks, valid)

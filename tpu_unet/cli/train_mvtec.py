@@ -229,51 +229,53 @@ def main(argv=None):
     best_val_loss = float("inf")
 
     ckpt_writer = CheckpointWriter()  # async: file writes overlap training
-    for epoch in range(start_epoch, args.epochs):
-        epoch_start = time.time()
-        state = state.replace(opt_state=set_learning_rate(
-            state.opt_state, scheduler.lr_for_epoch(epoch)))
+    try:
+        for epoch in range(start_epoch, args.epochs):
+            epoch_start = time.time()
+            state = state.replace(opt_state=set_learning_rate(
+                state.opt_state, scheduler.lr_for_epoch(epoch)))
 
-        profiling = args.profile_dir and epoch == start_epoch + 1
-        if profiling:
-            jax.profiler.start_trace(args.profile_dir)
-        state, train_metrics = train_anomaly_epoch(state, train_step, train_loader,
-                                                   base_key, epoch)
-        if profiling:
-            jax.profiler.stop_trace()
-            print(f"Profiler trace saved to {args.profile_dir}")
-        train_losses.append(train_metrics["total_loss"])
+            profiling = args.profile_dir and epoch == start_epoch + 1
+            if profiling:
+                jax.profiler.start_trace(args.profile_dir)
+            state, train_metrics = train_anomaly_epoch(state, train_step, train_loader,
+                                                       base_key, epoch)
+            if profiling:
+                jax.profiler.stop_trace()
+                print(f"Profiler trace saved to {args.profile_dir}")
+            train_losses.append(train_metrics["total_loss"])
 
-        if epoch % args.val_freq == 0 or epoch == args.epochs - 1:
-            val_metrics = validate_anomaly_epoch(state, eval_step, val_loader)
-            val_losses.append(val_metrics["total_loss"])
-            if args.scheduler == "plateau":
-                scheduler.step_plateau(val_metrics["total_loss"])
+            if epoch % args.val_freq == 0 or epoch == args.epochs - 1:
+                val_metrics = validate_anomaly_epoch(state, eval_step, val_loader)
+                val_losses.append(val_metrics["total_loss"])
+                if args.scheduler == "plateau":
+                    scheduler.step_plateau(val_metrics["total_loss"])
 
-            print(f"\nEpoch {epoch}/{args.epochs - 1}")
-            print(f"Train Loss: {train_metrics['total_loss']:.4f} "
-                  f"(Recon: {train_metrics['recon_loss']:.4f}, "
-                  f"Seg: {train_metrics['seg_loss']:.4f})")
-            print(f"Val Loss: {val_metrics['total_loss']:.4f} "
-                  f"(Recon: {val_metrics['recon_loss']:.4f}, "
-                  f"Seg: {val_metrics['seg_loss']:.4f})")
-            print_metrics(val_metrics["image_metrics"], "Image-level")
-            if val_metrics["pixel_metrics"]:
-                print_metrics(val_metrics["pixel_metrics"], "Pixel-level")
+                print(f"\nEpoch {epoch}/{args.epochs - 1}")
+                print(f"Train Loss: {train_metrics['total_loss']:.4f} "
+                      f"(Recon: {train_metrics['recon_loss']:.4f}, "
+                      f"Seg: {train_metrics['seg_loss']:.4f})")
+                print(f"Val Loss: {val_metrics['total_loss']:.4f} "
+                      f"(Recon: {val_metrics['recon_loss']:.4f}, "
+                      f"Seg: {val_metrics['seg_loss']:.4f})")
+                print_metrics(val_metrics["image_metrics"], "Image-level")
+                if val_metrics["pixel_metrics"]:
+                    print_metrics(val_metrics["pixel_metrics"], "Pixel-level")
 
-            if val_metrics["total_loss"] < best_val_loss:
-                best_val_loss = val_metrics["total_loss"]
-                ckpt_writer.save(state, epoch, val_metrics["total_loss"],
-                                 os.path.join(output_dirs["checkpoints"], "best_model"))
+                if val_metrics["total_loss"] < best_val_loss:
+                    best_val_loss = val_metrics["total_loss"]
+                    ckpt_writer.save(state, epoch, val_metrics["total_loss"],
+                                     os.path.join(output_dirs["checkpoints"], "best_model"))
 
-        if epoch % args.save_freq == 0 or epoch == args.epochs - 1:
-            ckpt_writer.save(state, epoch, train_metrics["total_loss"],
-                             os.path.join(output_dirs["checkpoints"],
-                                          f"checkpoint_epoch_{epoch}"))
+            if epoch % args.save_freq == 0 or epoch == args.epochs - 1:
+                ckpt_writer.save(state, epoch, train_metrics["total_loss"],
+                                 os.path.join(output_dirs["checkpoints"],
+                                              f"checkpoint_epoch_{epoch}"))
 
-        print(f"Epoch time: {time.time() - epoch_start:.2f}s")
+            print(f"Epoch time: {time.time() - epoch_start:.2f}s")
 
-    ckpt_writer.close()  # flush in-flight writes before anyone reads them
+    finally:
+        ckpt_writer.close()  # flush in-flight writes even on error
     plot_training_curves(train_losses, val_losses,
                          os.path.join(output_dirs["results"], "training_curves.png"))
     results = {

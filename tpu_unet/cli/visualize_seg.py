@@ -52,11 +52,15 @@ def parse_args(argv=None):
                         type=int, default=10,
                         help="Number of samples to visualize (first N, like the reference)")
     parser.add_argument("--save_individual", action="store_true",
-                        help="Save individual prediction panels")
+                        help="Save individual prediction panels (only these when "
+                             "given without --save_grid)")
     parser.add_argument("--save_grid", action="store_true",
-                        help="Save a grid visualization")
-    parser.add_argument("--always_save", action="store_true", default=True,
-                        help="Render both individual and grid outputs (reference default)")
+                        help="Save a grid visualization (only this when given "
+                             "without --save_individual)")
+    parser.add_argument("--always_save", action="store_true",
+                        help="Render both outputs regardless of the selectors "
+                             "(also the default when neither selector is given — "
+                             "the reference's always_save=True behavior)")
     parser.add_argument("--show_confidence", action="store_true",
                         help="Add the softmax max-prob confidence map to each panel")
     parser.add_argument("--figsize", type=float, nargs=2, default=[15, 5])
@@ -133,6 +137,12 @@ def main(argv=None):
                             "stem": os.path.basename(batch["image_path"][i]).split(".")[0]})
     print(f"Collected {len(samples)} samples for visualization")
 
+    # Output selection: with no selector, render both (reference default);
+    # an explicit selector narrows to it unless --always_save re-widens.
+    explicit = args.save_individual or args.save_grid
+    do_individual = args.save_individual or args.always_save or not explicit
+    do_grid = args.save_grid or args.always_save or not explicit
+
     gt_counts = np.zeros(num_classes, np.int64)
     pred_counts = np.zeros(num_classes, np.int64)
     rendered = 0
@@ -143,7 +153,7 @@ def main(argv=None):
         acc = float((s["pred"] == s["mask"]).mean())
         print(f"Sample {idx + 1}: Accuracy={acc:.3f}, "
               f"Confidence={s['conf'].mean():.3f}±{s['conf'].std():.3f}")
-        if not (args.save_individual or args.always_save):
+        if not do_individual:
             continue
         ncols = 5 if args.show_confidence else 4
         fig, axes = plt.subplots(1, ncols, figsize=tuple(args.figsize))
@@ -169,7 +179,7 @@ def main(argv=None):
         rendered += 1
 
     # Grid visualization (reference visualize.py:169-236; predictions_grid.png).
-    if samples and (args.save_grid or args.always_save):
+    if samples and do_grid:
         gr, gc = args.grid_size
         n = min(len(samples), gr * gc)
         fig, axes = plt.subplots(gr, 2 * gc, figsize=(4 * gc, 2.5 * gr))
@@ -201,7 +211,8 @@ def main(argv=None):
     ax.bar(x + width / 2, pred_counts / total_pred * 100, width, label="Prediction")
     ax.set_xticks(x, class_names, rotation=20)
     ax.set_ylabel("Pixel share (%)")
-    ax.set_title(f"{args.dataset} class distribution ({args.split})")
+    ax.set_title(f"{args.dataset} class distribution "
+                 f"({args.split}, first {len(samples)} samples)")
     ax.legend()
     fig.tight_layout()
     dist_path = os.path.join(output_dir, "class_distribution.png")

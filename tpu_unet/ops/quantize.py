@@ -367,6 +367,21 @@ def make_quantized_forward(arch: str):
     return fwd
 
 
+def chunk_calibration(images: np.ndarray, chunk: int = 16):
+    """Split calibration images into equal-size chunks, dropping the ragged tail.
+
+    Every distinct batch shape costs a full XLA compile of the float forward
+    (minutes over the axon tunnel), so a 6-image remainder is not worth a second
+    compile. At least one chunk is always kept (shrunk to len(images) if needed).
+    """
+    n = len(images)
+    if n == 0:
+        raise ValueError("no calibration images")
+    chunk = min(chunk, n)
+    usable = (n // chunk) * chunk
+    return [images[i:i + chunk] for i in range(0, usable, chunk)]
+
+
 def quantize_from_train_state(arch: str, params, batch_stats,
                               calib_batches: Iterable[np.ndarray],
                               max_batches: int = 8) -> Dict[str, Any]:

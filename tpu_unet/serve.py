@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import time
 from concurrent.futures import ThreadPoolExecutor
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +40,45 @@ from tpu_unet.metrics.anomaly import anomaly_score
 from tpu_unet.models import build_model
 from tpu_unet.ops.augment import eval_transform
 from tpu_unet.ops.fold_bn import fold_batchnorm
+
+
+def _pipelined_batches(paths: Sequence[str], size_hw, batch_size: int,
+                       num_workers: int, fn):
+    """Decode path chunks and apply ``fn(padded_uint8_batch)`` to each, streaming.
+
+    A decode pool (``num_workers`` threads, GIL-free inside the native resampler)
+    decodes; a SEPARATE single-thread prefetcher overlaps chunk k+1's decode with
+    the device work fn enqueues for chunk k. The prefetcher must not share the
+    decode pool: load_batch blocks on pool.map, and submitting it to the same
+    pool deadlocks at num_workers=1. Returns fn's results, one per chunk.
+    """
+    chunks = [paths[lo:lo + batch_size] for lo in range(0, len(paths), batch_size)]
+    if not chunks:
+        return []
+    decode_pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
+    prefetch = ThreadPoolExecutor(max_workers=1)
+    try:
+        def load_batch(batch_paths: Sequence[str]) -> np.ndarray:
+            return np.stack(list(decode_pool.map(
+                lambda p: load_image_rgb(p, size_hw), batch_paths)))
+
+        results = []
+        next_imgs = load_batch(chunks[0])
+        for i in range(len(chunks)):
+            imgs = next_imgs
+            future = (prefetch.submit(load_batch, chunks[i + 1])
+                      if i + 1 < len(chunks) else None)
+            if len(imgs) < batch_size:
+                pad = np.zeros((batch_size - len(imgs),) + imgs.shape[1:],
+                               imgs.dtype)
+                imgs = np.concatenate([imgs, pad])
+            results.append(fn(imgs))
+            if future is not None:
+                next_imgs = future.result()
+        return results
+    finally:
+        prefetch.shutdown(wait=False)
+        decode_pool.shutdown(wait=False)
 
 
 class AnomalyScorer:
@@ -92,13 +131,13 @@ class AnomalyScorer:
                                  f"n_devices {n_devices}")
             mesh = make_mesh(n_data=n_devices)
         if quantize == "int8":
-            from tpu_unet.ops.quantize import (make_quantized_forward,
+            from tpu_unet.ops.quantize import (chunk_calibration,
+                                               make_quantized_forward,
                                                quantize_from_train_state)
             if calib_images is None:
                 raise ValueError("int8 quantization needs calib_images "
                                  "(a (N,H,W,3) uint8 array of in-domain images)")
-            calib = [calib_images[i:i + 16]
-                     for i in range(0, len(calib_images), 16)]
+            calib = chunk_calibration(calib_images, 16)
             qparams = quantize_from_train_state("anomaly_unet", params,
                                                 batch_stats, calib)
             fwd = make_quantized_forward("anomaly_unet")
@@ -177,36 +216,16 @@ class AnomalyScorer:
     def score_paths(self, paths: Sequence[str], num_workers: int = 4) -> np.ndarray:
         """Decode, resize, and score image files; returns (N,) scores.
 
-        Decode of batch k+1 overlaps the device scoring of batch k (the decode
-        pool runs GIL-free inside the native resampler).
+        Decode of batch k+1 overlaps the device scoring of batch k
+        (``_pipelined_batches``; the decode pool runs GIL-free inside the
+        native resampler).
         """
-        size = (self.image_size, self.image_size)
-        pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
-        try:
-            def load_batch(batch_paths: Sequence[str]) -> np.ndarray:
-                return np.stack(list(pool.map(
-                    lambda p: load_image_rgb(p, size), batch_paths)))
-
-            chunks = [paths[lo:lo + self.batch_size]
-                      for lo in range(0, len(paths), self.batch_size)]
-            if not chunks:
-                return np.zeros((0,), np.float32)
-            pending: List = []
-            next_imgs = load_batch(chunks[0])
-            for i, chunk in enumerate(chunks):
-                imgs = next_imgs
-                future = (pool.submit(load_batch, chunks[i + 1])
-                          if i + 1 < len(chunks) else None)
-                if len(imgs) < self.batch_size:
-                    pad = np.zeros((self.batch_size - len(imgs),) + imgs.shape[1:],
-                                   imgs.dtype)
-                    imgs = np.concatenate([imgs, pad])
-                pending.append(self._score_fn(self._params, self._put(imgs)))
-                if future is not None:
-                    next_imgs = future.result()
-            return np.concatenate([np.asarray(s) for s in pending])[:len(paths)]
-        finally:
-            pool.shutdown(wait=False)
+        pending = _pipelined_batches(
+            paths, (self.image_size, self.image_size), self.batch_size,
+            num_workers, lambda imgs: self._score_fn(self._params, self._put(imgs)))
+        if not pending:
+            return np.zeros((0,), np.float32)
+        return np.concatenate([np.asarray(s) for s in pending])[:len(paths)]
 
     def throughput(self, n_batches: int = 10) -> float:
         """Measured serving throughput (img/s) on synthetic data; warms compile."""
@@ -277,12 +296,12 @@ class SegmentationPredictor:
             mesh = make_mesh(n_data=n_data, n_space=n_space)
 
         if quantize == "int8":
-            from tpu_unet.ops.quantize import (make_quantized_forward,
+            from tpu_unet.ops.quantize import (chunk_calibration,
+                                               make_quantized_forward,
                                                quantize_from_train_state)
             if calib_images is None:
                 raise ValueError("int8 quantization needs calib_images")
-            calib = [calib_images[i:i + 8]
-                     for i in range(0, len(calib_images), 8)]
+            calib = chunk_calibration(calib_images, 8)
             qparams = quantize_from_train_state("seg_unet", params, batch_stats,
                                                 calib)
             fwd = make_quantized_forward("seg_unet")
@@ -376,13 +395,15 @@ class SegmentationPredictor:
         return self.batch_size * n_batches / (time.perf_counter() - t0)
 
     def predict_paths(self, paths: Sequence[str], num_workers: int = 4):
-        """Decode+resize image files and predict; returns (masks, confidences)."""
-        size = self.image_size_hw
-        pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
-        try:
-            imgs = np.stack(list(pool.map(
-                lambda p: load_image_rgb(p, size), paths))) if paths else \
-                np.zeros((0,) + size + (3,), np.uint8)
-        finally:
-            pool.shutdown(wait=False)
-        return self.predict_array(imgs)
+        """Decode+resize image files and predict, streaming batch by batch
+        (decode overlaps device work; memory stays one batch deep, not the whole
+        directory); returns (masks (N,H,W) uint8, mean_confidences (N,))."""
+        pending = _pipelined_batches(
+            paths, self.image_size_hw, self.batch_size, num_workers,
+            lambda imgs: self._predict_fn(self._params, self._put(imgs)))
+        if not pending:
+            h, w = self.image_size_hw
+            return np.zeros((0, h, w), np.uint8), np.zeros((0,), np.float32)
+        masks = np.concatenate([np.asarray(m) for m, _ in pending])[:len(paths)]
+        confs = np.concatenate([np.asarray(c) for _, c in pending])[:len(paths)]
+        return masks, confs

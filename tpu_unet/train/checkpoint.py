@@ -47,35 +47,56 @@ def save_checkpoint(state: TrainState, epoch: int, loss: float, path: str) -> No
 class CheckpointWriter:
     """Asynchronous checkpoint writer: ``save()`` snapshots device state and
     returns while the serialization/file write overlaps the next training epoch
-    (Orbax AsyncCheckpointer; atomic directory rename on completion preserved).
+    (Orbax AsyncCheckpointer).
 
     The reference blocks training for every torch.save
     (/root/reference/src/train.py:261-270); here the chip keeps stepping. At most
     one write is in flight (a new save waits for the previous one), and ``wait()``
     must be called before reading a just-written checkpoint or exiting.
+
+    Overwrite safety: Orbax's ``force=True`` deletes the existing directory when
+    the save STARTS, which with an async write would leave no valid checkpoint
+    on disk for the whole overlapped epoch. Instead each save writes to a
+    staging sibling (``<path>.staging``) and the previous staging dir is swapped
+    into place (rmtree old + rename, sub-second) once its write has finished —
+    a crash mid-epoch loses at most the in-flight checkpoint, never the last
+    completed one.
     """
 
     def __init__(self, async_save: bool = True):
-        self._async = async_save
         self._ck = (ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
                     if async_save else None)
+        self._pending = None  # (staging_path, final_path) of the in-flight save
+
+    def _finish_pending(self) -> None:
+        if self._ck is None or self._pending is None:
+            return
+        self._ck.wait_until_finished()
+        staging, final = self._pending
+        self._pending = None
+        if os.path.isdir(final):
+            import shutil
+            shutil.rmtree(final)
+        os.rename(staging, final)
+        print(f"Checkpoint saved to {final}")
 
     def save(self, state: TrainState, epoch: int, loss: float, path: str) -> None:
         if self._ck is None:
             save_checkpoint(state, epoch, loss, path)
             return
         path = os.path.abspath(path)
-        self._ck.wait_until_finished()  # at most one outstanding write
-        self._ck.save(path, _payload(state, epoch, loss), force=True)
+        self._finish_pending()  # at most one outstanding write
+        staging = path + ".staging"
+        self._ck.save(staging, _payload(state, epoch, loss), force=True)
+        self._pending = (staging, path)
         print(f"Checkpoint save started (async): {path}")
 
     def wait(self) -> None:
-        if self._ck is not None:
-            self._ck.wait_until_finished()
+        self._finish_pending()
 
     def close(self) -> None:
         if self._ck is not None:
-            self._ck.wait_until_finished()
+            self._finish_pending()
             self._ck.close()
             self._ck = None
 

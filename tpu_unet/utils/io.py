@@ -41,3 +41,13 @@ def convert_numpy(obj):
 def save_json(obj, path: str) -> None:
     with open(path, "w") as f:
         json.dump(convert_numpy(obj), f, indent=2)
+
+
+IMAGE_EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")
+
+
+def list_images(root: str):
+    """All image files under ``root`` (recursive), sorted."""
+    import glob
+    return sorted(p for p in glob.glob(os.path.join(root, "**", "*"), recursive=True)
+                  if p.lower().endswith(IMAGE_EXTENSIONS))
