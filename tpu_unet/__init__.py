@@ -12,6 +12,8 @@ segmentation) — redesigned TPU-first:
 - a host-decode / device-transform input pipeline (``tpu_unet.data``)
 - data-parallel training over a ``jax.sharding.Mesh`` (``tpu_unet.parallel``)
 - Orbax checkpointing with the reference's best/periodic semantics (``tpu_unet.train``)
+- production serving engines with int8 post-training quantization
+  (``tpu_unet.serve``: AnomalyScorer, SegmentationPredictor; ``tpu_unet.ops.quantize``)
 """
 
 __version__ = "0.1.0"
