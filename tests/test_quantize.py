@@ -157,3 +157,53 @@ def test_bilinear_rejected():
     # The structural check fires before any scales are needed.
     with pytest.raises(ValueError, match="bilinear"):
         quantize_model("unet", fparams, {})
+
+
+def test_qparams_save_load_roundtrip(tmp_path):
+    """Saved quantized params reload bitwise and produce identical outputs."""
+    import os
+
+    from tpu_unet.ops.quantize import load_qparams, save_qparams
+
+    model = AnomalyUNet(base_features=4)
+    v = _warmed_variables(model, key=5)
+    qparams = quantize_from_train_state(
+        "anomaly_unet", v["params"], v["batch_stats"], [_u8(0)])
+    path = os.path.join(tmp_path, "sub", "qparams.npz")
+    save_qparams(qparams, path)
+    loaded = load_qparams(path)
+
+    fwd = jax.jit(make_quantized_forward("anomaly_unet"))
+    images = jnp.asarray(_u8(7))
+    a = fwd(qparams, images)
+    b = fwd(loaded, images)
+    for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_percentile_calibration_robust_to_outliers():
+    """Percentile scales ignore a rare outlier pixel that inflates abs-max."""
+    from tpu_unet.ops.quantize import calibrate_absmax
+
+    model = UNet(n_classes=1, base_features=4)
+    v = _warmed_variables(model, key=6, steps=1)
+    fparams = full_fold(v["params"], v["batch_stats"])
+
+    imgs = _u8(3)
+    outlier = imgs.copy()
+    outlier[0, 0, 0] = 255  # a single extreme pixel
+    outlier[0, 1, 1] = 0
+
+    amax = calibrate_absmax("unet", fparams, [outlier])
+    p999 = calibrate_absmax("unet", fparams, [outlier], percentile=99.0)
+    # The percentile range is never larger, and strictly smaller at the input
+    # (where the outlier pixel directly sets the abs-max).
+    assert p999["input"] < amax["input"]
+    assert all(p999[t] <= amax[t] + 1e-6 for t in amax)
+
+    # Quantization with percentile scales still tracks the float forward.
+    qp = quantize_model("unet", fparams, p999)
+    out = jax.jit(make_quantized_forward("unet"))(qp, jnp.asarray(imgs))
+    ref = model.apply(v, eval_transform(jnp.asarray(imgs)), train=False)
+    spread = max(float(np.asarray(ref).max() - np.asarray(ref).min()), 1e-3)
+    assert float(np.abs(np.asarray(out) - np.asarray(ref)).mean()) <= 0.05 * spread

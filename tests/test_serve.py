@@ -265,6 +265,29 @@ def test_serve_seg_cli(trained_seg, tmp_path):
     assert abs(sum(rec["class_pixel_share"]) - 1.0) < 1e-3
 
 
+def test_serve_cli_qparams_cache(trained, tmp_path):
+    """--qparams: first run calibrates and writes the .npz; second run loads it
+    (no calib_dir needed) and produces identical scores."""
+    from tpu_unet.cli.serve_mvtec import main as serve_main
+
+    root, ckpt = trained
+    test_dir = os.path.join(root, "bottle", "test")
+    qp = os.path.join(tmp_path, "q.npz")
+    common = ["--checkpoint", ckpt, "--input_dir", test_dir,
+              "--image_size", "32", "--batch_size", "4", "--base_features", "4",
+              "--quantize", "int8", "--qparams", qp]
+    first = serve_main(common + [
+        "--calib_dir", os.path.join(root, "bottle", "train", "good"),
+        "--calib_percentile", "99.9",
+        "--output", os.path.join(tmp_path, "a.json"),
+    ])
+    assert os.path.exists(qp)
+    second = serve_main(common + ["--output", os.path.join(tmp_path, "b.json")])
+    assert first["scores"].keys() == second["scores"].keys()
+    for k in first["scores"]:
+        assert abs(first["scores"][k] - second["scores"][k]) < 1e-7
+
+
 def test_test_cli_quantized(trained, tmp_path):
     from tpu_unet.cli.test_mvtec import main as test_main
 

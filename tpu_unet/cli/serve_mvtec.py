@@ -46,6 +46,12 @@ def parse_args(argv=None):
                    help="Directory of in-domain images for int8 calibration "
                         "(e.g. the category's train/good); required with --quantize int8")
     p.add_argument("--calib_samples", type=int, default=64)
+    p.add_argument("--calib_percentile", type=float, default=None,
+                   help="Outlier-robust percentile calibration (e.g. 99.9) "
+                        "instead of abs-max")
+    p.add_argument("--qparams", type=str, default=None,
+                   help="Quantized-params .npz: loaded if it exists (skips "
+                        "calibration), else written after calibrating")
     p.add_argument("--threshold", type=float, default=None,
                    help="Optional score threshold; adds boolean verdicts to the output")
     p.add_argument("--base_features", type=int, default=64)
@@ -74,7 +80,12 @@ def main(argv=None):
     print(f"Scoring {len(paths)} images from {args.input_dir}")
 
     calib_images = None
-    if args.quantize == "int8":
+    qparams_tree = None
+    if args.quantize == "int8" and args.qparams and os.path.exists(args.qparams):
+        from tpu_unet.ops.quantize import load_qparams
+        qparams_tree = load_qparams(args.qparams)
+        print(f"Loaded quantized params from {args.qparams} (no calibration)")
+    elif args.quantize == "int8":
         if not args.calib_dir:
             raise SystemExit("--quantize int8 requires --calib_dir "
                              "(in-domain images, e.g. the category's train/good)")
@@ -92,7 +103,12 @@ def main(argv=None):
         precision=args.precision,
         quantize=None if args.quantize == "none" else args.quantize,
         calib_images=calib_images, base_features=args.base_features,
-        bilinear=args.bilinear, n_devices=args.n_devices)
+        bilinear=args.bilinear, n_devices=args.n_devices,
+        qparams=qparams_tree, calib_percentile=args.calib_percentile)
+    if args.quantize == "int8" and args.qparams and qparams_tree is None:
+        from tpu_unet.ops.quantize import save_qparams
+        save_qparams(scorer._params, args.qparams)
+        print(f"Quantized params saved to {args.qparams}")
 
     t0 = time.perf_counter()
     scores = scorer.score_paths(paths, num_workers=args.num_workers)

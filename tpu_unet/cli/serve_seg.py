@@ -39,6 +39,12 @@ def parse_args(argv=None):
     p.add_argument("--calib_dir", type=str, default=None,
                    help="In-domain images for int8 calibration")
     p.add_argument("--calib_samples", type=int, default=32)
+    p.add_argument("--calib_percentile", type=float, default=None,
+                   help="Outlier-robust percentile calibration (e.g. 99.9) "
+                        "instead of abs-max")
+    p.add_argument("--qparams", type=str, default=None,
+                   help="Quantized-params .npz: loaded if it exists (skips "
+                        "calibration), else written after calibrating")
     p.add_argument("--base_features", type=int, default=64)
     p.add_argument("--bilinear", action="store_true")
     p.add_argument("--n_devices", type=int, default=None,
@@ -69,7 +75,12 @@ def main(argv=None):
 
     size_hw = (args.image_height, args.image_width)
     calib_images = None
-    if args.quantize == "int8":
+    qparams_tree = None
+    if args.quantize == "int8" and args.qparams and os.path.exists(args.qparams):
+        from tpu_unet.ops.quantize import load_qparams
+        qparams_tree = load_qparams(args.qparams)
+        print(f"Loaded quantized params from {args.qparams} (no calibration)")
+    elif args.quantize == "int8":
         if not args.calib_dir:
             raise SystemExit("--quantize int8 requires --calib_dir")
         from tpu_unet.data.transforms import load_image_rgb
@@ -84,7 +95,12 @@ def main(argv=None):
         batch_size=args.batch_size, precision=args.precision,
         quantize=None if args.quantize == "none" else args.quantize,
         calib_images=calib_images, base_features=args.base_features,
-        bilinear=args.bilinear, n_devices=args.n_devices, n_space=args.n_space)
+        bilinear=args.bilinear, n_devices=args.n_devices, n_space=args.n_space,
+        qparams=qparams_tree, calib_percentile=args.calib_percentile)
+    if args.quantize == "int8" and args.qparams and qparams_tree is None:
+        from tpu_unet.ops.quantize import save_qparams
+        save_qparams(predictor._params, args.qparams)
+        print(f"Quantized params saved to {args.qparams}")
 
     t0 = time.perf_counter()
     masks, confs = predictor.predict_paths(paths, num_workers=args.num_workers)

@@ -123,14 +123,20 @@ def _get(tree: Dict[str, Any], path: str) -> Any:
 
 
 class _CalibExec:
-    """Float forward over the folded tree; records per-tensor abs-max."""
+    """Float forward over the folded tree; records per-tensor activation range
+    (abs-max, or a percentile of |x| for outlier-robust calibration)."""
 
-    def __init__(self, fparams):
+    def __init__(self, fparams, percentile: Optional[float] = None):
         self.p = fparams
+        self.percentile = percentile
         self.absmax: Dict[str, jnp.ndarray] = {}
 
     def _tag(self, tag, x):
-        self.absmax[tag] = jnp.max(jnp.abs(x)).astype(jnp.float32)
+        a = jnp.abs(x)
+        if self.percentile is not None:
+            self.absmax[tag] = jnp.percentile(a, self.percentile).astype(jnp.float32)
+        else:
+            self.absmax[tag] = jnp.max(a).astype(jnp.float32)
         return x
 
     def input(self, x):
@@ -268,12 +274,19 @@ def _run(exc, x, arch: str):
 
 def calibrate_absmax(arch: str, fparams: Dict[str, Any],
                      batches: Iterable[np.ndarray],
-                     max_batches: int = 8) -> Dict[str, float]:
-    """Per-tensor abs-max over calibration batches of (N,H,W,3) uint8 images."""
+                     max_batches: int = 8,
+                     percentile: Optional[float] = None) -> Dict[str, float]:
+    """Per-tensor activation ranges over calibration batches of uint8 images.
+
+    Default: abs-max (conservative, no clipping). ``percentile`` (e.g. 99.9)
+    instead takes that percentile of |activation| per batch — robust to rare
+    outliers, which otherwise inflate a tensor's scale and waste int8 levels on
+    values that almost never occur. Batches are combined with max either way.
+    """
 
     @jax.jit
     def one(fp, images_u8):
-        exc = _CalibExec(fp)
+        exc = _CalibExec(fp, percentile=percentile)
         _run(exc, eval_transform(images_u8), arch)
         return exc.absmax
 
@@ -384,11 +397,53 @@ def chunk_calibration(images: np.ndarray, chunk: int = 16):
 
 def quantize_from_train_state(arch: str, params, batch_stats,
                               calib_batches: Iterable[np.ndarray],
-                              max_batches: int = 8) -> Dict[str, Any]:
+                              max_batches: int = 8,
+                              percentile: Optional[float] = None) -> Dict[str, Any]:
     """One-call PTQ: fold BN, calibrate activation scales, quantize weights."""
     fparams = full_fold(params, batch_stats)
-    absmax = calibrate_absmax(arch, fparams, calib_batches, max_batches=max_batches)
+    absmax = calibrate_absmax(arch, fparams, calib_batches,
+                              max_batches=max_batches, percentile=percentile)
     return quantize_model(arch, fparams, absmax)
+
+
+def save_qparams(qparams: Dict[str, Any], path: str) -> None:
+    """Persist a quantized parameter tree as one .npz (calibration is the
+    expensive part of PTQ — a float-forward compile + calibration passes — so
+    serving loads a saved tree instead of re-quantizing per process)."""
+    flat: Dict[str, np.ndarray] = {}
+
+    def walk(node, prefix):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                walk(v, f"{prefix}{k}/")
+            else:
+                flat[f"{prefix}{k}"] = np.asarray(v)
+
+    walk(qparams["layers"], "layers/")
+    # The scales dict is FLAT with '/'-bearing tag keys (e.g.
+    # 'encoder/inc/relu1'); keep those keys verbatim behind a distinct marker.
+    for tag, v in qparams["scales"].items():
+        flat[f"scales|{tag}"] = np.asarray(v)
+    import os
+    if os.path.dirname(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_qparams(path: str) -> Dict[str, Any]:
+    """Inverse of save_qparams; returns the nested tree with jnp leaves."""
+    data = np.load(path)
+    out: Dict[str, Any] = {"layers": {}, "scales": {}}
+    for key in data.files:
+        if key.startswith("scales|"):
+            out["scales"][key[len("scales|"):]] = jnp.asarray(data[key])
+            continue
+        node = out
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(data[key])
+    return out
 
 
 def make_quantized_anomaly_eval_step(loss_cfg=None):

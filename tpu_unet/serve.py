@@ -114,12 +114,17 @@ class AnomalyScorer:
                        calib_images: Optional[np.ndarray] = None,
                        base_features: int = 64, bilinear: bool = False,
                        fold_bn: bool = True,
-                       n_devices: Optional[int] = None) -> "AnomalyScorer":
+                       n_devices: Optional[int] = None,
+                       qparams: Optional[dict] = None,
+                       calib_percentile: Optional[float] = None) -> "AnomalyScorer":
         """Build a scorer from an AnomalyUNet's (params, batch_stats).
 
         ``n_devices > 1`` shards each serving batch over a 'data' mesh (data
         parallelism by GSPMD — one compiled program, psum-free inference); the
-        serving batch must be divisible by it.
+        serving batch must be divisible by it. ``qparams`` (from
+        ops.quantize.load_qparams) skips calibration entirely;
+        ``calib_percentile`` (e.g. 99.9) uses outlier-robust percentile
+        calibration instead of abs-max.
         """
         if quantize not in (None, "none", "int8"):
             raise ValueError(f"unsupported quantize mode {quantize!r}")
@@ -134,12 +139,15 @@ class AnomalyScorer:
             from tpu_unet.ops.quantize import (chunk_calibration,
                                                make_quantized_forward,
                                                quantize_from_train_state)
-            if calib_images is None:
-                raise ValueError("int8 quantization needs calib_images "
-                                 "(a (N,H,W,3) uint8 array of in-domain images)")
-            calib = chunk_calibration(calib_images, 16)
-            qparams = quantize_from_train_state("anomaly_unet", params,
-                                                batch_stats, calib)
+            if qparams is None:
+                if calib_images is None:
+                    raise ValueError("int8 quantization needs calib_images "
+                                     "(a (N,H,W,3) uint8 array of in-domain "
+                                     "images) or a precomputed qparams tree")
+                qparams = quantize_from_train_state(
+                    "anomaly_unet", params, batch_stats,
+                    chunk_calibration(calib_images, 16),
+                    percentile=calib_percentile)
             fwd = make_quantized_forward("anomaly_unet")
 
             def score_fn(qp, images_u8):
@@ -170,7 +178,9 @@ class AnomalyScorer:
                         quantize: Optional[str] = None,
                         calib_images: Optional[np.ndarray] = None,
                         base_features: int = 64, bilinear: bool = False,
-                        n_devices: Optional[int] = None) -> "AnomalyScorer":
+                        n_devices: Optional[int] = None,
+                        qparams: Optional[dict] = None,
+                        calib_percentile: Optional[float] = None) -> "AnomalyScorer":
         """Load an Orbax checkpoint (best_model / checkpoint_epoch_N layout)."""
         from tpu_unet.train.checkpoint import load_params
         from tpu_unet.train.optim import make_optimizer
@@ -190,7 +200,8 @@ class AnomalyScorer:
                                   precision=precision, quantize=quantize,
                                   calib_images=calib_images,
                                   base_features=base_features, bilinear=bilinear,
-                                  n_devices=n_devices)
+                                  n_devices=n_devices, qparams=qparams,
+                                  calib_percentile=calib_percentile)
 
     # -- scoring ------------------------------------------------------------
 
@@ -280,7 +291,9 @@ class SegmentationPredictor:
                        base_features: int = 64, bilinear: bool = False,
                        dropout: float = 0.1, fold_bn: bool = True,
                        n_devices: Optional[int] = None,
-                       n_space: int = 1) -> "SegmentationPredictor":
+                       n_space: int = 1,
+                       qparams: Optional[dict] = None,
+                       calib_percentile: Optional[float] = None) -> "SegmentationPredictor":
         if quantize not in (None, "none", "int8"):
             raise ValueError(f"unsupported quantize mode {quantize!r}")
         mesh = None
@@ -299,11 +312,14 @@ class SegmentationPredictor:
             from tpu_unet.ops.quantize import (chunk_calibration,
                                                make_quantized_forward,
                                                quantize_from_train_state)
-            if calib_images is None:
-                raise ValueError("int8 quantization needs calib_images")
-            calib = chunk_calibration(calib_images, 8)
-            qparams = quantize_from_train_state("seg_unet", params, batch_stats,
-                                                calib)
+            if qparams is None:
+                if calib_images is None:
+                    raise ValueError("int8 quantization needs calib_images "
+                                     "or a precomputed qparams tree")
+                qparams = quantize_from_train_state(
+                    "seg_unet", params, batch_stats,
+                    chunk_calibration(calib_images, 8),
+                    percentile=calib_percentile)
             fwd = make_quantized_forward("seg_unet")
 
             def predict_fn(qp, images_u8):
@@ -339,7 +355,9 @@ class SegmentationPredictor:
                         calib_images: Optional[np.ndarray] = None,
                         base_features: int = 64, bilinear: bool = False,
                         dropout: float = 0.1, n_devices: Optional[int] = None,
-                        n_space: int = 1) -> "SegmentationPredictor":
+                        n_space: int = 1,
+                        qparams: Optional[dict] = None,
+                        calib_percentile: Optional[float] = None) -> "SegmentationPredictor":
         from tpu_unet.train.checkpoint import load_params
         from tpu_unet.train.optim import make_optimizer
         from tpu_unet.train.state import create_train_state
@@ -358,7 +376,8 @@ class SegmentationPredictor:
                                   quantize=quantize, calib_images=calib_images,
                                   base_features=base_features, bilinear=bilinear,
                                   dropout=dropout, n_devices=n_devices,
-                                  n_space=n_space)
+                                  n_space=n_space, qparams=qparams,
+                                  calib_percentile=calib_percentile)
 
     def predict_array(self, images_u8: np.ndarray):
         """(N,H,W,3) uint8 -> (masks (N,H,W) uint8, mean_confidence (N,) f32)."""
