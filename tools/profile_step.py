@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_and_profile(trace_dir: str, steps: int, batch: int, size: int,
-                    eval_mode: bool) -> None:
+                    eval_mode: bool, serve_mode: str = "") -> None:
     import jax
     import numpy as np
 
@@ -46,7 +46,22 @@ def run_and_profile(trace_dir: str, steps: int, batch: int, size: int,
     images = rng.integers(0, 256, (batch, size, size, 3), dtype=np.uint8)
     masks = np.zeros((batch, size, size, 1), np.float32)
 
-    if eval_mode:
+    if serve_mode:
+        # Score-only serving forward (tpu_unet/serve.py), bf16 or int8.
+        from tpu_unet.serve import AnomalyScorer
+        calib = (rng.integers(0, 256, (16, size, size, 3), dtype=np.uint8)
+                 if serve_mode == "int8" else None)
+        scorer = AnomalyScorer.from_variables(
+            state.params, state.batch_stats, image_size=size, batch_size=batch,
+            quantize=None if serve_mode == "bf16" else serve_mode,
+            calib_images=calib)
+        dev_imgs = scorer._put(images)
+        np.asarray(scorer._score_fn(scorer._params, dev_imgs))  # warm compile
+        with jax.profiler.trace(trace_dir):
+            for _ in range(steps):
+                out = scorer._score_fn(scorer._params, dev_imgs)
+            np.asarray(out)
+    elif eval_mode:
         step = make_anomaly_eval_step()
         out = step(state, images, masks)
         float(out["losses"]["total_loss"])  # warm compile
@@ -113,6 +128,9 @@ def main(argv=None):
     p.add_argument("--image_size", type=int, default=256)
     p.add_argument("--top", type=int, default=25)
     p.add_argument("--eval", action="store_true", help="profile the eval step")
+    p.add_argument("--serve", choices=["bf16", "int8"], default="",
+                   help="profile the score-only serving forward instead "
+                        "(use with --batch 128 for the serving regime)")
     p.add_argument("--trace_dir", default=None,
                    help="keep the raw trace here (default: temp dir, deleted)")
     p.add_argument("--json_out", default=None, help="write the summary as JSON")
@@ -121,7 +139,7 @@ def main(argv=None):
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="tpu_unet_prof_")
     try:
         run_and_profile(trace_dir, args.steps, args.batch, args.image_size,
-                        args.eval)
+                        args.eval, serve_mode=args.serve)
         summary = summarize(trace_dir, args.top)
         summary["steps"] = args.steps
         summary["per_step_ms"] = summary["total_us"] / 1e3 / max(args.steps, 1)
