@@ -288,6 +288,33 @@ def test_serve_cli_qparams_cache(trained, tmp_path):
         assert abs(first["scores"][k] - second["scores"][k]) < 1e-7
 
 
+def test_ksdd_cli_quantized(tmp_path):
+    """KolektorSDD train -> test CLI with --quantize int8 (elongated shapes)."""
+    from tests.test_data import make_kolektorsdd
+    from tpu_unet.cli.train_kolektorsdd import main as train_main
+    from tpu_unet.cli.test_kolektorsdd import main as test_main
+
+    root = make_kolektorsdd(os.path.join(tmp_path, "ksdd"), n_folders=4,
+                            per_folder=3, h=64, w=32)
+    exp_dir = train_main([
+        "--data_root", root, "--image_height", "64", "--image_width", "32",
+        "--epochs", "1", "--batch_size", "4", "--val_freq", "1",
+        "--save_freq", "1", "--num_workers", "2",
+        "--save_dir", os.path.join(tmp_path, "out"),
+        "--base_features", "4", "--precision", "f32", "--n_devices", "2",
+    ])
+    best = os.path.join(exp_dir, "checkpoints", "best_model")
+    out_dir = os.path.join(tmp_path, "eval_q")
+    summary = test_main([
+        "--data_root", root, "--image_height", "64", "--image_width", "32",
+        "--batch_size", "4", "--num_workers", "2", "--checkpoint", best,
+        "--output_dir", out_dir, "--base_features", "4", "--n_devices", "2",
+        "--quantize", "int8", "--calib_samples", "4",
+    ])
+    assert summary is not None
+    assert 0.0 <= summary["overall_metrics"]["pixel_accuracy"] <= 1.0
+
+
 def test_test_cli_quantized(trained, tmp_path):
     from tpu_unet.cli.test_mvtec import main as test_main
 
