@@ -240,7 +240,8 @@ def run_seg_evaluation(args, workload: Workload, split: str = "test"):
         calib_imgs = np.stack([train_ds.load(i)["image"] for i in range(n_calib)])
         qparams = quantize_from_train_state(
             "seg_unet", state.params, state.batch_stats,
-            chunk_calibration(calib_imgs, 8))
+            chunk_calibration(calib_imgs, 8),
+            percentile=getattr(args, "calib_percentile", None))
         qstep = make_quantized_seg_eval_step(num_classes, loss_cfg)
         eval_step = lambda _state, images, labels, valid=None: qstep(
             qparams, images, labels, valid)

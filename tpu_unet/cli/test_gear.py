@@ -48,6 +48,8 @@ def parse_args(argv=None):
                              "(activation scales calibrated on the train split)")
     parser.add_argument("--calib_samples", type=int, default=32,
                         help="Calibration images for --quantize int8")
+    parser.add_argument("--calib_percentile", type=float, default=None,
+                        help="Outlier-robust percentile calibration (e.g. 99.9)")
     return parser.parse_args(argv)
 
 

@@ -61,6 +61,8 @@ def parse_args(argv=None):
                              "(activation scales calibrated on the train split)")
     parser.add_argument("--calib_samples", type=int, default=64,
                         help="Calibration images for --quantize int8")
+    parser.add_argument("--calib_percentile", type=float, default=None,
+                        help="Outlier-robust percentile calibration (e.g. 99.9)")
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--debug_samples", type=int, default=20)
     return parser.parse_args(argv)
@@ -207,7 +209,7 @@ def main(argv=None):
         calib_imgs = np.stack([calib_ds.load(i)["image"] for i in range(n_calib)])
         qparams = quantize_from_train_state(
             "anomaly_unet", state.params, state.batch_stats,
-            chunk_calibration(calib_imgs, 16))
+            chunk_calibration(calib_imgs, 16), percentile=args.calib_percentile)
         qstep = make_quantized_anomaly_eval_step()
         eval_step = lambda _state, images, masks, valid=None: qstep(
             qparams, images, masks, valid)

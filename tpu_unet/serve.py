@@ -6,12 +6,14 @@ reference counterpart (/root/reference stops at per-experiment test scripts);
 this is the TPU-native serving layer the framework's BN-folding, score-only
 program specialization, and int8 quantization exist for.
 
-Serving-specific optimizations (all measured on v5e-1, 256px, batch 128):
+Serving-specific optimizations (all measured on v5e-1, 256px, batch 128; live
+figures are bench.py's serve_* keys):
 - **Score-only program**: the jitted forward returns only the per-image scalar
   score, so XLA dead-code-eliminates the entire segmentation decoder (half the
-  model) — 1575 img/s vs 992 img/s for the full-output eval step (bf16).
-- **int8 PTQ** (``quantize='int8'``): 1953 img/s (1.24x over bf16 score-only,
-  2x the full-output bf16 step). See ops/quantize.py.
+  model) — ~1580 img/s vs ~990 img/s for the full-output eval step (bf16).
+- **int8 PTQ** (``quantize='int8'``): ~1950 img/s (1.24x over bf16 score-only,
+  2x the full-output bf16 step). See ops/quantize.py; calibrate once and reuse
+  via save_qparams/load_qparams.
 - **Pipelined dispatch**: batches are enqueued back-to-back and only the (N,)
   score vectors are fetched, keeping the device busy across the host roundtrip.
 - **Fixed shapes**: inputs are padded to the serving batch size so exactly one
