@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Serving-throughput benchmark: every engine x precision on the current device.
+
+Reproduces the serving figures in docs/ARCHITECTURE.md:
+- AnomalyScorer (score-only program, seg decoder DCE'd), bf16 + int8, b128 @256
+- SegmentationPredictor, bf16 + int8, Gear (512x512 b16) and KolektorSDD
+  (1024x512 b8) shapes
+
+Methodology (CLAUDE.md gotchas): batches are enqueued back-to-back on
+device-resident inputs and only the (N,) per-image scalars are fetched — that
+forces each step's completion while keeping the axon tunnel's MB-scale
+mask/image transfers out of the figure (production hosts fetch over local
+PCIe). Models are randomly initialized: serving throughput is weight-agnostic.
+
+Usage: python tools/bench_serving.py [--quick]
+Prints one JSON line with img/s per configuration.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--quick", action="store_true",
+                   help="fewer timed batches (5 instead of 10)")
+    p.add_argument("--skip_seg", action="store_true")
+    args = p.parse_args(argv)
+    n_batches = 5 if args.quick else 10
+
+    from tpu_unet.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import numpy as np
+
+    from tpu_unet.core.precision import BF16_POLICY
+    from tpu_unet.models import AnomalyUNet, SegmentationUNet
+    from tpu_unet.serve import AnomalyScorer, SegmentationPredictor
+
+    rng = np.random.default_rng(0)
+    out = {}
+
+    model = AnomalyUNet(policy=BF16_POLICY)
+    v = model.init(jax.random.key(0), np.zeros((1, 256, 256, 3), np.float32),
+                   train=False)
+    calib = rng.integers(0, 256, (16, 256, 256, 3), dtype=np.uint8)
+    for mode, kw in [("bf16", {}),
+                     ("int8", {"quantize": "int8", "calib_images": calib})]:
+        scorer = AnomalyScorer.from_variables(v["params"], v["batch_stats"],
+                                              image_size=256, batch_size=128, **kw)
+        out[f"anomaly_score_only_b128_{mode}"] = round(
+            scorer.throughput(n_batches), 1)
+        print(f"anomaly score-only b128 {mode}: "
+              f"{out[f'anomaly_score_only_b128_{mode}']} img/s", flush=True)
+
+    if not args.skip_seg:
+        for name, nc, hw, batch in [("gear_512", 4, (512, 512), 16),
+                                    ("ksdd_1024x512", 3, (1024, 512), 8)]:
+            smodel = SegmentationUNet(n_classes=nc, policy=BF16_POLICY)
+            h, w = hw
+            sv = smodel.init(jax.random.key(0), np.zeros((1, h, w, 3), np.float32),
+                             train=False)
+            scalib = rng.integers(0, 256, (8, h, w, 3), dtype=np.uint8)
+            for mode, kw in [("bf16", {}),
+                             ("int8", {"quantize": "int8", "calib_images": scalib})]:
+                pred = SegmentationPredictor.from_variables(
+                    sv["params"], sv["batch_stats"], num_classes=nc,
+                    image_size_hw=hw, batch_size=batch, **kw)
+                out[f"seg_{name}_b{batch}_{mode}"] = round(
+                    pred.throughput(n_batches), 1)
+                print(f"seg {name} b{batch} {mode}: "
+                      f"{out[f'seg_{name}_b{batch}_{mode}']} img/s", flush=True)
+
+    out["unit"] = "images/sec (single device)"
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()
