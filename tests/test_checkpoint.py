@@ -102,3 +102,29 @@ def test_async_writer_roundtrip(tmp_path):
         w.save(state, epoch=3, loss=0.25, path=sync_path)
     _, epoch, loss = load_checkpoint(make_state(2), sync_path)
     assert epoch == 3 and abs(loss - 0.25) < 1e-9
+
+
+def test_crash_window_recovery(tmp_path):
+    """A kill between the swap's two renames leaves best_model.old — it must be
+    discoverable, loadable, and cleaned up by the next successful save."""
+    from tpu_unet.train import CheckpointWriter
+
+    state = make_state(0)
+    exp = str(tmp_path)
+    path = os.path.join(exp, "checkpoints", "best_model")
+
+    # Simulate the crash window: only the renamed-aside backup exists.
+    save_checkpoint(state, epoch=4, loss=0.9, path=path + ".old")
+    found = find_best_checkpoint(exp)
+    assert found == path + ".old"
+    _, epoch, _ = load_checkpoint(make_state(1), found)
+    assert epoch == 4
+
+    # Next async save swaps a fresh checkpoint in and drops the stale backup.
+    with CheckpointWriter() as w:
+        w.save(state, epoch=5, loss=0.8, path=path)
+    assert os.path.isdir(path) and not os.path.isdir(path + ".old")
+    assert not os.path.isdir(path + ".staging")
+    assert find_best_checkpoint(exp) == path
+    _, epoch, loss = load_checkpoint(make_state(2), path)
+    assert epoch == 5 and abs(loss - 0.8) < 1e-9

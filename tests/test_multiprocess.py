@@ -19,7 +19,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed():
+def test_two_process_distributed(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(repo, "tests", "_mp_worker.py")
     port = _free_port()
@@ -29,7 +29,8 @@ def test_two_process_distributed():
     env.pop("JAX_PLATFORMS", None)  # worker forces cpu via jax.config
 
     procs = [
-        subprocess.Popen([sys.executable, "-u", worker, str(port), str(pid), "2"],
+        subprocess.Popen([sys.executable, "-u", worker, str(port), str(pid), "2",
+                          str(tmp_path)],
                          cwd=repo, env=env, stdout=subprocess.PIPE,
                          stderr=subprocess.STDOUT, text=True)
         for pid in range(2)

@@ -15,8 +15,10 @@ states alike (Orbax handles multi-host arrays natively).
 from __future__ import annotations
 
 import os
+import shutil
 from typing import Optional, Tuple
 
+import jax
 import orbax.checkpoint as ocp
 
 from tpu_unet.train.state import TrainState
@@ -24,6 +26,14 @@ from tpu_unet.train.state import TrainState
 
 def _checkpointer() -> ocp.Checkpointer:
     return ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+
+
+def _barrier(name: str) -> None:
+    """Cross-process barrier (no-op in single-process runs)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
 
 
 def _payload(state: TrainState, epoch: int, loss: float) -> dict:
@@ -41,7 +51,8 @@ def save_checkpoint(state: TrainState, epoch: int, loss: float, path: str) -> No
     path = os.path.abspath(path)
     with _checkpointer() as ckptr:
         ckptr.save(path, _payload(state, epoch, loss), force=True)
-    print(f"Checkpoint saved to {path}")
+    if jax.process_index() == 0:
+        print(f"Checkpoint saved to {path}")
 
 
 class CheckpointWriter:
@@ -58,27 +69,44 @@ class CheckpointWriter:
     the save STARTS, which with an async write would leave no valid checkpoint
     on disk for the whole overlapped epoch. Instead each save writes to a
     staging sibling (``<path>.staging``) and the previous staging dir is swapped
-    into place (rmtree old + rename, sub-second) once its write has finished —
-    a crash mid-epoch loses at most the in-flight checkpoint, never the last
+    into place once its write has finished. The swap renames the old checkpoint
+    aside (``<path>.old``) before renaming staging into place, so at every
+    instant a complete checkpoint exists under either ``path`` or ``path.old``
+    — a crash mid-epoch loses at most the in-flight checkpoint, never the last
     completed one.
+
+    Multi-host safety: Orbax's AsyncCheckpointer coordinates the staging WRITE
+    across processes itself, but on a shared filesystem the swap must happen
+    exactly once. ``_finish_pending`` therefore barriers all processes after
+    ``wait_until_finished``, performs the rename dance on process 0 only, and
+    barriers again before anyone may read the final path.
     """
 
     def __init__(self, async_save: bool = True):
         self._ck = (ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
                     if async_save else None)
         self._pending = None  # (staging_path, final_path) of the in-flight save
+        self._swap_count = 0  # unique barrier names across repeated swaps
 
     def _finish_pending(self) -> None:
         if self._ck is None or self._pending is None:
             return
-        self._ck.wait_until_finished()
+        self._ck.wait_until_finished()  # Orbax-coordinated across processes
         staging, final = self._pending
         self._pending = None
-        if os.path.isdir(final):
-            import shutil
-            shutil.rmtree(final)
-        os.rename(staging, final)
-        print(f"Checkpoint saved to {final}")
+        self._swap_count += 1
+        _barrier(f"ckpt_write_done:{self._swap_count}:{final}")
+        if jax.process_index() == 0:
+            old = final + ".old"
+            if os.path.isdir(final):
+                if os.path.isdir(old):  # stale leftover from an earlier crash
+                    shutil.rmtree(old)
+                os.rename(final, old)
+            os.rename(staging, final)
+            if os.path.isdir(old):  # a complete ckpt now sits at final; drop backup
+                shutil.rmtree(old)
+            print(f"Checkpoint saved to {final}")
+        _barrier(f"ckpt_swap_done:{self._swap_count}:{final}")
 
     def save(self, state: TrainState, epoch: int, loss: float, path: str) -> None:
         if self._ck is None:
@@ -89,7 +117,8 @@ class CheckpointWriter:
         staging = path + ".staging"
         self._ck.save(staging, _payload(state, epoch, loss), force=True)
         self._pending = (staging, path)
-        print(f"Checkpoint save started (async): {path}")
+        if jax.process_index() == 0:
+            print(f"Checkpoint save started (async): {path}")
 
     def wait(self) -> None:
         self._finish_pending()
@@ -132,7 +161,8 @@ def load_checkpoint(state: TrainState, path: str,
     )
     epoch = int(restored["epoch"])
     loss = float(restored["loss"])
-    print(f"Checkpoint loaded from {path}, epoch {epoch}, loss {loss:.4f}")
+    if jax.process_index() == 0:
+        print(f"Checkpoint loaded from {path}, epoch {epoch}, loss {loss:.4f}")
     return state, epoch, loss
 
 
@@ -151,6 +181,10 @@ def find_best_checkpoint(experiment_dir: str) -> Optional[str]:
     best = os.path.join(ckpt_dir, "best_model")
     if os.path.isdir(best):
         return best
+    # Crash recovery: a kill between the swap's two renames leaves the last
+    # completed checkpoint under best_model.old — still fully loadable.
+    if os.path.isdir(best + ".old"):
+        return best + ".old"
     epochs = []
     for name in os.listdir(ckpt_dir):
         if name.startswith("checkpoint_epoch_"):
