@@ -145,10 +145,18 @@ if [[ -n "$SERVE_DIR" ]]; then
   echo "=== [4/$STAGES] Serving $SERVE_DIR ==="
   QARGS=()
   if [[ "$QUANTIZE" == "int8" ]]; then
-    case "$DATASET" in
-      mvtec) QARGS=(--quantize int8 --calib_dir "$DATA_ROOT/$CATEGORY/train/good") ;;
-      *)     QARGS=(--quantize int8 --calib_dir "$DATA_ROOT/images/train") ;;
-    esac
+    # CALIB_DIR env overrides the per-dataset default calibration folder.
+    if [[ -n "${CALIB_DIR:-}" ]]; then
+      QARGS=(--quantize int8 --calib_dir "$CALIB_DIR")
+    else
+      case "$DATASET" in
+        mvtec)       QARGS=(--quantize int8 --calib_dir "$DATA_ROOT/$CATEGORY/train/good") ;;
+        # KolektorSDD has no images/ subdir — its jpgs live in kos*/ folders,
+        # which serve_seg's recursive image walk picks up from the root.
+        kolektorsdd) QARGS=(--quantize int8 --calib_dir "$DATA_ROOT") ;;
+        *)           QARGS=(--quantize int8 --calib_dir "$DATA_ROOT/images/train") ;;
+      esac
+    fi
   fi
   case "$DATASET" in
     mvtec)

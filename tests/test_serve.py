@@ -135,6 +135,44 @@ def test_score_paths_and_empty(trained, tmp_path):
     assert scorer.score_array(np.zeros((0, 32, 32, 3), np.uint8)).shape == (0,)
 
 
+def test_score_paths_decode_failure_policy(trained, tmp_path):
+    """A corrupt file raises a NAMED DecodeError (not a raw pool traceback);
+    on_decode_error='skip' logs it and emits NaN for that file only."""
+    from PIL import Image
+
+    from tpu_unet.serve import AnomalyScorer, DecodeError
+
+    root, ckpt = trained
+    scorer = AnomalyScorer.from_checkpoint(ckpt, image_size=32, batch_size=4,
+                                           precision="f32", base_features=4)
+    rng = np.random.default_rng(3)
+    paths = []
+    for i in range(6):
+        p = os.path.join(tmp_path, f"ok_{i}.png")
+        Image.fromarray(rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)).save(p)
+        paths.append(p)
+    bad = os.path.join(tmp_path, "corrupt.png")
+    with open(bad, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\nnot really a png")
+    paths.insert(2, bad)
+
+    with pytest.raises(DecodeError) as exc:
+        scorer.score_paths(paths, num_workers=2)
+    assert "corrupt.png" in str(exc.value) and exc.value.path == bad
+
+    logged = []
+    from tpu_unet import serve as serve_mod
+    scores, failed = serve_mod._pipelined_batches(
+        paths, (32, 32), 4, 2,
+        lambda imgs: scorer._score_fn(scorer._params, scorer._put(imgs)),
+        on_decode_error="skip", log_fn=logged.append)
+    assert failed == [2] and any("corrupt.png" in m for m in logged)
+
+    scores = scorer.score_paths(paths, num_workers=2, on_decode_error="skip")
+    assert scores.shape == (7,)
+    assert np.isnan(scores[2]) and np.isfinite(np.delete(scores, 2)).all()
+
+
 def test_serve_cli(trained, tmp_path):
     from tpu_unet.cli.serve_mvtec import main as serve_main
 

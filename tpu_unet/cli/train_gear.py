@@ -53,6 +53,17 @@ def add_common_args(parser):
     parser.add_argument("--color_jitter_random_order", action="store_true",
                         help="Randomize the ColorJitter op order per step "
                              "(torchvision semantics; ~35%% step-time cost)")
+    parser.add_argument("--progress_every", type=int, default=10,
+                        help="Intra-epoch progress line every N steps (0 disables)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="Multi-host launch: argless jax.distributed.initialize() "
+                             "(TPU pod autodetection; run the same command on every host)")
+    parser.add_argument("--coordinator_address", type=str, default=None,
+                        help="Manual multi-host launch: coordinator host:port")
+    parser.add_argument("--num_processes", type=int, default=None,
+                        help="Manual multi-host launch: total process count")
+    parser.add_argument("--process_id", type=int, default=None,
+                        help="Manual multi-host launch: this process's index")
 
 
 def parse_args(argv=None):

@@ -116,6 +116,17 @@ def parse_args(argv=None):
                         help="Capture a jax.profiler trace of epoch 1 into this dir")
     parser.add_argument("--debug_nans", action="store_true",
                         help="Enable jax debug_nans (fail fast on NaN)")
+    parser.add_argument("--progress_every", type=int, default=10,
+                        help="Intra-epoch progress line every N steps (0 disables)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="Multi-host launch: argless jax.distributed.initialize() "
+                             "(TPU pod autodetection; run the same command on every host)")
+    parser.add_argument("--coordinator_address", type=str, default=None,
+                        help="Manual multi-host launch: coordinator host:port")
+    parser.add_argument("--num_processes", type=int, default=None,
+                        help="Manual multi-host launch: total process count")
+    parser.add_argument("--process_id", type=int, default=None,
+                        help="Manual multi-host launch: this process's index")
     parser.add_argument("--rotation_mode", type=str, default="per_batch_shear",
                         choices=["per_sample", "per_batch_shear"],
                         help="Rotation augmentation: per-batch MXU shear matmuls "
@@ -151,6 +162,9 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.device)  # e.g. --device cpu
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    from tpu_unet.parallel.mesh import maybe_initialize
+    maybe_initialize(args.coordinator_address, args.num_processes,
+                     args.process_id, auto=args.multihost)
 
     print(f"JAX devices: {jax.devices()}")
     print(f"Training category: {args.category}")
@@ -238,8 +252,9 @@ def main(argv=None):
             profiling = args.profile_dir and epoch == start_epoch + 1
             if profiling:
                 jax.profiler.start_trace(args.profile_dir)
-            state, train_metrics = train_anomaly_epoch(state, train_step, train_loader,
-                                                       base_key, epoch)
+            state, train_metrics = train_anomaly_epoch(
+                state, train_step, train_loader, base_key, epoch,
+                progress_fn=print, progress_every=args.progress_every)
             if profiling:
                 jax.profiler.stop_trace()
                 print(f"Profiler trace saved to {args.profile_dir}")

@@ -75,9 +75,20 @@ def replicate(mesh: Mesh, tree):
 
 def maybe_initialize(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
-                     process_id: Optional[int] = None) -> None:
-    """Initialize multi-host JAX when launched across hosts (no-op single-host)."""
-    if num_processes is not None and num_processes > 1:
+                     process_id: Optional[int] = None,
+                     auto: bool = False) -> None:
+    """Initialize multi-host JAX when launched across hosts (no-op single-host).
+
+    ``auto=True`` (the trainers' ``--multihost`` flag) calls the argless
+    ``jax.distributed.initialize()``, which autodetects the coordinator and
+    process topology from the TPU pod metadata — the standard Cloud TPU launch,
+    where the same command runs on every host of the slice. Explicit
+    coordinator/num_processes/process_id cover manual (CPU/GPU-style) launches.
+    Must run before the first backend touch (any ``jax.devices()`` call).
+    """
+    if auto and num_processes is None:
+        jax.distributed.initialize()
+    elif num_processes is not None and num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,

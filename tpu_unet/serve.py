@@ -44,31 +44,66 @@ from tpu_unet.ops.augment import eval_transform
 from tpu_unet.ops.fold_bn import fold_batchnorm
 
 
+class DecodeError(RuntimeError):
+    """A source image failed to decode; ``.path`` names the offending file."""
+
+    def __init__(self, path: str, cause: BaseException):
+        super().__init__(f"failed to decode image {path!r}: {cause!r}")
+        self.path = path
+
+
 def _pipelined_batches(paths: Sequence[str], size_hw, batch_size: int,
-                       num_workers: int, fn):
+                       num_workers: int, fn, on_decode_error: str = "raise",
+                       log_fn=print):
     """Decode path chunks and apply ``fn(padded_uint8_batch)`` to each, streaming.
 
     A decode pool (``num_workers`` threads, GIL-free inside the native resampler)
     decodes; a SEPARATE single-thread prefetcher overlaps chunk k+1's decode with
     the device work fn enqueues for chunk k. The prefetcher must not share the
     decode pool: load_batch blocks on pool.map, and submitting it to the same
-    pool deadlocks at num_workers=1. Returns fn's results, one per chunk.
+    pool deadlocks at num_workers=1.
+
+    Decode failures (corrupt/truncated files) surface as a named
+    :class:`DecodeError` carrying the path — not a raw traceback from deep
+    inside the pool. With ``on_decode_error='skip'`` the bad file is replaced by
+    a zero image, logged via ``log_fn``, and its global index reported.
+
+    Returns ``(results, failed)``: fn's results one per chunk, plus the sorted
+    global path indices that were skipped (always empty in 'raise' mode).
     """
-    chunks = [paths[lo:lo + batch_size] for lo in range(0, len(paths), batch_size)]
+    if on_decode_error not in ("raise", "skip"):
+        raise ValueError(f"on_decode_error must be 'raise' or 'skip', "
+                         f"got {on_decode_error!r}")
+    chunks = [(lo, paths[lo:lo + batch_size])
+              for lo in range(0, len(paths), batch_size)]
     if not chunks:
-        return []
+        return [], []
+    failed: list = []  # global indices of skipped paths
     decode_pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
     prefetch = ThreadPoolExecutor(max_workers=1)
     try:
-        def load_batch(batch_paths: Sequence[str]) -> np.ndarray:
-            return np.stack(list(decode_pool.map(
-                lambda p: load_image_rgb(p, size_hw), batch_paths)))
+        def decode_one(item):
+            idx, p = item
+            try:
+                return load_image_rgb(p, size_hw)
+            except Exception as e:  # noqa: BLE001 — named + re-raised/reported
+                if on_decode_error == "raise":
+                    raise DecodeError(p, e) from e
+                failed.append(idx)
+                log_fn(f"serve: skipping undecodable image {p!r} ({e!r})")
+                return None
+
+        def load_batch(lo: int, batch_paths: Sequence[str]) -> np.ndarray:
+            imgs = list(decode_pool.map(decode_one,
+                                        list(enumerate(batch_paths, start=lo))))
+            filler = np.zeros((size_hw[0], size_hw[1], 3), np.uint8)
+            return np.stack([im if im is not None else filler for im in imgs])
 
         results = []
-        next_imgs = load_batch(chunks[0])
+        next_imgs = load_batch(*chunks[0])
         for i in range(len(chunks)):
             imgs = next_imgs
-            future = (prefetch.submit(load_batch, chunks[i + 1])
+            future = (prefetch.submit(load_batch, *chunks[i + 1])
                       if i + 1 < len(chunks) else None)
             if len(imgs) < batch_size:
                 pad = np.zeros((batch_size - len(imgs),) + imgs.shape[1:],
@@ -77,7 +112,7 @@ def _pipelined_batches(paths: Sequence[str], size_hw, batch_size: int,
             results.append(fn(imgs))
             if future is not None:
                 next_imgs = future.result()
-        return results
+        return results, sorted(failed)
     finally:
         prefetch.shutdown(wait=False)
         decode_pool.shutdown(wait=False)
@@ -226,19 +261,29 @@ class AnomalyScorer:
             pending.append(self._score_fn(self._params, self._put(chunk)))
         return np.concatenate([np.asarray(s) for s in pending])[:n]
 
-    def score_paths(self, paths: Sequence[str], num_workers: int = 4) -> np.ndarray:
+    def score_paths(self, paths: Sequence[str], num_workers: int = 4,
+                    on_decode_error: str = "raise") -> np.ndarray:
         """Decode, resize, and score image files; returns (N,) scores.
 
         Decode of batch k+1 overlaps the device scoring of batch k
         (``_pipelined_batches``; the decode pool runs GIL-free inside the
         native resampler).
+
+        A corrupt file raises :class:`DecodeError` naming the path; with
+        ``on_decode_error='skip'`` it is logged and its score set to NaN so the
+        remaining 999 files of a 1000-file scan still score.
         """
-        pending = _pipelined_batches(
+        pending, failed = _pipelined_batches(
             paths, (self.image_size, self.image_size), self.batch_size,
-            num_workers, lambda imgs: self._score_fn(self._params, self._put(imgs)))
+            num_workers, lambda imgs: self._score_fn(self._params, self._put(imgs)),
+            on_decode_error=on_decode_error)
         if not pending:
             return np.zeros((0,), np.float32)
-        return np.concatenate([np.asarray(s) for s in pending])[:len(paths)]
+        scores = np.concatenate([np.asarray(s) for s in pending])[:len(paths)]
+        if failed:
+            scores = scores.copy()
+            scores[np.asarray(failed)] = np.nan
+        return scores
 
     def throughput(self, n_batches: int = 10) -> float:
         """Measured serving throughput (img/s) on synthetic data; warms compile."""
@@ -415,16 +460,26 @@ class SegmentationPredictor:
         assert np.isfinite(confs).all()
         return self.batch_size * n_batches / (time.perf_counter() - t0)
 
-    def predict_paths(self, paths: Sequence[str], num_workers: int = 4):
+    def predict_paths(self, paths: Sequence[str], num_workers: int = 4,
+                      on_decode_error: str = "raise"):
         """Decode+resize image files and predict, streaming batch by batch
         (decode overlaps device work; memory stays one batch deep, not the whole
-        directory); returns (masks (N,H,W) uint8, mean_confidences (N,))."""
-        pending = _pipelined_batches(
+        directory); returns (masks (N,H,W) uint8, mean_confidences (N,)).
+
+        A corrupt file raises :class:`DecodeError` naming the path; with
+        ``on_decode_error='skip'`` it is logged, its mask zeroed, and its
+        confidence set to NaN."""
+        pending, failed = _pipelined_batches(
             paths, self.image_size_hw, self.batch_size, num_workers,
-            lambda imgs: self._predict_fn(self._params, self._put(imgs)))
+            lambda imgs: self._predict_fn(self._params, self._put(imgs)),
+            on_decode_error=on_decode_error)
         if not pending:
             h, w = self.image_size_hw
             return np.zeros((0, h, w), np.uint8), np.zeros((0,), np.float32)
         masks = np.concatenate([np.asarray(m) for m, _ in pending])[:len(paths)]
         confs = np.concatenate([np.asarray(c) for _, c in pending])[:len(paths)]
+        if failed:
+            masks, confs = masks.copy(), confs.copy()
+            masks[np.asarray(failed)] = 0
+            confs[np.asarray(failed)] = np.nan
         return masks, confs

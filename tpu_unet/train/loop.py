@@ -13,6 +13,7 @@ KolektorSDD trainers), with TPU-first changes:
 
 from __future__ import annotations
 
+import time
 from typing import Callable, Dict, Optional
 
 import jax
@@ -26,27 +27,74 @@ def _epoch_key(base_key, epoch: int):
     return jax.random.fold_in(base_key, epoch)
 
 
+def _fetch_scalars(per_batch) -> Dict[str, np.ndarray]:
+    """One batched device->host transfer of every per-batch loss scalar.
+
+    The r2 loops called ``float(d[name])`` per batch per loss name — 3×N
+    separate roundtrips over the axon tunnel at every epoch boundary.
+    ``jax.device_get`` issues the async copies for all leaves up front, so the
+    whole epoch's scalars land in a single wait.
+    """
+    host = jax.device_get(per_batch)
+    return {name: np.asarray([float(d[name]) for d in host], np.float64)
+            for name in host[0]}
+
+
+class _Progress:
+    """Intra-epoch progress lines (reference tqdm-postfix analogue,
+    /root/reference/src/train_utils.py:142-146, train.py:148-153).
+
+    Every ``every`` steps it fetches ONLY the loss handle from ``every`` steps
+    ago — already computed by then, so reading it does not stall the chip; the
+    reported img/s is the honest lower bound 'images known complete / elapsed'.
+    """
+
+    def __init__(self, fn: Optional[Callable[[str], None]], every: int, n_total):
+        self.fn = fn if every and every > 0 else None  # every<=0 disables
+        self.every, self.n_total = max(int(every), 1), n_total
+        self.t0 = time.perf_counter()
+
+    def tick(self, i: int, per_batch, counts, extra: str = "") -> None:
+        if self.fn is None or (i + 1) % self.every != 0:
+            return
+        j = i + 1 - self.every  # trailing, surely-completed step
+        loss = float(per_batch[j]["total_loss"])
+        imgs_done = float(np.sum(counts[: j + 1]))
+        dt = max(time.perf_counter() - self.t0, 1e-9)
+        total = f"/{self.n_total}" if self.n_total is not None else ""
+        self.fn(f"  step {i + 1}{total}: loss {loss:.4f}"
+                f"{extra} [{imgs_done / dt:.1f} img/s]")
+
+
 # ---------------------------------------------------------------------------
 # Anomaly (MVTec)
 # ---------------------------------------------------------------------------
 
 def train_anomaly_epoch(state, step_fn, loader, base_key, epoch: int,
-                        log_fn: Optional[Callable[[str], None]] = None):
-    """One training epoch; returns (state, {'total_loss','recon_loss','seg_loss'})."""
+                        log_fn: Optional[Callable[[str], None]] = None,
+                        progress_fn: Optional[Callable[[str], None]] = None,
+                        progress_every: int = 10):
+    """One training epoch; returns (state, {'total_loss','recon_loss','seg_loss'}).
+
+    ``progress_fn``: optional sink for an intra-epoch step/loss/rate line every
+    ``progress_every`` steps (lagged device reads — no added chip syncs).
+    """
     key = _epoch_key(base_key, epoch)
     per_batch = []
     counts = []
+    prog = _Progress(progress_fn, progress_every,
+                     len(loader) if hasattr(loader, "__len__") else None)
     for i, batch in enumerate(loader):
         k = jax.random.fold_in(key, i)
         state, losses = step_fn(state, batch["image"], batch["mask"], k)
         per_batch.append(losses)
         counts.append(batch["image"].shape[0])
+        prog.tick(i, per_batch, counts)
     if not per_batch:
         return state, {"total_loss": 0.0, "recon_loss": 0.0, "seg_loss": 0.0}
     counts = np.asarray(counts, np.float64)
     out = {}
-    for name in per_batch[0]:
-        vals = np.asarray([float(d[name]) for d in per_batch])
+    for name, vals in _fetch_scalars(per_batch).items():
         out[name] = float((vals * counts).sum() / counts.sum())
     if log_fn:
         log_fn(f"Epoch {epoch}: loss {out['total_loss']:.4f} "
@@ -92,9 +140,10 @@ def validate_anomaly_epoch(state, eval_fn, loader) -> Dict:
     # sum over processes (the loss scalars are already replicated global values).
     counts_local = np.asarray([v.sum() for v in valids], np.float64)
     counts_arr = all_gather_host_values(counts_local).reshape(-1, len(valids)).sum(0)
+    scalars = _fetch_scalars(losses)
     loss_out = {}
     for name in ("total_loss", "recon_loss", "seg_loss"):
-        vals = np.asarray([float(d[name]) for d in losses])
+        vals = scalars[name]
         loss_out[name] = float((vals * counts_arr).sum() / counts_arr.sum())
 
     # Gather the epoch arrays (fixed shapes on every process), THEN filter by the
@@ -146,11 +195,22 @@ def validate_anomaly_epoch(state, eval_fn, loader) -> Dict:
 # Segmentation (Gear / KolektorSDD)
 # ---------------------------------------------------------------------------
 
-def train_seg_epoch(state, step_fn, loader, base_key, epoch: int, num_classes: int):
-    """One seg training epoch; returns (state, loss dict, SegmentationMetrics)."""
+def train_seg_epoch(state, step_fn, loader, base_key, epoch: int, num_classes: int,
+                    progress_fn: Optional[Callable[[str], None]] = None,
+                    progress_every: int = 10):
+    """One seg training epoch; returns (state, loss dict, SegmentationMetrics).
+
+    ``progress_fn``: optional intra-epoch step/loss/mIoU/rate line every
+    ``progress_every`` steps (the reference's tqdm postfix,
+    /root/reference/train.py:148-153) from lagged device handles.
+    """
     key = _epoch_key(base_key, epoch)
     metrics = SegmentationMetrics(num_classes)
     per_batch, counts, cms = [], [], []
+    prog = _Progress(progress_fn, progress_every,
+                     len(loader) if hasattr(loader, "__len__") else None)
+    run_cm = np.zeros((num_classes, num_classes), np.int64)
+    fetched = 0  # cms consumed into run_cm at progress ticks
     for i, batch in enumerate(loader):
         k = jax.random.fold_in(key, i)
         state, losses, cm = step_fn(state, batch["image"], batch["mask"], k)
@@ -158,13 +218,27 @@ def train_seg_epoch(state, step_fn, loader, base_key, epoch: int, num_classes: i
         counts.append(batch["image"].shape[0])
         if cm is not None:
             cms.append(cm)
-    for cm in cms:
+        if prog.fn and (i + 1) % prog.every == 0:
+            extra = ""
+            if cms:
+                # Running train mIoU from the trailing (completed) CM handles.
+                upto = max(len(cms) - prog.every + 1, fetched)
+                for c in cms[fetched:upto]:
+                    run_cm += np.asarray(c, np.int64)
+                fetched = upto
+                if run_cm.sum() > 0:
+                    inter = np.diag(run_cm).astype(np.float64)
+                    union = run_cm.sum(0) + run_cm.sum(1) - np.diag(run_cm)
+                    miou = np.nanmean(np.where(union > 0,
+                                               inter / np.maximum(union, 1), np.nan))
+                    extra = f", mIoU {miou:.4f}"
+            prog.tick(i, per_batch, counts, extra=extra)
+    for cm in (jax.device_get(cms) if cms else []):
         metrics.confusion_matrix = metrics.confusion_matrix + np.asarray(cm, np.int64)
     counts_arr = np.asarray(counts, np.float64) if counts else np.asarray([1.0])
     out = {}
     if per_batch:
-        for name in per_batch[0]:
-            vals = np.asarray([float(d[name]) for d in per_batch])
+        for name, vals in _fetch_scalars(per_batch).items():
             out[name] = float((vals * counts_arr).sum() / counts_arr.sum())
     return state, out, metrics
 
@@ -211,7 +285,6 @@ def validate_seg_epoch(state, eval_fn, loader, num_classes: int):
         counts_arr = np.asarray([1.0])
     out = {}
     if per_batch:
-        for name in per_batch[0]:
-            vals = np.asarray([float(d[name]) for d in per_batch])
+        for name, vals in _fetch_scalars(per_batch).items():
             out[name] = float((vals * counts_arr).sum() / counts_arr.sum())
     return out, metrics
