@@ -260,3 +260,57 @@ class TestSampleCache:
         cache.put(0, {"x": np.zeros(10, np.float64)})   # 80 bytes
         cache.put(1, {"x": np.zeros(10, np.float64)})   # would exceed budget
         assert len(cache) == 1 and cache.get(1) is None
+
+
+def test_load_mask_bilinear_parity_mode(tmp_path):
+    """mask_resize='bilinear' reproduces the reference raster geometry
+    (binarize {0,1} -> PIL BILINEAR, uint8 rounding = threshold at 0.5);
+    'nearest' and 'bilinear' differ only at the shape boundary."""
+    from tpu_unet.data.transforms import load_mask
+
+    # A filled blob + a 1-px diagonal scratch (thin defects are where the two
+    # resize semantics actually diverge: bilinear averaging erases sub-pixel
+    # structure that nearest sampling keeps).
+    h = w = 96
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = np.hypot(yy - 48, xx - 40)
+    mask = np.where(r < 20, 255, 0).astype(np.uint8)
+    mask[(r >= 20) & (r < 22)] = 3  # faint nonzero ring: binarize must catch it
+    for i in range(70, 94):
+        mask[i, i] = 255  # thin scratch
+    p = os.path.join(tmp_path, "m.png")
+    Image.fromarray(mask).save(p)
+
+    near = load_mask(p, (32, 32), binarize=True, method="nearest")
+    bil = load_mask(p, (32, 32), binarize=True, method="bilinear")
+    assert set(np.unique(near)) <= {0, 1} and set(np.unique(bil)) <= {0, 1}
+
+    # Reference-style computation, inline: binarize full-res, PIL BILINEAR down.
+    ref = np.asarray(Image.fromarray((mask > 0).astype(np.uint8), mode="L")
+                     .resize((32, 32), Image.BILINEAR), dtype=np.uint8)
+    np.testing.assert_array_equal(bil, ref)
+
+    diff = near != bil
+    assert 0 < diff.sum() < 0.15 * near.size  # boundary/thin-structure only
+    interior = r[1::3, 1::3] < 12  # deep inside the blob (32x32 grid)
+    assert not diff[interior].any()  # deep interior identical
+
+    # No resize -> identical regardless of method.
+    near_full = load_mask(p, (96, 96), binarize=True, method="nearest")
+    bil_full = load_mask(p, (96, 96), binarize=True, method="bilinear")
+    np.testing.assert_array_equal(near_full, bil_full)
+
+
+def test_mvtec_mask_resize_plumbs_through(tmp_path):
+    from tpu_unet.data.mvtec import MVTecDataset
+
+    root = make_mvtec(os.path.join(tmp_path, "mv"), size=48)
+    near_ds = MVTecDataset(root, "bottle", "test", image_size=32, is_train=False,
+                           disk_cache_dir=None)
+    bil_ds = MVTecDataset(root, "bottle", "test", image_size=32, is_train=False,
+                          disk_cache_dir=None, mask_resize="bilinear")
+    i = len(near_ds) - 1  # a broken sample with a mask
+    mn, mb = near_ds.load(i)["mask"], bil_ds.load(i)["mask"]
+    assert mn.shape == mb.shape == (32, 32, 1)
+    assert set(np.unique(mn)) <= {0.0, 1.0} and set(np.unique(mb)) <= {0.0, 1.0}
+    assert mn.sum() > 0 and mb.sum() > 0

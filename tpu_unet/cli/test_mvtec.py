@@ -63,6 +63,12 @@ def parse_args(argv=None):
                         help="Calibration images for --quantize int8")
     parser.add_argument("--calib_percentile", type=float, default=None,
                         help="Outlier-robust percentile calibration (e.g. 99.9)")
+    parser.add_argument("--mask_resize", type=str, default="nearest",
+                        choices=["nearest", "bilinear"],
+                        help="GT-mask resize: 'nearest' (binarize-then-nearest; "
+                             "no invented boundary pixels) or 'bilinear' "
+                             "(reference raster parity, "
+                             "/root/reference/src/dataset.py:100-106,149-152)")
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--debug_samples", type=int, default=20)
     return parser.parse_args(argv)
@@ -169,7 +175,8 @@ def main(argv=None):
     os.makedirs(output_dir, exist_ok=True)
 
     test_ds = MVTecDataset(args.data_root, args.category, "test",
-                           args.image_size, is_train=False)
+                           args.image_size, is_train=False,
+                           mask_resize=args.mask_resize)
     if args.debug:
         from tpu_unet.cli.train_mvtec import _Subset
         test_ds = _Subset(test_ds, args.debug_samples, 0)

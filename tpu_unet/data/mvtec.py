@@ -35,7 +35,8 @@ class MVTecDataset:
     def __init__(self, root_dir: str, category: str, split: str = "train",
                  image_size: int = 256, is_train: bool = True,
                  cache_samples: bool = True,
-                 disk_cache_dir: Optional[str] = "auto"):
+                 disk_cache_dir: Optional[str] = "auto",
+                 mask_resize: str = "nearest"):
         if disk_cache_dir == "auto":
             disk_cache_dir = diskcache.default_cache_root()
         self.root_dir = root_dir
@@ -43,6 +44,7 @@ class MVTecDataset:
         self.split = split
         self.image_size = image_size
         self.is_train = is_train
+        self.mask_resize = mask_resize  # 'nearest' | 'bilinear' (ref parity)
         self.samples: List[MVTecSample] = []
         self._cache = SampleCache() if cache_samples else None
         self._load_index()
@@ -53,7 +55,7 @@ class MVTecDataset:
             from tpu_unet.data.transforms import resize_backend_tag
             fp = diskcache.fingerprint(
                 f"mvtec|{category}|{split}|{image_size}|{is_train}|"
-                f"{resize_backend_tag()}", paths)
+                f"{resize_backend_tag()}|mask={mask_resize}", paths)
             self._pack = diskcache.PackedStore.open_or_build(
                 disk_cache_dir, fp, len(self.samples), self._load_uncached,
                 log=print)
@@ -99,7 +101,8 @@ class MVTecDataset:
         size = (self.image_size, self.image_size)
         image = load_image_rgb(s.image_path, size)
         if s.mask_path is not None:
-            mask = load_mask(s.mask_path, size, binarize=True).astype(np.float32)
+            mask = load_mask(s.mask_path, size, binarize=True,
+                             method=self.mask_resize).astype(np.float32)
         else:
             mask = np.zeros(size, dtype=np.float32)
         return {

@@ -49,15 +49,30 @@ def load_image_rgb(path: str, size_hw: Tuple[int, int]) -> np.ndarray:
         return np.asarray(im.resize((w, h), Image.BILINEAR), dtype=np.uint8)
 
 
-def load_mask(path: str, size_hw: Tuple[int, int], binarize: bool = False) -> np.ndarray:
-    """Decode a grayscale mask, nearest-resize to (H, W); returns (H,W) uint8.
+def load_mask(path: str, size_hw: Tuple[int, int], binarize: bool = False,
+              method: str = "nearest") -> np.ndarray:
+    """Decode a grayscale mask, resize to (H, W); returns (H,W) uint8.
 
     binarize=True maps any nonzero value to 1 (MVTec ground-truth masks,
     /root/reference/src/dataset.py:100-103).
+
+    method='nearest' (default) binarizes then nearest-resizes — no invented
+    values, correct for multi-class label maps. method='bilinear' is the MVTec
+    eval-parity mode reproducing the reference raster geometry
+    (/root/reference/src/dataset.py:100-106,149-152: binarize to {0,1}, then
+    transforms.Resize's default BILINEAR, whose uint8 rounding thresholds the
+    interpolated edge at 0.5) — boundary pixels can differ from 'nearest' by
+    one pixel of anti-aliased growth/shrink. Only meaningful with binarize=True.
     """
     with Image.open(path) as im:
         im = im.convert("L")
         h, w = size_hw
+        if method == "bilinear" and binarize:
+            arr = (np.asarray(im, dtype=np.uint8) > 0).astype(np.uint8)
+            im = Image.fromarray(arr, mode="L")
+            if im.size != (w, h):
+                im = im.resize((w, h), Image.BILINEAR)
+            return np.asarray(im, dtype=np.uint8)
         if im.size != (w, h):
             im = im.resize((w, h), Image.NEAREST)
         arr = np.asarray(im, dtype=np.uint8)
