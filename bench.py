@@ -190,6 +190,137 @@ def main():
     if step_bytes:
         hbm_frac = step_bytes * steps_per_sec / (PEAK_HBM_BPS * n_chips)
 
+    # ------------------------------------------------------------------
+    # Remaining BASELINE.md configs (VERDICT r2 #3): throughput + roofline
+    # fractions for every config in one JSON line. Config 2 (AnomalyUNet,
+    # the headline) is measured above; config 5's per-category step IS
+    # config 2's step (the sweep CLI runs it per category).
+    # ------------------------------------------------------------------
+    from tpu_unet.train import SegLossConfig, make_seg_train_step
+
+    def bench_config(state_fn, step_fn, imgs, lbls, fwd_builder=None, steps=10,
+                     fwd_flops_val=None):
+        """Time a (donated-state) train step; returns throughput + roofline."""
+        st = state_fn()
+        compiled = step_fn.lower(st, imgs, lbls, jax.random.key(0)).compile()
+        fl, by = _cost(compiled)
+        r = None
+        for i in range(WARMUP):
+            r = compiled(st, imgs, lbls, jax.random.key(i))
+            st = r[0]
+        float(r[1]["total_loss"])
+        t0 = time.perf_counter()
+        accl = []
+        for i in range(steps):
+            r = compiled(st, imgs, lbls, jax.random.key(500 + i))
+            st = r[0]
+            accl.append(r[1]["total_loss"])
+        assert all(np.isfinite(float(v)) for v in accl)
+        dt = time.perf_counter() - t0
+        n = imgs.shape[0]
+        pc = n * steps / dt / n_chips
+        sps = n * steps / dt / n  # global steps/sec
+        out = {"images_per_sec_per_chip": round(pc, 2)}
+        if fl:
+            out["hfu"] = round(fl * sps / (PEAK_FLOPS_BF16 * n_chips), 3)
+        if by:
+            out["hbm_bw_fraction"] = round(by * sps / (PEAK_HBM_BPS * n_chips), 3)
+        ffl = fwd_flops_val
+        if ffl is None and fwd_builder is not None:
+            ffl, _ = _cost(fwd_builder())
+        if ffl:
+            out["mfu"] = round(3.0 * ffl * sps / (PEAK_FLOPS_BF16 * n_chips), 3)
+        return out
+
+    configs = {}
+
+    # Config 1: standard UNet (single decoder), MVTec 256px b16, focal loss.
+    from tpu_unet.models import UNet, SegmentationUNet
+    unet = UNet(n_classes=1, policy=BF16_POLICY)
+
+    def unet_state():
+        return replicate(mesh, create_train_state(
+            unet, jax.random.key(2), (1, IMAGE_SIZE, IMAGE_SIZE, 3), tx))
+
+    ustep = make_anomaly_train_step(aug_cfg=AugmentConfig(), donate_state=True,
+                                    dual_decoder=False)
+    ust = unet_state()
+    configs["1_unet_focal_256_b16"] = bench_config(
+        unet_state, ustep, images, masks,
+        fwd_builder=lambda: jax.jit(
+            lambda p, s, x: unet.apply({"params": p, "batch_stats": s}, x,
+                                       train=False)
+        ).lower(ust.params, ust.batch_stats, x_f32).compile())
+    del ust
+
+    configs["2_anomaly_unet_256_b16"] = {
+        "images_per_sec_per_chip": round(per_chip, 2),
+        "mfu": round(mfu, 3) if mfu is not None else None,
+        "hfu": round(hfu, 3) if hfu is not None else None,
+        "hbm_bw_fraction": round(hbm_frac, 3) if hbm_frac is not None else None,
+    }
+
+    # Config 3: AnomalyUNet + SSIM reconstruction loss (+cosine schedule — a
+    # host-side LR injection with zero step-time effect). Reuses the final
+    # primary state (donated into this bench).
+    from tpu_unet.train.steps import AnomalyLossConfig
+    sstep = make_anomaly_train_step(AnomalyLossConfig(recon_loss_type="ssim"),
+                                    AugmentConfig(), donate_state=True)
+    # Same model as config 2 -> same forward FLOPs (state is donated into this
+    # bench, so its params can't be re-lowered afterwards).
+    configs["3_anomaly_unet_ssim_256_b16"] = bench_config(
+        lambda: state, sstep, images, masks, fwd_flops_val=fwd_flops)
+
+    # Config 4: KolektorSDD seg training, 1024x512 b8, class weights 1:50:50.
+    seg3 = SegmentationUNet(n_classes=3, policy=BF16_POLICY)
+
+    def ksdd_state():
+        return replicate(mesh, create_train_state(
+            seg3, jax.random.key(3), (1, 1024, 512, 3), tx))
+
+    kstep = make_seg_train_step(3, SegLossConfig(class_weights=(1.0, 50.0, 50.0)),
+                                AugmentConfig(degrees=5.0), donate_state=True)
+    kb = 8 * n_chips
+    kimgs = shard_batch(mesh, rng.integers(0, 256, (kb, 1024, 512, 3),
+                                           dtype=np.uint8))
+    klbls = shard_batch(mesh, rng.integers(0, 3, (kb, 1024, 512)).astype(np.int32))
+    kst = ksdd_state()
+    configs["4_kolektorsdd_1024x512_b8"] = bench_config(
+        ksdd_state, kstep, kimgs, klbls,
+        fwd_builder=lambda: jax.jit(
+            lambda p, s, x: seg3.apply({"params": p, "batch_stats": s}, x,
+                                       train=False)
+        ).lower(kst.params, kst.batch_stats,
+                jax.device_put(np.zeros((kb, 1024, 512, 3), np.float32),
+                               kimgs.sharding)).compile())
+    del kst, kimgs, klbls
+
+    # Config 5 note + Gear (the third workload, same seg step at 512² b8).
+    configs["5_sweep_per_category"] = "config 2's step per category (sweep CLI)"
+    seg4 = SegmentationUNet(n_classes=4, policy=BF16_POLICY)
+
+    def gear_state():
+        return replicate(mesh, create_train_state(
+            seg4, jax.random.key(4), (1, 512, 512, 3), tx))
+
+    gstep = make_seg_train_step(4, SegLossConfig(), AugmentConfig(
+        degrees=10.0, brightness=0.2, contrast=0.2, saturation=0.2, hue=0.1),
+        donate_state=True)
+    gb = 8 * n_chips
+    gimgs = shard_batch(mesh, rng.integers(0, 256, (gb, 512, 512, 3),
+                                           dtype=np.uint8))
+    glbls = shard_batch(mesh, rng.integers(0, 4, (gb, 512, 512)).astype(np.int32))
+    gst = gear_state()
+    configs["gear_512_b8"] = bench_config(
+        gear_state, gstep, gimgs, glbls,
+        fwd_builder=lambda: jax.jit(
+            lambda p, s, x: seg4.apply({"params": p, "batch_stats": s}, x,
+                                       train=False)
+        ).lower(gst.params, gst.batch_stats,
+                jax.device_put(np.zeros((gb, 512, 512, 3), np.float32),
+                               gimgs.sharding)).compile())
+    del gst, gimgs, glbls
+
     print(json.dumps({
         "metric": "mvtec_bottle_anomaly_unet_train_images_per_sec_per_chip",
         "value": round(per_chip, 2),
@@ -212,6 +343,8 @@ def main():
         "fwd_flops": fwd_flops,
         "step_hbm_bytes": step_bytes,
         "peak_flops_bf16": PEAK_FLOPS_BF16,
+        # Throughput + roofline for every BASELINE.md config (VERDICT r2 #3).
+        "baseline_configs": configs,
     }))
 
 
