@@ -45,13 +45,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(x_hbm, w_ref, scale_ref, bias_ref, inv_out_ref, out_ref,
             x_vmem, acc_ref, sem, *, TH: int, W: int, relu: bool):
-    """One (TH, W, Cout) output block; x_hbm is the whole padded input (ANY)."""
+    """One (TH, W, Cout) output block; x_hbm is the whole padded input (HBM).
+
+    Column (dx) shifts use pltpu.roll along the second-minor dim (Mosaic
+    requires DMA/slice second-minor extents aligned to the sublane tile, so the
+    input is width-padded to a multiple of 8 and the post-roll slice starts at
+    the aligned offset 0; rolled-in garbage columns land beyond W and are never
+    read — W+1+dx < W_pad for dx <= 2).
+    """
     n = pl.program_id(0)
     i = pl.program_id(1)
 
-    # Halo window: padded rows [i*TH, i*TH + TH + 2), all padded cols.
+    # Halo window: padded rows [i*TH, i*TH + TH + 2), full padded width.
     dma = pltpu.make_async_copy(
-        x_hbm.at[n, pl.ds(i * TH, TH + 2)], x_vmem, sem)
+        x_hbm.at[n, pl.ds(i * TH, TH + 2), :, :], x_vmem, sem)
     dma.start()
     dma.wait()
 
@@ -109,7 +116,10 @@ def conv3x3_int8_fused(x: jax.Array, w: jax.Array, scale: jax.Array,
     th = row_tile or _pick_row_tile(h, ww, cin, cout)
     assert h % th == 0, (h, th)
 
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # Width padded to a sublane multiple (Mosaic DMA alignment); left halo col
+    # at index 0, right halo + alignment slack zeros beyond column W+1.
+    w_pad = -(-(ww + 2) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, w_pad - ww - 1), (0, 0)))
     w9 = w.reshape(9, cin, cout)
     inv = (1.0 / out_scale).astype(jnp.float32).reshape(1, 1)
 
@@ -119,7 +129,7 @@ def conv3x3_int8_fused(x: jax.Array, w: jax.Array, scale: jax.Array,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),               # x (manual DMA)
+            pl.BlockSpec(memory_space=pltpu.HBM),               # x (manual DMA)
             pl.BlockSpec((9, cin, cout), lambda n_, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),              # weights
             pl.BlockSpec((cout,), lambda n_, i: (0,),
@@ -133,7 +143,7 @@ def conv3x3_int8_fused(x: jax.Array, w: jax.Array, scale: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, ww, cout), jnp.int8),
         scratch_shapes=[
-            pltpu.VMEM((th + 2, ww + 2, cin), jnp.int8),        # halo window
+            pltpu.VMEM((th + 2, w_pad, cin), jnp.int8),         # halo window
             pltpu.VMEM((th, ww, cout), jnp.int32),              # accumulator
             pltpu.SemaphoreType.DMA(()),
         ],
