@@ -45,3 +45,28 @@ def test_edge_values_saturate():
     ref = np.asarray(conv3x3_int8_reference(x, k, scale, bias, np.float32(1.0)))
     np.testing.assert_array_equal(got, ref)
     assert got.max() == 127
+
+
+def test_w2_packed_weights_exact():
+    """The width-fold packed conv (free NHWC reshape + pack_weights_w2) is
+    exactly the original 3x3 conv — the C<128 serving path depends on it."""
+    import jax.numpy as jnp
+
+    from tpu_unet.ops.pallas.int8_conv import pack_weights_w2
+
+    rng = np.random.default_rng(7)
+    n, h, w, c, co = 2, 8, 12, 16, 8
+    x = rng.integers(-127, 128, (n, h, w, c)).astype(np.int8)
+    k = rng.integers(-127, 128, (3, 3, c, co)).astype(np.int8)
+    scale = (rng.random(co) * 1e-3 + 1e-4).astype(np.float32)
+    bias = (rng.standard_normal(co) * 0.1).astype(np.float32)
+    s_out = np.float32(0.05)
+
+    ref = np.asarray(conv3x3_int8_reference(x, k, scale, bias, s_out))
+
+    xp = jnp.asarray(x).reshape(n, h, w // 2, 2 * c)
+    k2 = pack_weights_w2(jnp.asarray(k))
+    got = conv3x3_int8_fused(xp, k2, np.tile(scale, 2), np.tile(bias, 2),
+                             s_out, row_tile=4, interpret=True)
+    got = np.asarray(got).reshape(n, h, w, co)
+    np.testing.assert_array_equal(got, ref)

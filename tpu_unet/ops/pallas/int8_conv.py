@@ -3,31 +3,51 @@ HBM pass.
 
 Why this exists (VERDICT r2 weak #2 / next-step #2): XLA:TPU does not fuse
 epilogues into convolution outputs. The int8 serving path therefore runs every
-conv as  int8 -> int32 accumulator in HBM  followed by a separate near-roofline
-`clamp_convert` requant pass (int32 read -> int8 write) — measured ~85% of the
-quantized step's device time (docs/ARCHITECTURE.md "int8 serving path"). Per
-output element the unfused path moves 4 (acc write) + 4 (requant read) + 1
-(int8 write) = 9 bytes where 1 byte suffices. This kernel keeps the int32
-accumulator in VMEM and writes int8 directly:
+conv as  int8 -> int32 accumulator in HBM  followed by a separate requant
+`clamp_convert` pass (int32 read -> int8 write). Per output element the unfused
+path moves 4 (acc write) + 4 (requant read) + 1 (int8 write) = 9 bytes where 1
+byte suffices; measured per layer at serving shapes (tools/bench_int8_conv.py,
+b128) the requant pass costs up to 1.7 ms of a 7.2 ms pair at 256x256x64. This
+kernel keeps the int32 accumulator in VMEM and writes int8 directly:
 
-    read x (int8) -> [9 shifted MXU int8 dots -> int32 acc in VMEM]
+    read x (int8) -> [3 fat MXU int8 dots over column-patches -> int32 in VMEM]
       -> f32 epilogue: acc * (s_in * w_scale[c]) + bias[c] -> ReLU
       -> round/clip -> write int8
 
-Design notes
-- NHWC, 3x3, stride 1, SAME via a pre-padded input (one cheap int8 pad pass;
-  edges never special-cased in-kernel).
-- Grid (N, H/TH): each program manually DMAs its (TH+2, W+2, Cin) halo window
-  HBM->VMEM (overlapping windows cannot be expressed as BlockSpec blocks), runs
-  the 9 taps as (TH*W, Cin) x (Cin, Cout) int8 matmuls accumulating in int32,
-  and writes one (TH, W, Cout) int8 output block through a regular BlockSpec
-  (so output writes pipeline across grid steps).
-- Weights are passed as (9, Cin, Cout) — tap-major — and live in VMEM whole
-  (largest layer: 9*1024*512 int8 = 4.7 MB).
+**Measured outcome (go/no-go, VERDICT r2 #2): NO-GO for integration.** This
+kernel is bit-exact on chip at every AnomalyUNet serving shape but only reaches
+XLA parity at large C (1.02x at 32x32x512, 0.98-0.99x at 64x64x256 and
+16x16x1024, b128) and loses at high-res small-C (0.82x at 128x128x128, 0.50x at
+256x256x64 W-packed). Root causes, all measured (tools/bench_int8_conv.py,
+full table in docs/ARCHITECTURE.md "Measured dead ends"):
+- XLA:TPU's int8 convs are already dot-based at ~120-200 effective TOPS with
+  the requant epilogue at least partially fused — the r2 hypothesis that a
+  separate requant pass is ~85% of the step was a profile misattribution; the
+  per-layer requant delta (pair minus conv-only) is 0.1-1.8 ms, ~10% of the
+  serve step in total.
+- Mosaic int8 data movement blocks every cheap dx-shift mechanism: in-VMEM
+  shifted slices relayout at ~0.3 ms/copy (dominating at high-res), DMA slice
+  second-minor extents AND offsets must be sublane-aligned (offset-1 reads
+  don't compile), and pltpu.roll rejects non-32-bit data.
+
+Kept as an exemplar + regression baseline for future Mosaic releases. The file
+also contains pack_weights_w2 — an exact free-reshape width-fold (useful
+beyond this kernel for 128-lane alignment of C<128 NHWC int8 tensors).
+
+Design (v3, the best of three measured variants — v1: blocking DMA + 9 thin
+K=Cin dots, 0.63-0.92x; v4: DMA-side column shifts, doesn't compile):
+- NHWC, 3x3, stride 1, SAME via a pre-padded input (one cheap int8 pad pass).
+- Grid (N, H/TH); the halo-window DMA is double-buffered ACROSS grid steps
+  (overlapping halo windows cannot be expressed as BlockSpec blocks).
+- Column patches: the window's 3 dx-shifts are concatenated channel-wise ONCE
+  per tile ((TH+2, W, 3*Cin)); each of the 3 dy taps is then a single fat
+  (TH*W, 3Cin) x (3Cin, Cout) int8 matmul accumulating in int32.
+- C<128 layers route through the exact width-fold (pack_weights_w2) to satisfy
+  the 128-lane manual-DMA alignment floor.
 - Requant epilogue matches ops/quantize.py::_QuantExec._requant bit-for-bit:
   q = clip(round(y / s_out), lo, 127), lo = 0 after ReLU else -127.
 
-Reference cited for parity: the convs this replaces implement
+Reference cited for parity: the convs this targets implement
 /root/reference/src/model.py:6-23 (DoubleConv) on the serving path.
 """
 
@@ -42,37 +62,67 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_LANE = 128  # int8 minor-dim tile (manual DMA alignment)
+
 
 def _kernel(x_hbm, w_ref, scale_ref, bias_ref, inv_out_ref, out_ref,
-            x_vmem, acc_ref, sem, *, TH: int, W: int, relu: bool):
-    """One (TH, W, Cout) output block; x_hbm is the whole padded input (HBM).
+            win_ref, patch_ref, acc_ref, sem_ref, *,
+            TH: int, W: int, relu: bool):
+    """One (TH, W, Cout) output tile.
 
-    Column (dx) shifts use pltpu.roll along the second-minor dim (Mosaic
-    requires DMA/slice second-minor extents aligned to the sublane tile, so the
-    input is width-padded to a multiple of 8 and the post-roll slice starts at
-    the aligned offset 0; rolled-in garbage columns land beyond W and are never
-    read — W+1+dx < W_pad for dx <= 2).
+    The halo-window DMA is double-buffered ACROSS grid steps (scratch persists
+    over the sequential TPU grid loop): each step waits for its own window,
+    starts the next step's, then computes — loads overlap the MXU work.
     """
     n = pl.program_id(0)
-    i = pl.program_id(1)
+    t = pl.program_id(1)
+    n_b = pl.num_programs(0)
+    n_t = pl.num_programs(1)
+    step = n * n_t + t
 
-    # Halo window: padded rows [i*TH, i*TH + TH + 2), full padded width.
-    dma = pltpu.make_async_copy(
-        x_hbm.at[n, pl.ds(i * TH, TH + 2), :, :], x_vmem, sem)
-    dma.start()
-    dma.wait()
+    def get_dma(slot, b, tile):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(tile * TH, TH + 2), :, :],
+            win_ref.at[slot], sem_ref.at[slot])
 
-    # 9 taps: shifted (TH, W, Cin) x (Cin, Cout) -> int32, accumulated exactly.
-    acc = None
-    for t in range(9):
-        dy, dx = t // 3, t % 3
-        window = x_vmem[dy:dy + TH, dx:dx + W, :]
+    slot = jax.lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _():
+        get_dma(slot, n, t).start()
+
+    get_dma(slot, n, t).wait()
+
+    # Prefetch the next tile (possibly the next batch element's first tile).
+    nxt_n = jax.lax.select(t + 1 < n_t, n, n + 1)
+    nxt_t = jax.lax.select(t + 1 < n_t, t + 1, 0)
+
+    @pl.when(step + 1 < n_b * n_t)
+    def _():
+        get_dma(jax.lax.rem(step + 1, 2), nxt_n, nxt_t).start()
+
+    # Column patches: P[:, x, dx*CIN:(dx+1)*CIN] = win[:, x+dx, :]. (The dx
+    # shifts CANNOT ride the DMA: Mosaic requires both slice extents AND tile
+    # offsets in the second-minor dim to be sublane-aligned, so offset-1/-2
+    # HBM reads don't compile; the in-VMEM shifted copy is the only mechanism,
+    # and its relayout cost is what caps this kernel at XLA parity — see the
+    # dead-end entry in docs/ARCHITECTURE.md.)
+    CIN = win_ref.shape[-1]
+    for dx in range(3):
+        patch_ref[:, :, dx * CIN:(dx + 1) * CIN] = (
+            win_ref[slot, :, dx:dx + W, :])
+
+    # 3 dy taps, each one fat (TH, W, 3CIN) x (3CIN, Cout) int8 MXU dot with
+    # exact int32 accumulation.
+    for dy in range(3):
         contrib = jax.lax.dot_general(
-            window, w_ref[t],
+            patch_ref[dy:dy + TH], w_ref[dy],
             dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
-        acc = contrib if acc is None else acc + contrib
-    acc_ref[:] = acc
+        if dy == 0:
+            acc_ref[:] = contrib
+        else:
+            acc_ref[:] = acc_ref[:] + contrib
 
     # Fused epilogue: dequant-scale + bias (+ReLU) + requant to int8.
     y = acc_ref[:].astype(jnp.float32) * scale_ref[:] + bias_ref[:]
@@ -84,18 +134,23 @@ def _kernel(x_hbm, w_ref, scale_ref, bias_ref, inv_out_ref, out_ref,
 
 
 def _pick_row_tile(h: int, w: int, cin: int, cout: int) -> int:
-    """Largest row tile whose VMEM footprint (halo window + int32 acc + weights
-    + out block) stays comfortably under the ~16 MB budget."""
-    weights = 9 * cin * cout
-    for th in (h, 64, 32, 16, 8):
+    """Largest row tile that fits VMEM. Counts what Mosaic actually allocates:
+    2 halo windows + column patches + int32 acc (scratch), ~1.5 acc-sized live
+    values in the epilogue, weights, and the double-buffered (1, TH, W, Cout)
+    out blocks."""
+    w_pad = -(-(w + 2) // 8) * 8
+    weights = 3 * 3 * cin * cout
+    for th in (h, 64, 32, 16, 8, 4):
         if th > h or h % th:
             continue
-        window = (th + 2) * (w + 2) * cin
+        windows = 2 * (th + 2) * w_pad * cin
+        patches = (th + 2) * w * 3 * cin
         acc = th * w * cout * 4
-        out = th * w * cout
-        if weights + window + acc + out + 2 * 1024 * 1024 < 14 * 1024 * 1024:
+        out_blk = 2 * th * w * cout
+        if (weights + windows + patches + int(2.5 * acc) + out_blk
+                < 14 * 1024 * 1024):
             return th
-    return 8
+    return 4
 
 
 @functools.partial(jax.jit, static_argnames=("relu", "row_tile", "interpret"))
@@ -113,6 +168,20 @@ def conv3x3_int8_fused(x: jax.Array, w: jax.Array, scale: jax.Array,
     """
     n, h, ww, cin = x.shape
     cout = w.shape[-1]
+
+    # W-pack small-channel layers: (N,H,W,C) viewed as (N,H,W/2,2C) is a FREE
+    # reshape in NHWC, and the 3x3 conv has an exact packed-weight equivalent
+    # (pack_weights_w2) — Cin=64 layers hit the 128-lane manual-DMA alignment
+    # floor and half-empty MXU passes otherwise. Zero traffic overhead.
+    if (cin < _LANE or cout < _LANE) and ww % 2 == 0 and not interpret:
+        xp2 = x.reshape(n, h, ww // 2, 2 * cin)
+        w2 = pack_weights_w2(w)
+        scale2 = jnp.tile(scale.astype(jnp.float32), 2)
+        bias2 = jnp.tile(bias.astype(jnp.float32), 2)
+        packed = conv3x3_int8_fused(xp2, w2, scale2, bias2, out_scale,
+                                    relu=relu, row_tile=row_tile)
+        return packed.reshape(n, h, ww, cout)
+
     th = row_tile or _pick_row_tile(h, ww, cin, cout)
     assert h % th == 0, (h, th)
 
@@ -120,18 +189,19 @@ def conv3x3_int8_fused(x: jax.Array, w: jax.Array, scale: jax.Array,
     # at index 0, right halo + alignment slack zeros beyond column W+1.
     w_pad = -(-(ww + 2) // 8) * 8
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, w_pad - ww - 1), (0, 0)))
-    w9 = w.reshape(9, cin, cout)
+    # Tap-dy-major patch weights: (3, 3*Cin, Cout), dx blocks concatenated in
+    # the same order the kernel builds patches.
+    w3 = w.reshape(3, 3 * cin, cout)
     inv = (1.0 / out_scale).astype(jnp.float32).reshape(1, 1)
 
     kernel = functools.partial(_kernel, TH=th, W=ww, relu=relu)
-    grid = (n, h // th)
     return pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(n, h // th),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),               # x (manual DMA)
-            pl.BlockSpec((9, cin, cout), lambda n_, i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),              # weights
+            pl.BlockSpec((3, 3 * cin, cout), lambda n_, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),              # patch weights
             pl.BlockSpec((cout,), lambda n_, i: (0,),
                          memory_space=pltpu.VMEM),              # scale
             pl.BlockSpec((cout,), lambda n_, i: (0,),
@@ -143,16 +213,45 @@ def conv3x3_int8_fused(x: jax.Array, w: jax.Array, scale: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, ww, cout), jnp.int8),
         scratch_shapes=[
-            pltpu.VMEM((th + 2, w_pad, cin), jnp.int8),         # halo window
+            pltpu.VMEM((2, th + 2, w_pad, cin), jnp.int8),      # halo windows
+            pltpu.VMEM((th + 2, ww, 3 * cin), jnp.int8),        # column patches
             pltpu.VMEM((th, ww, cout), jnp.int32),              # accumulator
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * n * h * ww * cin * cout * 9,
             bytes_accessed=x.size + w.size + n * h * ww * cout,
             transcendentals=0),
         interpret=interpret,
-    )(xp, w9, scale.astype(jnp.float32), bias.astype(jnp.float32), inv)
+    )(xp, w3, scale.astype(jnp.float32), bias.astype(jnp.float32), inv)
+
+
+def pack_weights_w2(w: jax.Array) -> jax.Array:
+    """Exact packed-weight equivalent of a 3x3 conv under the free NHWC
+    width-fold view (N,H,W,C) == (N,H,W/2,2C).
+
+    For packed position u (original columns 2u, 2u+1), output pair
+    (O[2u], O[2u+1]) convolves packed columns u-1, u, u+1:
+      O[2u]   = X[2u-1]K0 + X[2u]K1 + X[2u+1]K2
+      O[2u+1] = X[2u]K0   + X[2u+1]K1 + X[2u+2]K2
+    Row-tap structure is unchanged. Input block rows (per packed column) are
+    (even, odd) original columns, giving (3, 3, 2C, 2C'):
+      du=-1: [[0, 0], [K0, 0]];  du=0: [[K1, K0], [K2, K1]];  du=+1: [[0, K2], [0, 0]]
+    """
+    k = w  # (3, 3, C, C')
+    c, co = k.shape[2], k.shape[3]
+    z = jnp.zeros((3, c, co), k.dtype)
+    k0, k1, k2 = k[:, 0], k[:, 1], k[:, 2]  # (3, C, C') per dx tap
+    dum1 = jnp.concatenate([
+        jnp.concatenate([z, z], axis=2),
+        jnp.concatenate([k0, z], axis=2)], axis=1)       # (3, 2C, 2C')
+    du0 = jnp.concatenate([
+        jnp.concatenate([k1, k0], axis=2),
+        jnp.concatenate([k2, k1], axis=2)], axis=1)
+    dup1 = jnp.concatenate([
+        jnp.concatenate([z, k2], axis=2),
+        jnp.concatenate([z, z], axis=2)], axis=1)
+    return jnp.stack([dum1, du0, dup1], axis=1)           # (3, 3, 2C, 2C')
 
 
 def conv3x3_int8_reference(x, w, scale, bias, out_scale, relu=True):
