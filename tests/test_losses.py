@@ -177,3 +177,73 @@ class TestSegmentationLosses:
         tt = torch.tensor(labels_ig).long()
         theirs = float(F.cross_entropy(tl, tt, ignore_index=255))
         assert abs(ours - theirs) < 1e-5
+
+
+class TestSlicedCombinedLossEquivalence:
+    """The channel-sliced fast path must match the (N,H,W,C) oracle path in
+    values AND gradients across every configuration the trainers use."""
+
+    CONFIGS = [
+        dict(ce_weight=1.0, dice_weight=1.0, focal_weight=0.0),                  # gear default
+        dict(ce_weight=1.0, dice_weight=1.0, focal_weight=0.0,
+             class_weights=(1.0, 50.0, 50.0)),                                   # ksdd default (c=3)
+        dict(ce_weight=1.0, dice_weight=1.0, focal_weight=0.5),
+        dict(ce_weight=1.0, dice_weight=0.0, focal_weight=0.0, ignore_index=255),
+        dict(ce_weight=0.0, dice_weight=1.0, focal_weight=0.0),
+        dict(ce_weight=1.0, dice_weight=1.0, focal_weight=0.25, ignore_index=255,
+             class_weights=(1.0, 2.0, 3.0)),
+        dict(ce_weight=1.0, dice_weight=1.0, focal_weight=0.0,
+             class_weights=(1.0, 1.0, 2.0, 0.5)),                                # gear 4-class
+    ]
+
+    @pytest.mark.parametrize("cfg", CONFIGS)
+    def test_value_and_grad_match(self, cfg):
+        from tpu_unet.losses.segmentation import _combined_sliced, _combined_unsliced
+
+        c = len(cfg.get("class_weights") or (0, 0, 0))
+        rng = np.random.default_rng(21)
+        logits = jnp.asarray(rng.standard_normal((2, 16, 16, c)).astype(np.float32))
+        labels = rng.integers(0, c, (2, 16, 16)).astype(np.int32)
+        if cfg.get("ignore_index") is not None:
+            labels[0, :3] = cfg["ignore_index"]
+        labels = jnp.asarray(labels)
+        sw = jnp.asarray([1.0, 0.0], dtype=jnp.float32)
+
+        full = dict(ce_weight=cfg.get("ce_weight", 1.0),
+                    dice_weight=cfg.get("dice_weight", 1.0),
+                    focal_weight=cfg.get("focal_weight", 0.0),
+                    class_weights=cfg.get("class_weights"),
+                    ignore_index=cfg.get("ignore_index"),
+                    sample_weight=None)
+        for sample_weight in (None, sw):
+            full["sample_weight"] = sample_weight
+            a = _combined_sliced(logits, labels, **full)
+            b = _combined_unsliced(logits, labels, **full)
+            assert set(a) == set(b)
+            for k in a:
+                np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                           rtol=1e-5, atol=1e-6, err_msg=k)
+
+            ga = jax.grad(lambda l: _combined_sliced(l, labels, **full)["total_loss"])(logits)
+            gb = jax.grad(lambda l: _combined_unsliced(l, labels, **full)["total_loss"])(logits)
+            np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_dispatch_uses_sliced_for_small_c(self):
+        from tpu_unet.losses import segmentation as seg
+
+        logits = jnp.zeros((1, 4, 4, 3))
+        labels = jnp.zeros((1, 4, 4), jnp.int32)
+        called = {}
+        orig = seg._combined_sliced
+
+        def spy(*a, **k):
+            called["hit"] = True
+            return orig(*a, **k)
+
+        try:
+            seg._combined_sliced = spy
+            out = seg.combined_segmentation_loss(logits, labels)
+        finally:
+            seg._combined_sliced = orig
+        assert called.get("hit") and "total_loss" in out

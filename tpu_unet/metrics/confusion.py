@@ -23,6 +23,30 @@ import numpy as np
 _F32_EXACT_MAX = 1 << 24  # largest count a float32 accumulator holds exactly
 
 
+def _confusion_matrix_sliced(preds: jnp.ndarray, targets: jnp.ndarray,
+                             num_classes: int,
+                             ignore_index: Optional[int]) -> jnp.ndarray:
+    """CM via C² fused mask-sums — the small-C fast path.
+
+    For the tiny class counts of these workloads (C=3/4) the one-hot contraction
+    materializes (n, C) C-minor operands that waste ~128/C of the vector lanes;
+    summing boolean mask products keeps every tensor a full-lane (n,) plane, and
+    int32 accumulation is exact to 2^31 pixels — no f32-exactness chunking needed.
+    """
+    t = targets.reshape(-1)
+    p = preds.reshape(-1)
+    valid = None if ignore_index is None else (t != ignore_index)
+    p_masks = [p == d for d in range(num_classes)]
+    rows = []
+    for c in range(num_classes):
+        tc = t == c
+        if valid is not None:
+            tc = tc & valid
+        rows.append([jnp.sum((tc & p_masks[d]).astype(jnp.int32))
+                     for d in range(num_classes)])
+    return jnp.stack([jnp.stack(r) for r in rows])
+
+
 def _confusion_matrix_impl(preds: jnp.ndarray, targets: jnp.ndarray,
                            num_classes: int,
                            ignore_index: Optional[int] = None,
@@ -66,10 +90,14 @@ def confusion_matrix_batch(preds: jnp.ndarray, targets: jnp.ndarray,
                            ignore_index: Optional[int] = None) -> jnp.ndarray:
     """(C, C) confusion matrix (rows = target, cols = pred) for one batch.
 
-    preds/targets: integer arrays of identical shape. Runs fully on device via a
-    one-hot matmul, CM = onehot(t)^T @ onehot(p), chunked to stay within f32's
-    exact-integer range.
+    preds/targets: integer arrays of identical shape. Runs fully on device: for
+    the small class counts these workloads use (C <= 8), via C² fused full-lane
+    boolean mask-sums (int32-exact); for larger C via a one-hot matmul
+    CM = onehot(t)^T @ onehot(p), chunked to stay within f32's exact-integer
+    range.
     """
+    if num_classes <= 8:
+        return _confusion_matrix_sliced(preds, targets, num_classes, ignore_index)
     return _confusion_matrix_impl(preds, targets, num_classes, ignore_index)
 
 

@@ -1,0 +1,72 @@
+"""Channel-sliced prediction heads for small-C segmentation logits.
+
+The seg models emit (N,H,W,C) logits with C=3/4 classes. On TPU a C-minor tensor
+occupies C of the 128 vector lanes, so every elementwise pass over it (softmax,
+argmax, max) costs ~128/C-fold its logical bytes. For small C it is much cheaper
+to compute the same results from C static channel slices, where every working
+tensor is a full-lane (N,H,W) plane. Same trick as the sliced loss head
+(losses/segmentation.py::_combined_sliced).
+
+Identities used (exact, not approximations):
+- argmax via an iterative strict-``>`` scan over slices reproduces jnp.argmax's
+  first-max tie-breaking;
+- max softmax probability = exp(lmax - lse) = 1 / sum_c exp(l_c - lmax), which
+  equals max(jax.nn.softmax(logits)) bit-for-bit (softmax's own shift makes the
+  winning exponent exp(0) = 1).
+
+Reference semantics being served: confidence = softmax max-prob as in
+/root/reference/visualize.py:239-257 (per-sample confidence stats).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_MAX_SLICED_C = 8
+
+
+def sliced_argmax(logits: jnp.ndarray, dtype=jnp.int32) -> jnp.ndarray:
+    """argmax over the minor (class) axis of (..., C) logits.
+
+    Matches ``jnp.argmax(logits, axis=-1)`` including first-max tie-breaking.
+    Falls back to jnp.argmax for C > 8.
+    """
+    c = logits.shape[-1]
+    if c > _MAX_SLICED_C:
+        return jnp.argmax(logits, axis=-1).astype(dtype)
+    best = logits[..., 0]
+    am = jnp.zeros(logits.shape[:-1], dtype)
+    for i in range(1, c):
+        l_i = logits[..., i]
+        gt = l_i > best
+        am = jnp.where(gt, jnp.asarray(i, dtype), am)
+        best = jnp.maximum(best, l_i)
+    return am
+
+
+def sliced_pred_confidence(logits: jnp.ndarray,
+                           pred_dtype=jnp.uint8) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(preds, per-pixel max softmax probability) from (..., C) logits.
+
+    Equals ``(argmax(logits, -1), max(softmax(logits, -1), -1))`` while touching
+    only full-lane (...,)-shaped planes for C <= 8.
+    """
+    c = logits.shape[-1]
+    if c > _MAX_SLICED_C:
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return (jnp.argmax(logits, axis=-1).astype(pred_dtype),
+                jnp.max(probs, axis=-1))
+    ls = [logits[..., i].astype(jnp.float32) for i in range(c)]
+    best = ls[0]
+    am = jnp.zeros(logits.shape[:-1], pred_dtype)
+    for i in range(1, c):
+        gt = ls[i] > best
+        am = jnp.where(gt, jnp.asarray(i, pred_dtype), am)
+        best = jnp.maximum(best, ls[i])
+    se = jnp.exp(ls[0] - best)
+    for i in range(1, c):
+        se = se + jnp.exp(ls[i] - best)
+    return am, 1.0 / se

@@ -42,6 +42,7 @@ from tpu_unet.metrics.anomaly import anomaly_score
 from tpu_unet.models import build_model
 from tpu_unet.ops.augment import eval_transform
 from tpu_unet.ops.fold_bn import fold_batchnorm
+from tpu_unet.ops.seg_head import sliced_pred_confidence
 
 
 class DecodeError(RuntimeError):
@@ -371,9 +372,8 @@ class SegmentationPredictor:
 
             def predict_fn(qp, images_u8):
                 logits = fwd(qp, images_u8)
-                probs = jax.nn.softmax(logits, axis=-1)
-                preds = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
-                return preds, jnp.mean(jnp.max(probs, axis=-1), axis=(1, 2))
+                preds, conf = sliced_pred_confidence(logits)
+                return preds, jnp.mean(conf, axis=(1, 2))
 
             return cls(jax.jit(predict_fn), qparams, image_size_hw, batch_size,
                        mesh=mesh, spatial=n_space > 1)
@@ -388,9 +388,8 @@ class SegmentationPredictor:
 
         def predict_fn(v, images_u8):
             logits = model.apply(v, eval_transform(images_u8), train=False)
-            probs = jax.nn.softmax(logits, axis=-1)
-            preds = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
-            return preds, jnp.mean(jnp.max(probs, axis=-1), axis=(1, 2))
+            preds, conf = sliced_pred_confidence(logits)
+            return preds, jnp.mean(conf, axis=(1, 2))
 
         return cls(jax.jit(predict_fn), variables, image_size_hw, batch_size,
                    mesh=mesh, spatial=n_space > 1)

@@ -30,6 +30,7 @@ from tpu_unet.losses.segmentation import combined_segmentation_loss
 from tpu_unet.metrics.anomaly import anomaly_error_map, anomaly_score
 from tpu_unet.metrics.confusion import confusion_matrix_batch
 from tpu_unet.ops.augment import eval_transform, train_transform
+from tpu_unet.ops.seg_head import sliced_argmax
 from tpu_unet.train.state import TrainState
 
 
@@ -194,7 +195,7 @@ def make_seg_train_step(num_classes: int,
         state = state.replace(batch_stats=new_stats)
         cm = None
         if with_confusion:
-            preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            preds = sliced_argmax(logits)
             cm = confusion_matrix_batch(preds, lbl.astype(jnp.int32), num_classes,
                                         loss_cfg.ignore_index)
         return state, losses, cm
@@ -217,7 +218,7 @@ def make_seg_eval_step(num_classes: int,
         )
         losses = combined_segmentation_loss(logits, labels, sample_weight=valid,
                                             **loss_cfg.kwargs())
-        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        preds = sliced_argmax(logits)
         cm = confusion_matrix_batch(preds, labels.astype(jnp.int32), num_classes,
                                     loss_cfg.ignore_index)
         return losses, preds, cm
