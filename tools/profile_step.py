@@ -27,17 +27,43 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_and_profile(trace_dir: str, steps: int, batch: int, size: int,
-                    eval_mode: bool, serve_mode: str = "") -> None:
+                    eval_mode: bool, serve_mode: str = "",
+                    task: str = "anomaly", n_classes: int = 3,
+                    height: int = 0) -> None:
     import jax
     import numpy as np
 
     from tpu_unet.core.cache import enable_compilation_cache
     enable_compilation_cache()
     from tpu_unet.core.precision import BF16_POLICY
-    from tpu_unet.models import AnomalyUNet
-    from tpu_unet.train import (AugmentConfig, create_train_state,
+    from tpu_unet.models import AnomalyUNet, SegmentationUNet
+    from tpu_unet.train import (AugmentConfig, SegLossConfig, create_train_state,
                                 make_anomaly_eval_step, make_anomaly_train_step,
-                                make_optimizer)
+                                make_optimizer, make_seg_train_step)
+
+    if task == "seg":
+        # Seg train step at an HxW shape (default KolektorSDD 1024x512 b8).
+        h, w = (height or size), size
+        model = SegmentationUNet(n_classes=n_classes, policy=BF16_POLICY)
+        tx = make_optimizer("adam", 1e-3, 1e-4)
+        state = create_train_state(model, jax.random.key(0), (1, h, w, 3), tx)
+        rng = np.random.default_rng(0)
+        images = rng.integers(0, 256, (batch, h, w, 3), dtype=np.uint8)
+        labels = rng.integers(0, n_classes, (batch, h, w)).astype(np.int32)
+        cw = (1.0, 50.0, 50.0) if n_classes == 3 else None
+        step = make_seg_train_step(n_classes, SegLossConfig(class_weights=cw),
+                                   AugmentConfig(degrees=5.0), donate_state=True)
+        r = None
+        for i in range(3):
+            r = step(state, images, labels, jax.random.key(i))
+            state = r[0]
+        float(r[1]["total_loss"])  # warm compile + force chain
+        with jax.profiler.trace(trace_dir):
+            for i in range(steps):
+                r = step(state, images, labels, jax.random.key(100 + i))
+                state = r[0]
+            float(r[1]["total_loss"])
+        return
 
     model = AnomalyUNet(policy=BF16_POLICY)
     tx = make_optimizer("adam", 1e-3, 1e-4)
@@ -134,12 +160,20 @@ def main(argv=None):
     p.add_argument("--trace_dir", default=None,
                    help="keep the raw trace here (default: temp dir, deleted)")
     p.add_argument("--json_out", default=None, help="write the summary as JSON")
+    p.add_argument("--task", choices=["anomaly", "seg"], default="anomaly",
+                   help="seg profiles the SegmentationUNet train step "
+                        "(use --height for non-square, e.g. KSDD "
+                        "--task seg --height 1024 --image_size 512 --batch 8)")
+    p.add_argument("--n_classes", type=int, default=3)
+    p.add_argument("--height", type=int, default=0,
+                   help="image height when it differs from --image_size (seg)")
     args = p.parse_args(argv)
 
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="tpu_unet_prof_")
     try:
         run_and_profile(trace_dir, args.steps, args.batch, args.image_size,
-                        args.eval, serve_mode=args.serve)
+                        args.eval, serve_mode=args.serve, task=args.task,
+                        n_classes=args.n_classes, height=args.height)
         summary = summarize(trace_dir, args.top)
         summary["steps"] = args.steps
         summary["per_step_ms"] = summary["total_us"] / 1e3 / max(args.steps, 1)
