@@ -75,6 +75,24 @@ class TestAnomalyLosses:
 
 
 class TestSSIM:
+    def test_banded_matches_depthwise_oracle(self):
+        """The separable banded-matmul SSIM must match the 2-D depthwise-conv
+        formulation (values, per-image means, and gradients), incl. non-square."""
+        from tpu_unet.ops.ssim import _ssim_map_banded, _ssim_map_depthwise
+
+        rng = np.random.default_rng(7)
+        for shape in [(2, 16, 16, 3), (1, 24, 16, 3), (2, 13, 17, 1)]:
+            a = jnp.asarray(rng.uniform(size=shape).astype(np.float32))
+            b = jnp.asarray(rng.uniform(size=shape).astype(np.float32))
+            banded = np.asarray(_ssim_map_banded(a, b, 11, 1.5))  # (N,C,H,W)
+            oracle = np.asarray(_ssim_map_depthwise(a, b, 11, 1.5))  # (N,H,W,C)
+            np.testing.assert_allclose(banded, np.transpose(oracle, (0, 3, 1, 2)),
+                                       rtol=1e-4, atol=1e-5)
+            g1 = jax.grad(lambda x: jnp.mean(_ssim_map_banded(x, b, 11, 1.5)))(a)
+            g2 = jax.grad(lambda x: jnp.mean(_ssim_map_depthwise(x, b, 11, 1.5)))(a)
+            np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                       rtol=1e-3, atol=1e-6)
+
     def test_identical_images(self):
         img = jnp.asarray(rand((1, 32, 32, 3), 5))
         assert float(ssim(img, img)) > 0.999

@@ -1,10 +1,18 @@
 """Gaussian-window SSIM, NHWC, as a pure XLA function.
 
 Behavior parity with the reference's SSIMLoss (/root/reference/src/train_utils.py:47-104):
-11-tap Gaussian window (sigma=1.5), per-channel (depthwise) convolutions with
-window//2 zero padding, C1=0.01^2, C2=0.03^2. The five window convolutions are
-depthwise convs that XLA fuses into a small number of bandwidth-bound passes; they
-are tiny next to the UNet convs so no Pallas kernel is warranted here.
+11-tap Gaussian window (sigma=1.5), per-channel window convolutions with
+window//2 zero padding, C1=0.01^2, C2=0.03^2.
+
+TPU-native formulation: the Gaussian window is separable (outer(g, g)), so each
+windowed stat is two banded matmuls — mu = G_H @ X @ G_W per plane — on MXU,
+computed over full-lane (N*C, H, W) planes. The straightforward port (5 depthwise
+11x11 convs + elementwise SSIM map over C=3-minor NHWC tensors) runs the whole
+head at 3/128 vector-lane occupancy AND puts the convs on the MXU-hostile
+feature_group_count=3 path; it cost ~28 ms of the 256² b16 train step (bench.py
+config 3 vs 2). The banded-matmul head is ~16 GFLOP/step (<1% of the step) with
+every elementwise pass full-lane — same design as ops/rotate_shear.py. The
+depthwise path is kept as the numerics oracle (tests pin both to torch's SSIM).
 
 Unlike the reference (which constructs SSIMLoss under --use_ssim but silently never
 uses it, SURVEY.md §2.6 defect 2), this framework actually wires SSIM into the
@@ -44,35 +52,74 @@ def _depthwise_window_conv(x: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+@functools.lru_cache(maxsize=8)
+def _gaussian_band(n: int, window_size: int, sigma: float) -> np.ndarray:
+    """(n, n) banded matrix A with A[i, j] = g[j - i + k//2]: A @ x convolves
+    x's leading axis with the normalized 1-D Gaussian under zero padding.
+    Symmetric (the Gaussian is even), so the same matrix serves both sides of
+    mu = A_H @ X @ A_W."""
+    g = np.exp(-((np.arange(window_size) - window_size // 2) ** 2) / (2.0 * sigma**2))
+    g = (g / g.sum()).astype(np.float32)
+    half = window_size // 2
+    a = np.zeros((n, n), np.float32)
+    for tap, off in enumerate(range(-half, half + 1)):
+        a += np.diag(np.full(n - abs(off), g[tap], np.float32), k=off)
+    return a
+
+
+def _ssim_map_banded(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int,
+                     sigma: float) -> jnp.ndarray:
+    """SSIM map as (N, C, H, W) from NHWC inputs via separable banded matmuls."""
+    n, h, w, c = img1.shape
+    x = jnp.transpose(img1.astype(jnp.float32), (0, 3, 1, 2)).reshape(n * c, h, w)
+    y = jnp.transpose(img2.astype(jnp.float32), (0, 3, 1, 2)).reshape(n * c, h, w)
+    ah = jnp.asarray(_gaussian_band(h, window_size, sigma))
+    aw = jnp.asarray(_gaussian_band(w, window_size, sigma))
+
+    def blur(p):
+        q = jnp.einsum("hk,bkw->bhw", ah, p)
+        return jnp.einsum("bhw,wv->bhv", q, aw)
+
+    mu1, mu2 = blur(x), blur(y)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = blur(x * x) - mu1_sq
+    sigma2_sq = blur(y * y) - mu2_sq
+    sigma12 = blur(x * y) - mu1_mu2
+    c1, c2 = 0.01**2, 0.03**2
+    smap = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
+    )
+    return smap.reshape(n, c, h, w)
+
+
+def _ssim_map_depthwise(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int,
+                        sigma: float) -> jnp.ndarray:
+    """SSIM map as (N, H, W, C) via 2-D depthwise convs (numerics oracle)."""
+    window = jnp.asarray(_gaussian_window(window_size, sigma))
+    mu1 = _depthwise_window_conv(img1, window)
+    mu2 = _depthwise_window_conv(img2, window)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = _depthwise_window_conv(img1 * img1, window) - mu1_sq
+    sigma2_sq = _depthwise_window_conv(img2 * img2, window) - mu2_sq
+    sigma12 = _depthwise_window_conv(img1 * img2, window) - mu1_mu2
+    c1, c2 = 0.01**2, 0.03**2
+    return ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
+    )
+
+
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
          sigma: float = 1.5, size_average: bool = True) -> jnp.ndarray:
     """Structural similarity between two NHWC images.
 
     Returns a scalar (size_average=True) or per-image (N,) means of the SSIM map.
+    Separable banded-matmul formulation (see module docstring); the 2-D depthwise
+    oracle is reachable via the private helpers for tests.
     """
-    window = jnp.asarray(_gaussian_window(window_size, sigma))
-
-    mu1 = _depthwise_window_conv(img1, window)
-    mu2 = _depthwise_window_conv(img2, window)
-
-    mu1_sq = mu1 * mu1
-    mu2_sq = mu2 * mu2
-    mu1_mu2 = mu1 * mu2
-
-    sigma1_sq = _depthwise_window_conv(img1 * img1, window) - mu1_sq
-    sigma2_sq = _depthwise_window_conv(img2 * img2, window) - mu2_sq
-    sigma12 = _depthwise_window_conv(img1 * img2, window) - mu1_mu2
-
-    c1 = 0.01**2
-    c2 = 0.03**2
-
-    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
-        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
-    )
-
+    smap = _ssim_map_banded(img1, img2, window_size, sigma)
     if size_average:
-        return jnp.mean(ssim_map)
-    return jnp.mean(ssim_map, axis=(1, 2, 3))
+        return jnp.mean(smap)
+    return jnp.mean(smap, axis=(1, 2, 3))
 
 
 def ssim_loss(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
