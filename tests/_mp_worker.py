@@ -175,6 +175,21 @@ def main():
     for shard in restored.opt_state["mu"].addressable_shards:
         np.testing.assert_array_equal(np.asarray(shard.data), (w2 * 0.5)[shard.index])
 
+    # 6. synced_timestamp: identical on every process even when process entry
+    #    skews across a second boundary (experiment dirs / checkpoint paths must
+    #    match across hosts or the coordinated save targets different paths).
+    import time
+
+    from tpu_unet.parallel.mesh import synced_timestamp
+    if pid != 0:
+        time.sleep(1.2)  # force cross-second entry skew
+    ts = synced_timestamp()
+    digest = np.frombuffer(ts.encode().ljust(16, b"\0"), dtype=np.uint8)
+    all_ts = all_gather_host_values(digest).reshape(nproc, -1)
+    for p in range(nproc):
+        np.testing.assert_array_equal(all_ts[p], all_ts[0],
+                                      err_msg="synced_timestamp differs across processes")
+
     print(f"MP-WORKER-OK pid={pid}")
 
 

@@ -177,6 +177,14 @@ def test_train_epoch_progress_lines():
                                  epoch=0, progress_fn=lines.append, progress_every=0)
     assert lines == []  # 0 disables
 
+    # progress_every=1 must keep a >=1-step lag (read step i-1, skip the first
+    # tick) instead of syncing on the just-dispatched step every iteration.
+    lines = []
+    _, out = train_anomaly_epoch(None, stub_step, _TrainLoader(), jax.random.key(0),
+                                 epoch=0, progress_fn=lines.append, progress_every=1)
+    assert len(lines) == 4  # steps 2..5 of 5; step-1 tick skipped (no lagged handle)
+    assert "step 2/5" in lines[0] and "step 5/5" in lines[-1]
+
     def stub_seg_step(state, images, masks, key):
         cm = np.diag([10, 5, 5]).astype(np.int64)  # perfect preds -> mIoU 1.0
         return state, {"total_loss": np.float32(0.7)}, cm

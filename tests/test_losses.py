@@ -81,7 +81,10 @@ class TestSSIM:
         from tpu_unet.ops.ssim import _ssim_map_banded, _ssim_map_depthwise
 
         rng = np.random.default_rng(7)
-        for shape in [(2, 16, 16, 3), (1, 24, 16, 3), (2, 13, 17, 1)]:
+        # Last two shapes have H or W <= window//2: taps land entirely in the
+        # zero pad (regression: np.diag with negative size crashed there).
+        for shape in [(2, 16, 16, 3), (1, 24, 16, 3), (2, 13, 17, 1),
+                      (1, 4, 4, 3), (1, 3, 7, 1)]:
             a = jnp.asarray(rng.uniform(size=shape).astype(np.float32))
             b = jnp.asarray(rng.uniform(size=shape).astype(np.float32))
             banded = np.asarray(_ssim_map_banded(a, b, 11, 1.5))  # (N,C,H,W)

@@ -204,6 +204,43 @@ def test_serve_cli(trained, tmp_path):
     assert all(np.isfinite(list(payload_q["scores"].values())))
 
 
+def test_serve_cli_skip_decode_error_json(trained, tmp_path):
+    """--on_decode_error skip: the corrupt file gets a JSON null score and a
+    null verdict (NOT 'not anomalous'), is listed in decode_failures, and the
+    written JSON contains no bare NaN token (strict parsers reject those)."""
+    from PIL import Image
+
+    from tpu_unet.cli.serve_mvtec import main as serve_main
+
+    root, ckpt = trained
+    rng = np.random.default_rng(11)
+    img_dir = os.path.join(tmp_path, "imgs")
+    os.makedirs(img_dir)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)).save(
+            os.path.join(img_dir, f"ok_{i}.png"))
+    with open(os.path.join(img_dir, "corrupt.png"), "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\nnot really a png")
+
+    out = os.path.join(tmp_path, "scores.json")
+    payload = serve_main([
+        "--checkpoint", ckpt, "--input_dir", img_dir, "--image_size", "32",
+        "--batch_size", "4", "--precision", "f32", "--base_features", "4",
+        "--threshold", "0.0", "--on_decode_error", "skip", "--output", out,
+    ])
+    assert payload["scores"]["corrupt.png"] is None
+    assert payload["verdicts"]["corrupt.png"] is None
+    assert payload["decode_failures"] == ["corrupt.png"]
+    assert all(v is not None for k, v in payload["scores"].items() if k != "corrupt.png")
+
+    with open(out) as f:
+        text = f.read()
+    assert "NaN" not in text  # bare NaN is not valid JSON
+    import json as _json
+    saved = _json.loads(text)  # strict parse
+    assert saved["scores"]["corrupt.png"] is None
+
+
 def test_seg_cli_quantized(tmp_path):
     """Gear train -> test CLI with --quantize int8 (the seg quantized path)."""
     from tests.test_data import make_gear

@@ -38,6 +38,21 @@ class TestMesh:
         params = replicate(mesh, {"w": np.ones((3, 3), np.float32)})
         assert params["w"].sharding.is_fully_replicated
 
+    def test_half_specified_multihost_flags_raise(self):
+        # --coordinator_address/--process_id without --num_processes used to be
+        # silently ignored (N independent single-host runs instead of an error).
+        from tpu_unet.parallel.mesh import maybe_initialize
+        with pytest.raises(ValueError, match="num_processes"):
+            maybe_initialize(coordinator_address="host:7777")
+        with pytest.raises(ValueError, match="num_processes"):
+            maybe_initialize(process_id=1)
+        maybe_initialize()  # no flags: still a no-op
+
+    def test_synced_timestamp_single_process(self):
+        from tpu_unet.parallel.mesh import synced_timestamp
+        ts = synced_timestamp()
+        assert len(ts) == 15 and ts[8] == "_" and ts.replace("_", "").isdigit()
+
     def test_spatial_sharding_spec(self, devices):
         mesh = make_mesh(n_data=4, n_space=2)
         s = batch_sharding(mesh, spatial=True)

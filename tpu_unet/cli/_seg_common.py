@@ -13,7 +13,6 @@ import dataclasses
 import json
 import os
 import time
-from datetime import datetime
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -89,7 +88,8 @@ def run_seg_training(args, workload: Workload):
 
     print(f"JAX devices: {jax.devices()}")
 
-    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    from tpu_unet.parallel.mesh import synced_timestamp
+    timestamp = synced_timestamp()  # identical on every host (multi-host ckpt paths)
     experiment_name = f"{workload.name}_{args.model}_{timestamp}"
     experiment_dir = os.path.join(args.save_dir, experiment_name)
     output_dirs = create_output_dirs(experiment_dir)

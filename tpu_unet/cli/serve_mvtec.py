@@ -121,21 +121,32 @@ def main(argv=None):
     print(f"Scored {len(paths)} images in {dt:.2f}s "
           f"({throughput:.1f} img/s incl. first-batch compile)")
 
+    # Skipped decode failures come back as NaN; report them as JSON null (valid
+    # JSON, unlike a bare NaN token) and NEVER as a pass/fail verdict — an
+    # unreadable image is "unknown", not "not anomalous".
+    failed = [p for p, s in zip(paths, scores) if np.isnan(s)]
     payload = {
         "checkpoint": args.checkpoint,
         "quantize": args.quantize,
         "image_size": args.image_size,
         "throughput_img_per_sec": round(throughput, 2),
-        "scores": {os.path.relpath(p, args.input_dir): float(s)
+        "scores": {os.path.relpath(p, args.input_dir):
+                   (None if np.isnan(s) else float(s))
                    for p, s in zip(paths, scores)},
     }
+    if failed:
+        payload["decode_failures"] = [os.path.relpath(p, args.input_dir)
+                                      for p in failed]
+        print(f"WARNING: {len(failed)} image(s) could not be decoded "
+              f"(scores null, no verdicts): {payload['decode_failures']}")
     if args.threshold is not None:
         payload["threshold"] = args.threshold
         payload["verdicts"] = {os.path.relpath(p, args.input_dir):
-                               bool(s > args.threshold)
+                               (None if np.isnan(s) else bool(s > args.threshold))
                                for p, s in zip(paths, scores)}
-        n_anom = int((scores > args.threshold).sum())
-        print(f"{n_anom}/{len(paths)} images above threshold {args.threshold}")
+        valid = scores[~np.isnan(scores)]
+        n_anom = int((valid > args.threshold).sum())
+        print(f"{n_anom}/{len(valid)} decodable images above threshold {args.threshold}")
 
     save_json(payload, args.output)
     print(f"Scores written to {args.output}")

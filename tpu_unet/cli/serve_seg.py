@@ -121,8 +121,16 @@ def main(argv=None):
 
     os.makedirs(args.output_dir, exist_ok=True)
     records = {}
+    failed = []
     for path, mask, conf in zip(paths, masks, confs):
         rel = os.path.relpath(path, args.input_dir)
+        if np.isnan(conf):
+            # Skipped decode failure: no mask PNG, JSON null (not a NaN token)
+            # instead of a fabricated all-background prediction.
+            failed.append(rel)
+            records[rel] = {"mask": None, "mean_confidence": None,
+                            "class_pixel_share": None, "decode_error": True}
+            continue
         stem = os.path.splitext(rel)[0].replace(os.sep, "_")
         out_path = os.path.join(args.output_dir, f"{stem}_mask.png")
         Image.fromarray(mask, mode="L").save(out_path)
@@ -132,6 +140,9 @@ def main(argv=None):
             "mean_confidence": float(conf),
             "class_pixel_share": (shares / shares.sum()).round(6).tolist(),
         }
+    if failed:
+        print(f"WARNING: {len(failed)} image(s) could not be decoded "
+              f"(no mask written): {failed}")
     payload = {
         "checkpoint": args.checkpoint,
         "quantize": args.quantize,
@@ -140,6 +151,8 @@ def main(argv=None):
         "throughput_img_per_sec": round(len(paths) / dt, 2),
         "predictions": records,
     }
+    if failed:
+        payload["decode_failures"] = failed
     save_json(payload, os.path.join(args.output_dir, "predictions.json"))
     print(f"Masks + predictions.json written to {args.output_dir}")
     return payload

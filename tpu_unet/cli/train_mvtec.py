@@ -18,7 +18,6 @@ import argparse
 import json
 import os
 import time
-from datetime import datetime
 
 import jax
 import numpy as np
@@ -175,7 +174,8 @@ def main(argv=None):
         print(f"Available categories: {available}")
         return None
 
-    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    from tpu_unet.parallel.mesh import synced_timestamp
+    timestamp = synced_timestamp()  # identical on every host (multi-host ckpt paths)
     experiment_name = f"{args.category}_{args.model}_{timestamp}"
     experiment_dir = os.path.join(args.save_dir, experiment_name)
     output_dirs = create_output_dirs(experiment_dir)

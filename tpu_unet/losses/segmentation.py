@@ -236,8 +236,9 @@ def combined_segmentation_loss(
     kw = dict(ce_weight=ce_weight, dice_weight=dice_weight,
               focal_weight=focal_weight, class_weights=class_weights,
               ignore_index=ignore_index, sample_weight=sample_weight)
+    from tpu_unet.ops.seg_head import SMALL_C_MAX
     num_classes = logits.shape[-1]
-    if (2 <= num_classes <= 8 and logits.ndim == 4
+    if (2 <= num_classes <= SMALL_C_MAX and logits.ndim == 4
             and (class_weights is None or len(class_weights) == num_classes)):
         return _combined_sliced(logits, labels, **kw)
     return _combined_unsliced(logits, labels, **kw)

@@ -96,7 +96,8 @@ def confusion_matrix_batch(preds: jnp.ndarray, targets: jnp.ndarray,
     CM = onehot(t)^T @ onehot(p), chunked to stay within f32's exact-integer
     range.
     """
-    if num_classes <= 8:
+    from tpu_unet.ops.seg_head import SMALL_C_MAX
+    if num_classes <= SMALL_C_MAX:
         return _confusion_matrix_sliced(preds, targets, num_classes, ignore_index)
     return _confusion_matrix_impl(preds, targets, num_classes, ignore_index)
 

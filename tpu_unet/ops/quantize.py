@@ -486,6 +486,7 @@ def make_quantized_seg_eval_step(num_classes: int, loss_cfg=None):
     """
     from tpu_unet.losses.segmentation import combined_segmentation_loss
     from tpu_unet.metrics.confusion import confusion_matrix_batch
+    from tpu_unet.ops.seg_head import sliced_argmax
     from tpu_unet.train.steps import SegLossConfig
 
     cfg = loss_cfg if loss_cfg is not None else SegLossConfig()
@@ -495,7 +496,7 @@ def make_quantized_seg_eval_step(num_classes: int, loss_cfg=None):
         logits = fwd(qparams, images_u8)
         losses = combined_segmentation_loss(logits, labels, sample_weight=valid,
                                             **cfg.kwargs())
-        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        preds = sliced_argmax(logits)  # full-lane head (see ops/seg_head.py)
         cm = confusion_matrix_batch(preds, labels.astype(jnp.int32), num_classes,
                                     cfg.ignore_index)
         return losses, preds, cm

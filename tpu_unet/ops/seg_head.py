@@ -7,6 +7,10 @@ to compute the same results from C static channel slices, where every working
 tensor is a full-lane (N,H,W) plane. Same trick as the sliced loss head
 (losses/segmentation.py::_combined_sliced).
 
+``SMALL_C_MAX`` is the single cutoff shared by every sliced head (this module,
+the sliced loss dispatch, and the sliced confusion matrix) — tune it here, not
+per-module.
+
 Identities used (exact, not approximations):
 - argmax via an iterative strict-``>`` scan over slices reproduces jnp.argmax's
   first-max tie-breaking;
@@ -20,30 +24,42 @@ Reference semantics being served: confidence = softmax max-prob as in
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
 
-_MAX_SLICED_C = 8
+# Channel-count cutoff below which the sliced (full-lane plane) heads are used.
+# Shared by losses/segmentation.py and metrics/confusion.py — one knob.
+SMALL_C_MAX = 8
+
+
+def _argmax_and_max(slices: List[jnp.ndarray], dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(argmax, max) over a list of equal-shape planes via a strict-``>`` scan.
+
+    Reproduces ``jnp.argmax``'s first-max tie-breaking (a later equal value never
+    displaces the incumbent). The single scan serves both sliced_argmax and
+    sliced_pred_confidence so the tie/NaN semantics cannot drift apart.
+    """
+    best = slices[0]
+    am = jnp.zeros(slices[0].shape, dtype)
+    for i in range(1, len(slices)):
+        gt = slices[i] > best
+        am = jnp.where(gt, jnp.asarray(i, dtype), am)
+        best = jnp.maximum(best, slices[i])
+    return am, best
 
 
 def sliced_argmax(logits: jnp.ndarray, dtype=jnp.int32) -> jnp.ndarray:
     """argmax over the minor (class) axis of (..., C) logits.
 
     Matches ``jnp.argmax(logits, axis=-1)`` including first-max tie-breaking.
-    Falls back to jnp.argmax for C > 8.
+    Falls back to jnp.argmax for C > SMALL_C_MAX.
     """
     c = logits.shape[-1]
-    if c > _MAX_SLICED_C:
+    if c > SMALL_C_MAX:
         return jnp.argmax(logits, axis=-1).astype(dtype)
-    best = logits[..., 0]
-    am = jnp.zeros(logits.shape[:-1], dtype)
-    for i in range(1, c):
-        l_i = logits[..., i]
-        gt = l_i > best
-        am = jnp.where(gt, jnp.asarray(i, dtype), am)
-        best = jnp.maximum(best, l_i)
+    am, _ = _argmax_and_max([logits[..., i] for i in range(c)], dtype)
     return am
 
 
@@ -52,20 +68,15 @@ def sliced_pred_confidence(logits: jnp.ndarray,
     """(preds, per-pixel max softmax probability) from (..., C) logits.
 
     Equals ``(argmax(logits, -1), max(softmax(logits, -1), -1))`` while touching
-    only full-lane (...,)-shaped planes for C <= 8.
+    only full-lane (...,)-shaped planes for C <= SMALL_C_MAX.
     """
     c = logits.shape[-1]
-    if c > _MAX_SLICED_C:
+    if c > SMALL_C_MAX:
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return (jnp.argmax(logits, axis=-1).astype(pred_dtype),
                 jnp.max(probs, axis=-1))
     ls = [logits[..., i].astype(jnp.float32) for i in range(c)]
-    best = ls[0]
-    am = jnp.zeros(logits.shape[:-1], pred_dtype)
-    for i in range(1, c):
-        gt = ls[i] > best
-        am = jnp.where(gt, jnp.asarray(i, pred_dtype), am)
-        best = jnp.maximum(best, ls[i])
+    am, best = _argmax_and_max(ls, pred_dtype)
     se = jnp.exp(ls[0] - best)
     for i in range(1, c):
         se = se + jnp.exp(ls[i] - best)

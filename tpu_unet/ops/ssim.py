@@ -63,6 +63,8 @@ def _gaussian_band(n: int, window_size: int, sigma: float) -> np.ndarray:
     half = window_size // 2
     a = np.zeros((n, n), np.float32)
     for tap, off in enumerate(range(-half, half + 1)):
+        if abs(off) >= n:  # tap lands entirely in the zero pad (n <= window//2)
+            continue
         a += np.diag(np.full(n - abs(off), g[tap], np.float32), k=off)
     return a
 

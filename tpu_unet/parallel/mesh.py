@@ -94,3 +94,28 @@ def maybe_initialize(coordinator_address: Optional[str] = None,
             num_processes=num_processes,
             process_id=process_id,
         )
+    elif coordinator_address is not None or process_id is not None:
+        # A half-specified manual launch would silently run as N independent
+        # single-host jobs; refuse instead.
+        raise ValueError(
+            "--coordinator_address/--process_id require --num_processes > 1 "
+            f"(got num_processes={num_processes}); pass --num_processes, or use "
+            "--multihost for TPU-pod autodetection")
+
+
+def synced_timestamp(fmt: str = "%Y%m%d_%H%M%S") -> str:
+    """Process-0's wall-clock timestamp, identical on every host.
+
+    Experiment directories are named by timestamp; under multi-host launch each
+    process must derive the SAME name or the coordinated checkpoint save (and its
+    path-named barriers in train/checkpoint.py) would target mismatched paths.
+    Single-process: plain local time, no device traffic.
+    """
+    import datetime
+    now = datetime.datetime.now()
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        epoch = np.asarray(int(now.timestamp()), dtype=np.int64)
+        epoch = int(multihost_utils.broadcast_one_to_all(epoch))
+        now = datetime.datetime.fromtimestamp(epoch)
+    return now.strftime(fmt)

@@ -57,7 +57,13 @@ class _Progress:
     def tick(self, i: int, per_batch, counts, extra: str = "") -> None:
         if self.fn is None or (i + 1) % self.every != 0:
             return
-        j = i + 1 - self.every  # trailing, surely-completed step
+        # Trailing, surely-completed step. The lag is never less than one step —
+        # with every=1 the naive i+1-every would read the JUST-dispatched step and
+        # block on the chip every iteration, exactly the per-batch sync this
+        # class promises not to add.
+        j = min(i + 1 - self.every, i - 1)
+        if j < 0:
+            return
         loss = float(per_batch[j]["total_loss"])
         imgs_done = float(np.sum(counts[: j + 1]))
         dt = max(time.perf_counter() - self.t0, 1e-9)
@@ -221,8 +227,9 @@ def train_seg_epoch(state, step_fn, loader, base_key, epoch: int, num_classes: i
         if prog.fn and (i + 1) % prog.every == 0:
             extra = ""
             if cms:
-                # Running train mIoU from the trailing (completed) CM handles.
-                upto = max(len(cms) - prog.every + 1, fetched)
+                # Running train mIoU from the trailing (completed) CM handles
+                # (same >=1-step lag as _Progress.tick).
+                upto = max(min(len(cms) - prog.every + 1, len(cms) - 1), fetched)
                 for c in cms[fetched:upto]:
                     run_cm += np.asarray(c, np.int64)
                 fetched = upto
