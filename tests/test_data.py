@@ -154,6 +154,37 @@ class TestGear:
         np.testing.assert_array_equal(ours, expect)
 
 
+    def test_malformed_label_lines_have_defined_behavior(self, tmp_path):
+        """Malformed LabelMe lines are skipped, not crashed on: short lines,
+        non-numeric fields, <3-point polygons, odd coordinate counts (trailing
+        value dropped), unknown class ids (parsed but never composed)."""
+        from tpu_unet.data.gear import parse_label_file
+
+        label = os.path.join(tmp_path, "messy.txt")
+        with open(label, "w") as f:
+            f.write("\n")                                      # empty
+            f.write("0 0.1 0.2 0.3\n")                         # too few fields
+            f.write("x 0.1 0.2 0.3 0.4 0.5 0.6\n")             # non-numeric class
+            f.write("0 a b c d e f\n")                         # non-numeric coords
+            f.write("1 0.9 0.9\n")                             # too few fields
+            f.write("0 0.5 0.5 0.6 0.5\n")                     # 2 points: parsed, not rasterized
+            f.write("7 0.0 0.0 1.0 0.0 1.0 1.0\n")             # unknown class id
+            f.write("0 0.0 0.0 0.5 0.0 0.5 0.5 0.0 0.5 0.25\n")  # odd coord count
+        polys = parse_label_file(label)
+        # Survivors: the 2-point line, the unknown-id triangle, the odd-count square.
+        assert [(cid, len(pts)) for cid, pts in polys] == [(0, 2), (7, 3), (0, 4)]
+
+        mask = rasterize_labelme(label, 16, 16)
+        assert mask.shape == (16, 16)
+        # Unknown id 7 never reaches the composed mask; pitting square -> final id 1.
+        assert set(np.unique(mask).tolist()) == {0, 1}
+        assert mask[2, 2] == 1  # inside the [0,0.5]^2 square
+
+    def test_rasterize_missing_label_file_returns_zero_mask(self):
+        mask = rasterize_labelme("/nonexistent/labels.txt", 8, 8)
+        np.testing.assert_array_equal(mask, np.zeros((8, 8), np.uint8))
+
+
 # ---------------------------------------------------------------------------
 # KolektorSDD
 # ---------------------------------------------------------------------------

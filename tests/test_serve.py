@@ -204,6 +204,25 @@ def test_serve_cli(trained, tmp_path):
     assert all(np.isfinite(list(payload_q["scores"].values())))
 
 
+def test_latency_ms(trained, trained_seg):
+    """Batch-1 online-serving latency: both engines return p50/p95/mean ms."""
+    from tpu_unet.serve import AnomalyScorer, SegmentationPredictor
+
+    _, ckpt = trained
+    scorer = AnomalyScorer.from_checkpoint(ckpt, image_size=32, batch_size=1,
+                                           precision="f32", base_features=4)
+    lat = scorer.latency_ms(n_iters=5)
+    assert set(lat) == {"p50_ms", "p95_ms", "mean_ms"}
+    assert 0 < lat["p50_ms"] <= lat["p95_ms"]
+
+    _, seg_ckpt = trained_seg
+    pred = SegmentationPredictor.from_checkpoint(
+        seg_ckpt, num_classes=4, image_size_hw=(32, 32), batch_size=1,
+        precision="f32", base_features=4)
+    lat = pred.latency_ms(n_iters=5)
+    assert 0 < lat["p50_ms"] <= lat["p95_ms"]
+
+
 def test_serve_cli_skip_decode_error_json(trained, tmp_path):
     """--on_decode_error skip: the corrupt file gets a JSON null score and a
     null verdict (NOT 'not anomalous'), is listed in decode_failures, and the

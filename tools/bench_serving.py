@@ -31,8 +31,12 @@ def main(argv=None):
     p.add_argument("--quick", action="store_true",
                    help="fewer timed batches (5 instead of 10)")
     p.add_argument("--skip_seg", action="store_true")
+    p.add_argument("--latency", action="store_true",
+                   help="also measure batch-1 online-serving latency "
+                        "(p50/p95 ms per request) for every config")
     args = p.parse_args(argv)
     n_batches = 5 if args.quick else 10
+    n_lat = 20 if args.quick else 50
 
     from tpu_unet.core.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -59,6 +63,12 @@ def main(argv=None):
             scorer.throughput(n_batches), 1)
         print(f"anomaly score-only b128 {mode}: "
               f"{out[f'anomaly_score_only_b128_{mode}']} img/s", flush=True)
+        if args.latency:
+            s1 = AnomalyScorer.from_variables(v["params"], v["batch_stats"],
+                                              image_size=256, batch_size=1, **kw)
+            out[f"anomaly_b1_{mode}_latency"] = s1.latency_ms(n_lat)
+            print(f"anomaly b1 {mode} latency: "
+                  f"{out[f'anomaly_b1_{mode}_latency']}", flush=True)
 
     if not args.skip_seg:
         for name, nc, hw, batch in [("gear_512", 4, (512, 512), 16),
@@ -77,6 +87,13 @@ def main(argv=None):
                     pred.throughput(n_batches), 1)
                 print(f"seg {name} b{batch} {mode}: "
                       f"{out[f'seg_{name}_b{batch}_{mode}']} img/s", flush=True)
+                if args.latency:
+                    p1 = SegmentationPredictor.from_variables(
+                        sv["params"], sv["batch_stats"], num_classes=nc,
+                        image_size_hw=hw, batch_size=1, **kw)
+                    out[f"seg_{name}_b1_{mode}_latency"] = p1.latency_ms(n_lat)
+                    print(f"seg {name} b1 {mode} latency: "
+                          f"{out[f'seg_{name}_b1_{mode}_latency']}", flush=True)
 
     out["unit"] = "images/sec (single device)"
     print(json.dumps(out))

@@ -45,6 +45,23 @@ from tpu_unet.ops.fold_bn import fold_batchnorm
 from tpu_unet.ops.seg_head import sliced_pred_confidence
 
 
+def _latency_stats_ms(run_once, n_iters: int) -> dict:
+    """p50/p95/mean wall-clock per synchronous ``run_once()`` call, in ms.
+
+    ``run_once`` must block until its result is on host (fetch a scalar). One
+    unmeasured warmup call absorbs compilation.
+    """
+    run_once()
+    times = np.empty(max(n_iters, 1))
+    for i in range(len(times)):
+        t0 = time.perf_counter()
+        run_once()
+        times[i] = (time.perf_counter() - t0) * 1e3
+    return {"p50_ms": round(float(np.percentile(times, 50)), 3),
+            "p95_ms": round(float(np.percentile(times, 95)), 3),
+            "mean_ms": round(float(times.mean()), 3)}
+
+
 class DecodeError(RuntimeError):
     """A source image failed to decode; ``.path`` names the offending file."""
 
@@ -299,6 +316,21 @@ class AnomalyScorer:
         assert np.isfinite(s).all()
         return self.batch_size * n_batches / (time.perf_counter() - t0)
 
+    def latency_ms(self, n_iters: int = 50) -> dict:
+        """Per-request end-to-end latency (host uint8 -> host score), ms.
+
+        Each iteration is synchronous: host->device transfer, the score-only
+        program, and the (N,) score fetch. Build the engine with
+        ``batch_size=1`` for online (single-image) serving latency; at larger
+        batches this is the per-batch latency. Returns {p50_ms, p95_ms, mean_ms}.
+        """
+        rng = np.random.default_rng(0)
+        imgs = rng.integers(0, 256, (self.batch_size, self.image_size,
+                                     self.image_size, 3), dtype=np.uint8)
+        return _latency_stats_ms(
+            lambda: np.asarray(self._score_fn(self._params, self._put(imgs))),
+            n_iters)
+
 
 class SegmentationPredictor:
     """Batched mask-prediction engine for the segmentation workloads.
@@ -458,6 +490,26 @@ class SegmentationPredictor:
         confs = np.concatenate([np.asarray(c) for _, c in pend])
         assert np.isfinite(confs).all()
         return self.batch_size * n_batches / (time.perf_counter() - t0)
+
+    def latency_ms(self, n_iters: int = 50) -> dict:
+        """Per-request latency (host uint8 -> prediction complete), ms.
+
+        Synchronous per iteration: host->device transfer, the predict program,
+        and the (N,) confidence fetch (which forces the masks' completion; the
+        mask bytes themselves ride local PCIe in production — fetching them over
+        the axon dev tunnel would measure the tunnel, not the chip). Build with
+        ``batch_size=1`` for online serving latency. Returns
+        {p50_ms, p95_ms, mean_ms}.
+        """
+        rng = np.random.default_rng(0)
+        h, w = self.image_size_hw
+        imgs = rng.integers(0, 256, (self.batch_size, h, w, 3), dtype=np.uint8)
+
+        def run_once():
+            _, c = self._predict_fn(self._params, self._put(imgs))
+            np.asarray(c)
+
+        return _latency_stats_ms(run_once, n_iters)
 
     def predict_paths(self, paths: Sequence[str], num_workers: int = 4,
                       on_decode_error: str = "raise"):
