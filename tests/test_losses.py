@@ -96,6 +96,21 @@ class TestSSIM:
             np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                        rtol=1e-3, atol=1e-6)
 
+    def test_banded_matches_oracle_across_windows(self):
+        """Banded == depthwise for non-default window sizes and sigmas (the
+        public ssim() exposes both; only 11/1.5 is the reference default)."""
+        from tpu_unet.ops.ssim import _ssim_map_banded, _ssim_map_depthwise
+
+        rng = np.random.default_rng(13)
+        a = jnp.asarray(rng.uniform(size=(1, 20, 14, 3)).astype(np.float32))
+        b = jnp.asarray(rng.uniform(size=(1, 20, 14, 3)).astype(np.float32))
+        for window, sigma in [(3, 0.8), (5, 1.5), (7, 2.0), (15, 1.0)]:
+            banded = np.asarray(_ssim_map_banded(a, b, window, sigma))
+            oracle = np.asarray(_ssim_map_depthwise(a, b, window, sigma))
+            np.testing.assert_allclose(banded, np.transpose(oracle, (0, 3, 1, 2)),
+                                       rtol=1e-4, atol=1e-5,
+                                       err_msg=f"window={window} sigma={sigma}")
+
     def test_identical_images(self):
         img = jnp.asarray(rand((1, 32, 32, 3), 5))
         assert float(ssim(img, img)) > 0.999
@@ -249,6 +264,44 @@ class TestSlicedCombinedLossEquivalence:
             gb = jax.grad(lambda l: _combined_unsliced(l, labels, **full)["total_loss"])(logits)
             np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                        rtol=1e-4, atol=1e-6)
+
+    def test_randomized_sweep_including_out_of_range_labels(self):
+        """Seeded fuzz: random C/shape/weights/ignore_index draws, with some
+        labels OUTSIDE [0, C) (neither path should diverge on them — both treat
+        an out-of-range non-ignore label as a zero-one-hot row)."""
+        from tpu_unet.losses.segmentation import _combined_sliced, _combined_unsliced
+
+        rng = np.random.default_rng(99)
+        for draw in range(12):
+            c = int(rng.integers(2, 9))
+            h, w = int(rng.integers(3, 12)), int(rng.integers(3, 12))
+            n = int(rng.integers(1, 4))
+            cfg = dict(
+                ce_weight=float(rng.uniform(0, 2)),
+                dice_weight=float(rng.uniform(0, 2)),
+                focal_weight=float(rng.choice([0.0, rng.uniform(0, 1)])),
+                class_weights=(tuple(rng.uniform(0.5, 5.0, c).round(2))
+                               if rng.random() < 0.5 else None),
+                ignore_index=(255 if rng.random() < 0.5 else None),
+                sample_weight=None,
+            )
+            logits = jnp.asarray(rng.standard_normal((n, h, w, c)).astype(np.float32))
+            labels = rng.integers(0, c, (n, h, w)).astype(np.int32)
+            labels[rng.random(labels.shape) < 0.05] = c      # out-of-range
+            if cfg["ignore_index"] is not None:
+                labels[rng.random(labels.shape) < 0.1] = 255
+            labels = jnp.asarray(labels)
+            a = _combined_sliced(logits, labels, **cfg)
+            b = _combined_unsliced(logits, labels, **cfg)
+            for k in a:
+                np.testing.assert_allclose(
+                    np.asarray(a[k]), np.asarray(b[k]), rtol=1e-4, atol=1e-5,
+                    err_msg=f"draw {draw} key {k} cfg {cfg}")
+            ga = jax.grad(lambda l: _combined_sliced(l, labels, **cfg)["total_loss"])(logits)
+            gb = jax.grad(lambda l: _combined_unsliced(l, labels, **cfg)["total_loss"])(logits)
+            np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                       rtol=1e-3, atol=1e-5,
+                                       err_msg=f"draw {draw} grad cfg {cfg}")
 
     def test_dispatch_uses_sliced_for_small_c(self):
         from tpu_unet.losses import segmentation as seg
