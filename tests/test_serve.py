@@ -172,6 +172,14 @@ def test_score_paths_decode_failure_policy(trained, tmp_path):
     assert scores.shape == (7,)
     assert np.isnan(scores[2]) and np.isfinite(np.delete(scores, 2)).all()
 
+    # return_failed exposes the authoritative decode-skip indices (distinct
+    # from any NaN the model itself might produce).
+    scores2, failed2 = scorer.score_paths(paths, num_workers=2,
+                                          on_decode_error="skip",
+                                          return_failed=True)
+    assert failed2 == [2]
+    np.testing.assert_array_equal(np.isnan(scores2), np.isnan(scores))
+
 
 def test_serve_cli(trained, tmp_path):
     from tpu_unet.cli.serve_mvtec import main as serve_main

@@ -64,8 +64,11 @@ def main(argv=None):
         print(f"anomaly score-only b128 {mode}: "
               f"{out[f'anomaly_score_only_b128_{mode}']} img/s", flush=True)
         if args.latency:
+            # int8: the batch-N engine's stored tree IS the qparams — reuse it
+            # instead of re-running calibration (a second compile + forwards).
+            kw1 = dict(kw, qparams=scorer._params) if mode == "int8" else kw
             s1 = AnomalyScorer.from_variables(v["params"], v["batch_stats"],
-                                              image_size=256, batch_size=1, **kw)
+                                              image_size=256, batch_size=1, **kw1)
             out[f"anomaly_b1_{mode}_latency"] = s1.latency_ms(n_lat)
             print(f"anomaly b1 {mode} latency: "
                   f"{out[f'anomaly_b1_{mode}_latency']}", flush=True)
@@ -88,9 +91,10 @@ def main(argv=None):
                 print(f"seg {name} b{batch} {mode}: "
                       f"{out[f'seg_{name}_b{batch}_{mode}']} img/s", flush=True)
                 if args.latency:
+                    kw1 = dict(kw, qparams=pred._params) if mode == "int8" else kw
                     p1 = SegmentationPredictor.from_variables(
                         sv["params"], sv["batch_stats"], num_classes=nc,
-                        image_size_hw=hw, batch_size=1, **kw)
+                        image_size_hw=hw, batch_size=1, **kw1)
                     out[f"seg_{name}_b1_{mode}_latency"] = p1.latency_ms(n_lat)
                     print(f"seg {name} b1 {mode} latency: "
                           f"{out[f'seg_{name}_b1_{mode}_latency']}", flush=True)

@@ -114,17 +114,20 @@ def main(argv=None):
         print(f"Quantized params saved to {args.qparams}")
 
     t0 = time.perf_counter()
-    scores = scorer.score_paths(paths, num_workers=args.num_workers,
-                                    on_decode_error=args.on_decode_error)
+    scores, failed_idx = scorer.score_paths(paths, num_workers=args.num_workers,
+                                            on_decode_error=args.on_decode_error,
+                                            return_failed=True)
     dt = time.perf_counter() - t0
     throughput = len(paths) / dt
     print(f"Scored {len(paths)} images in {dt:.2f}s "
           f"({throughput:.1f} img/s incl. first-batch compile)")
 
-    # Skipped decode failures come back as NaN; report them as JSON null (valid
-    # JSON, unlike a bare NaN token) and NEVER as a pass/fail verdict — an
-    # unreadable image is "unknown", not "not anomalous".
-    failed = [p for p, s in zip(paths, scores) if np.isnan(s)]
+    # Decode-skipped files (the engine's authoritative list — NOT inferred from
+    # NaN, which the model itself could produce) are reported as JSON null
+    # (valid JSON, unlike a bare NaN token) and NEVER as a pass/fail verdict —
+    # an unreadable image is "unknown", not "not anomalous". A model-produced
+    # NaN also serializes as null but is kept out of decode_failures.
+    failed = {int(i) for i in failed_idx}
     payload = {
         "checkpoint": args.checkpoint,
         "quantize": args.quantize,
@@ -135,8 +138,8 @@ def main(argv=None):
                    for p, s in zip(paths, scores)},
     }
     if failed:
-        payload["decode_failures"] = [os.path.relpath(p, args.input_dir)
-                                      for p in failed]
+        payload["decode_failures"] = [os.path.relpath(paths[i], args.input_dir)
+                                      for i in sorted(failed)]
         print(f"WARNING: {len(failed)} image(s) could not be decoded "
               f"(scores null, no verdicts): {payload['decode_failures']}")
     if args.threshold is not None:

@@ -113,8 +113,9 @@ def main(argv=None):
         print(f"Quantized params saved to {args.qparams}")
 
     t0 = time.perf_counter()
-    masks, confs = predictor.predict_paths(paths, num_workers=args.num_workers,
-                                    on_decode_error=args.on_decode_error)
+    masks, confs, failed_idx = predictor.predict_paths(
+        paths, num_workers=args.num_workers,
+        on_decode_error=args.on_decode_error, return_failed=True)
     dt = time.perf_counter() - t0
     print(f"Predicted {len(paths)} masks in {dt:.2f}s "
           f"({len(paths)/dt:.1f} img/s incl. first-batch compile)")
@@ -122,9 +123,10 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
     records = {}
     failed = []
-    for path, mask, conf in zip(paths, masks, confs):
+    failed_set = {int(i) for i in failed_idx}  # authoritative, not NaN-inferred
+    for i, (path, mask, conf) in enumerate(zip(paths, masks, confs)):
         rel = os.path.relpath(path, args.input_dir)
-        if np.isnan(conf):
+        if i in failed_set:
             # Skipped decode failure: no mask PNG, JSON null (not a NaN token)
             # instead of a fabricated all-background prediction.
             failed.append(rel)
@@ -137,7 +139,9 @@ def main(argv=None):
         shares = np.bincount(mask.ravel(), minlength=args.num_classes)
         records[rel] = {
             "mask": os.path.basename(out_path),
-            "mean_confidence": float(conf),
+            # A model-produced NaN (decode was fine) serializes as null too —
+            # a bare NaN token is not valid JSON.
+            "mean_confidence": None if np.isnan(conf) else float(conf),
             "class_pixel_share": (shares / shares.sum()).round(6).tolist(),
         }
     if failed:

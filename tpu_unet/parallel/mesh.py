@@ -112,10 +112,15 @@ def synced_timestamp(fmt: str = "%Y%m%d_%H%M%S") -> str:
     Single-process: plain local time, no device traffic.
     """
     import datetime
-    now = datetime.datetime.now()
+    ts = datetime.datetime.now().strftime(fmt)
     if jax.process_count() > 1:
+        # Broadcast the FORMATTED string (process 0's clock AND timezone), not
+        # the epoch — hosts with differing TZ settings would format the same
+        # epoch to different strings, recreating the divergence.
         from jax.experimental import multihost_utils
-        epoch = np.asarray(int(now.timestamp()), dtype=np.int64)
-        epoch = int(multihost_utils.broadcast_one_to_all(epoch))
-        now = datetime.datetime.fromtimestamp(epoch)
-    return now.strftime(fmt)
+        buf = np.zeros(64, np.uint8)
+        raw = ts.encode()[:64]
+        buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+        out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+        ts = out.tobytes().rstrip(b"\0").decode()
+    return ts

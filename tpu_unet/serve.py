@@ -280,7 +280,7 @@ class AnomalyScorer:
         return np.concatenate([np.asarray(s) for s in pending])[:n]
 
     def score_paths(self, paths: Sequence[str], num_workers: int = 4,
-                    on_decode_error: str = "raise") -> np.ndarray:
+                    on_decode_error: str = "raise", return_failed: bool = False):
         """Decode, resize, and score image files; returns (N,) scores.
 
         Decode of batch k+1 overlaps the device scoring of batch k
@@ -289,19 +289,23 @@ class AnomalyScorer:
 
         A corrupt file raises :class:`DecodeError` naming the path; with
         ``on_decode_error='skip'`` it is logged and its score set to NaN so the
-        remaining 999 files of a 1000-file scan still score.
+        remaining 999 files of a 1000-file scan still score. With
+        ``return_failed=True`` returns ``(scores, failed_indices)`` — the
+        authoritative list of decode-skipped positions, distinct from scores the
+        MODEL produced as NaN (e.g. a numerics blowup).
         """
         pending, failed = _pipelined_batches(
             paths, (self.image_size, self.image_size), self.batch_size,
             num_workers, lambda imgs: self._score_fn(self._params, self._put(imgs)),
             on_decode_error=on_decode_error)
         if not pending:
-            return np.zeros((0,), np.float32)
+            scores = np.zeros((0,), np.float32)
+            return (scores, []) if return_failed else scores
         scores = np.concatenate([np.asarray(s) for s in pending])[:len(paths)]
         if failed:
             scores = scores.copy()
             scores[np.asarray(failed)] = np.nan
-        return scores
+        return (scores, list(failed)) if return_failed else scores
 
     def throughput(self, n_batches: int = 10) -> float:
         """Measured serving throughput (img/s) on synthetic data; warms compile."""
@@ -512,25 +516,29 @@ class SegmentationPredictor:
         return _latency_stats_ms(run_once, n_iters)
 
     def predict_paths(self, paths: Sequence[str], num_workers: int = 4,
-                      on_decode_error: str = "raise"):
+                      on_decode_error: str = "raise", return_failed: bool = False):
         """Decode+resize image files and predict, streaming batch by batch
         (decode overlaps device work; memory stays one batch deep, not the whole
         directory); returns (masks (N,H,W) uint8, mean_confidences (N,)).
 
         A corrupt file raises :class:`DecodeError` naming the path; with
         ``on_decode_error='skip'`` it is logged, its mask zeroed, and its
-        confidence set to NaN."""
+        confidence set to NaN. With ``return_failed=True`` returns
+        ``(masks, confs, failed_indices)`` — the authoritative decode-skip list,
+        distinct from confidences the MODEL produced as NaN."""
         pending, failed = _pipelined_batches(
             paths, self.image_size_hw, self.batch_size, num_workers,
             lambda imgs: self._predict_fn(self._params, self._put(imgs)),
             on_decode_error=on_decode_error)
         if not pending:
             h, w = self.image_size_hw
-            return np.zeros((0, h, w), np.uint8), np.zeros((0,), np.float32)
+            masks = np.zeros((0, h, w), np.uint8)
+            confs = np.zeros((0,), np.float32)
+            return (masks, confs, []) if return_failed else (masks, confs)
         masks = np.concatenate([np.asarray(m) for m, _ in pending])[:len(paths)]
         confs = np.concatenate([np.asarray(c) for _, c in pending])[:len(paths)]
         if failed:
             masks, confs = masks.copy(), confs.copy()
             masks[np.asarray(failed)] = 0
             confs[np.asarray(failed)] = np.nan
-        return masks, confs
+        return (masks, confs, list(failed)) if return_failed else (masks, confs)
