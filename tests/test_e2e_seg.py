@@ -85,3 +85,36 @@ def test_kolektorsdd_train_then_eval(ksdd_root, tmp_path):
     assert summary is not None
     assert len(summary["per_class_metrics"]["iou"]) == 3
     assert summary["confusion_matrix"] is not None
+
+
+def test_kolektorsdd_spatial_train_then_eval(ksdd_root, tmp_path):
+    """--n_space 2: the full CLI path (train 1 epoch + eval) over a data x space
+    mesh; eval metrics on the same checkpoint must match the unsharded eval
+    (GSPMD halo-exchange numerics, f32)."""
+    from tpu_unet.cli.test_kolektorsdd import main as test_main
+    from tpu_unet.cli.train_kolektorsdd import main as train_main
+
+    save_dir = os.path.join(tmp_path, "outputs_sp")
+    exp_dir = train_main([
+        "--data_root", ksdd_root, "--image_height", "64", "--image_width", "32",
+        "--epochs", "1", "--batch_size", "4", "--val_freq", "1",
+        "--save_freq", "1", "--num_workers", "2", "--save_dir", save_dir,
+        "--base_features", "4", "--precision", "f32",
+        "--n_devices", "2", "--n_space", "2",
+    ])
+    assert exp_dir is not None
+    best = os.path.join(exp_dir, "checkpoints", "best_model")
+    ckpt = best if os.path.isdir(best) else os.path.join(
+        exp_dir, "checkpoints", "checkpoint_epoch_0")
+
+    common = ["--data_root", ksdd_root, "--image_height", "64",
+              "--image_width", "32", "--batch_size", "4", "--num_workers", "2",
+              "--checkpoint", ckpt, "--base_features", "4", "--precision", "f32"]
+    sharded = test_main(common + ["--output_dir", os.path.join(tmp_path, "ev_sp"),
+                                  "--n_devices", "2", "--n_space", "2"])
+    plain = test_main(common + ["--output_dir", os.path.join(tmp_path, "ev_pl"),
+                                "--n_devices", "2"])
+    assert sharded is not None and plain is not None
+    for key in ("pixel_accuracy", "mean_iou", "mean_dice"):
+        assert abs(sharded["overall_metrics"][key]
+                   - plain["overall_metrics"][key]) < 1e-5, key

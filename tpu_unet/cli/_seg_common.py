@@ -68,9 +68,15 @@ class _Subset:
         return self.dataset.load(int(self.indices[i]))
 
 
-def _to_device(mesh):
-    return lambda b: {k: (shard_batch(mesh, v) if hasattr(v, "shape") else v)
-                      for k, v in b.items()}
+def _to_device(mesh, spatial: bool = False):
+    """Batch-to-mesh transform. ``spatial`` H-shards rank>=2 arrays (NHWC images,
+    NHW masks) over the 'space' axis; per-row vectors (labels, valid) stay
+    data-sharded only."""
+    def put(v):
+        if not hasattr(v, "shape"):
+            return v
+        return shard_batch(mesh, v, spatial=spatial and v.ndim >= 2)
+    return lambda b: {k: put(v) for k, v in b.items()}
 
 
 def run_seg_training(args, workload: Workload):
@@ -106,15 +112,18 @@ def run_seg_training(args, workload: Workload):
     logger.info(f"Train samples: {len(train_ds)}, Val samples: {len(val_ds)}, "
                 f"classes: {num_classes}")
 
-    mesh = make_mesh(n_data=getattr(args, "n_devices", None))
-    to_device = _to_device(mesh)
+    h, w = workload.image_size_hw(args)
+    n_space = getattr(args, "n_space", 1) or 1
+    if n_space > 1 and h % n_space:
+        raise ValueError(f"--n_space {n_space} must divide the image height {h}")
+    mesh = make_mesh(n_data=getattr(args, "n_devices", None), n_space=n_space)
+    to_device = _to_device(mesh, spatial=n_space > 1)
     train_loader = DataLoader(train_ds, args.batch_size, shuffle=True, seed=args.seed,
                               drop_last=len(train_ds) >= args.batch_size,
                               num_workers=args.num_workers, transform=to_device)
     val_loader = DataLoader(val_ds, args.batch_size, pad_last=True,
                             num_workers=args.num_workers, transform=to_device)
 
-    h, w = workload.image_size_hw(args)
     policy = get_policy(getattr(args, "precision", "bf16"))
     model = build_model(args.model if args.model != "unet" else "unet",
                         n_channels=3, n_classes=num_classes, bilinear=args.bilinear,
@@ -214,11 +223,14 @@ def run_seg_evaluation(args, workload: Workload, split: str = "test"):
         ds = _Subset(ds, args.debug_samples, 0)
     print(f"Eval samples ({split}): {len(ds)}")
 
-    mesh = make_mesh(n_data=getattr(args, "n_devices", None))
-    loader = DataLoader(ds, args.batch_size, pad_last=True,
-                        num_workers=args.num_workers, transform=_to_device(mesh))
-
     h, w = workload.image_size_hw(args)
+    n_space = getattr(args, "n_space", 1) or 1
+    if n_space > 1 and h % n_space:
+        raise ValueError(f"--n_space {n_space} must divide the image height {h}")
+    mesh = make_mesh(n_data=getattr(args, "n_devices", None), n_space=n_space)
+    loader = DataLoader(ds, args.batch_size, pad_last=True,
+                        num_workers=args.num_workers,
+                        transform=_to_device(mesh, spatial=n_space > 1))
     policy = get_policy(getattr(args, "precision", "bf16"))
     model = build_model(args.model, n_channels=3, n_classes=num_classes,
                         bilinear=args.bilinear, dropout=args.dropout, policy=policy,

@@ -40,6 +40,9 @@ def parse_args(argv=None):
     parser.add_argument("--debug_samples", type=int, default=50)
     parser.add_argument("--precision", type=str, default="bf16", choices=["bf16", "f32"])
     parser.add_argument("--n_devices", type=int, default=None)
+    parser.add_argument("--n_space", type=int, default=1,
+                        help="Shard image HEIGHT over this many chips (spatial "
+                             "parallelism for elongated inputs)")
     parser.add_argument("--base_features", type=int, default=64)
     parser.add_argument("--fold_bn", action="store_true",
                         help="Fold BatchNorm into conv weights for inference")

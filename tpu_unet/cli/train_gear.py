@@ -43,6 +43,10 @@ def add_common_args(parser):
     # TPU-native extras
     parser.add_argument("--precision", type=str, default="bf16", choices=["bf16", "f32"])
     parser.add_argument("--n_devices", type=int, default=None)
+    parser.add_argument("--n_space", type=int, default=1,
+                        help="Shard image HEIGHT over this many chips (spatial "
+                             "parallelism for elongated inputs; XLA inserts the "
+                             "conv halo exchanges)")
     parser.add_argument("--base_features", type=int, default=64)
     parser.add_argument("--debug_nans", action="store_true",
                         help="Enable jax debug_nans (fail fast on NaN)")
