@@ -184,6 +184,36 @@ class TestGear:
         mask = rasterize_labelme("/nonexistent/labels.txt", 8, 8)
         np.testing.assert_array_equal(mask, np.zeros((8, 8), np.uint8))
 
+    def test_num_classes_covers_highest_rasterized_id(self, tmp_path):
+        """Mask ids are FIXED (scrape always rasterizes as 3); a split missing a
+        lower-id class must still get num_classes 4, not len(names)+1 = 3 with
+        out-of-range label 3 (the reference's silent defect,
+        /root/reference/src/gear_dataset.py:46)."""
+        root = str(tmp_path)
+        for split in ("train", "val", "test"):
+            os.makedirs(os.path.join(root, "images", split))
+            os.makedirs(os.path.join(root, "labels", split))
+            Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(
+                os.path.join(root, "images", split, "0.jpg"))
+            with open(os.path.join(root, "labels", split, "0.txt"), "w") as f:
+                f.write("0 0.1 0.1 0.5 0.1 0.5 0.5 0.1 0.5\n")   # pitting -> 1
+                f.write("2 0.6 0.6 0.9 0.6 0.9 0.9 0.6 0.9\n")   # scrape  -> 3
+        ds = GearDataset(root, "train", image_size=(16, 16), disk_cache_dir=None)
+        assert ds.class_names == ["pitting", "scrape"]  # spalling absent
+        mask = ds.load(0)["mask"]
+        assert mask.max() == 3  # scrape still rasterizes at its fixed id
+        assert ds.num_classes == 4  # must cover id 3 despite only 2 named classes
+
+    def test_mask_ships_as_uint8(self, tmp_path):
+        """Seg masks are uint8 on host (4x less pack + transfer than int32);
+        the jitted steps cast on device."""
+        root = make_gear(os.path.join(tmp_path, "g"))
+        assert GearDataset(root, "train", image_size=(32, 32),
+                           disk_cache_dir=None).load(0)["mask"].dtype == np.uint8
+        kroot = make_kolektorsdd(os.path.join(tmp_path, "k"))
+        assert KolektorSDDDataset(kroot, "train", image_size=(64, 32),
+                                  disk_cache_dir=None).load(0)["mask"].dtype == np.uint8
+
 
 # ---------------------------------------------------------------------------
 # KolektorSDD
@@ -228,6 +258,19 @@ class _ToyDataset:
 
 
 class TestDataLoader:
+    def test_ragged_last_batch_warns_once(self):
+        """A ragged final batch (no drop_last/pad_last) means a second XLA
+        compile; the loader warns once, then stays quiet."""
+        import warnings
+
+        dl = DataLoader(_ToyDataset(10), batch_size=4)
+        with pytest.warns(UserWarning, match="recompile"):
+            batches = list(dl)
+        assert batches[-1]["x"].shape[0] == 2  # still yielded, just warned
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            list(dl)  # second epoch: no repeat warning
+
     def test_batching_and_len(self):
         dl = DataLoader(_ToyDataset(10), batch_size=4)
         batches = list(dl)

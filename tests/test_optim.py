@@ -99,6 +99,18 @@ class TestSchedules:
         assert sched.step_plateau(1.1) == 5e-4      # bad 3 > patience -> reduce
         assert sched.step_plateau(0.5) == 5e-4      # new best, no change
 
+    def test_plateau_relative_threshold(self):
+        """torch ReduceLROnPlateau parity: improvements smaller than the 1e-4
+        relative threshold are BAD epochs — infinitesimal downward drift must
+        still trigger the LR cut."""
+        sched = LRScheduler("plateau", base_lr=1e-3, num_epochs=100,
+                            plateau_patience=2, plateau_factor=0.5)
+        assert sched.step_plateau(1.0) == 1e-3          # best
+        assert sched.step_plateau(0.999999) == 1e-3     # <0.01% better: bad 1
+        assert sched.step_plateau(0.999998) == 1e-3     # bad 2
+        assert sched.step_plateau(0.999997) == 5e-4     # bad 3 > patience -> cut
+        assert sched.step_plateau(0.99) == 5e-4         # real improvement: reset
+
     def test_none_schedule_constant(self):
         sched = LRScheduler("none", base_lr=1e-3, num_epochs=10)
         assert all(sched.lr_for_epoch(e) == 1e-3 for e in range(10))

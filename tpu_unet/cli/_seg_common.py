@@ -168,8 +168,9 @@ def run_seg_training(args, workload: Workload):
 
             val_results = None
             if epoch % args.val_freq == 0 or epoch == args.epochs - 1:
-                val_metrics, val_cm = validate_seg_epoch(state, eval_step, val_loader,
-                                                         num_classes)
+                val_metrics, val_cm = validate_seg_epoch(
+                    state, eval_step, val_loader, num_classes,
+                    ignore_index=loss_cfg.ignore_index)
                 val_losses.append(val_metrics.get("total_loss", 0.0))
                 val_all = val_cm.compute_all_metrics()
                 val_results = (val_metrics, val_all)
@@ -269,7 +270,8 @@ def run_seg_evaluation(args, workload: Workload, split: str = "test"):
         eval_step = make_seg_eval_step(num_classes, loss_cfg)
 
     os.makedirs(args.output_dir, exist_ok=True)
-    losses, cm = validate_seg_epoch(state, eval_step, loader, num_classes)
+    losses, cm = validate_seg_epoch(state, eval_step, loader, num_classes,
+                                    ignore_index=loss_cfg.ignore_index)
     metrics = cm.compute_all_metrics()
     cm.print_metrics(class_names)
 

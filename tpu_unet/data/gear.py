@@ -135,6 +135,7 @@ class GearDataset:
         if not os.path.isdir(labels_dir):
             raise ValueError(f"Labels directory not found: {labels_dir}")
 
+        present_final_ids = set()
         for img_file in sorted(os.listdir(images_dir)):
             if img_file.lower().endswith((".jpg", ".jpeg", ".png")):
                 label_path = os.path.join(labels_dir, os.path.splitext(img_file)[0] + ".txt")
@@ -144,9 +145,17 @@ class GearDataset:
                     for class_id, _ in parse_label_file(label_path):
                         if class_id in CLASS_NAMES_MAP:
                             class_names.add(CLASS_NAMES_MAP[class_id])
+                            present_final_ids.add(CLASS_ID_TO_FINAL_ID[class_id])
 
         self.class_names = [n for n in CLASS_ORDER if n in class_names]
-        self.num_classes = len(self.class_names) + 1  # + background
+        # Mask ids are FIXED (pitting=1, spalling=2, scrape=3) regardless of
+        # which classes a split happens to contain, so the class count must
+        # cover the highest id actually rasterized. The reference's
+        # len(names)+1 (src/gear_dataset.py:46) yields out-of-range labels when
+        # a lower-id class is absent (e.g. scrape without spalling -> label 3
+        # with num_classes 3): silently unsupervised pixels. For contiguous
+        # presence — every real Gear split — the two formulas agree.
+        self.num_classes = max(present_final_ids, default=0) + 1
         self.class_to_idx = {"background": 0, "pitting": 1, "spalling": 2, "scrape": 3}
 
         print(f"Found {len(self.image_paths)} images in {split} split")
@@ -158,11 +167,15 @@ class GearDataset:
         if disk_cache_dir and not enable_priority_logging:
             from tpu_unet.data.transforms import resize_backend_tag
             fp = diskcache.fingerprint(
-                f"gear|{split}|{image_size[0]}x{image_size[1]}|{resize_backend_tag()}",
+                f"gear|{split}|{image_size[0]}x{image_size[1]}|{resize_backend_tag()}|mu8",
                 self.image_paths + self.label_paths)
             self._pack = diskcache.PackedStore.open_or_build(
                 disk_cache_dir, fp, len(self.image_paths), self._load_uncached,
                 log=print)
+            # All further loads are served by the pack; the per-index mask memo
+            # filled during the build would just pin ~H*W bytes per image for
+            # the process lifetime.
+            self._mask_cache.clear()
 
     def __len__(self) -> int:
         return len(self.image_paths)
@@ -189,7 +202,10 @@ class GearDataset:
         mask = self._mask_for(idx)
         return {
             "image": image,
-            "mask": mask.astype(np.int32),
+            # uint8: labels are <= 3; int32 would quadruple the pack bytes and
+            # the per-batch host->device mask transfer. The jitted steps cast
+            # to int32 on device (free).
+            "mask": np.ascontiguousarray(mask, dtype=np.uint8),
             "image_path": self.image_paths[idx],
         }
 

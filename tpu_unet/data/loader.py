@@ -124,6 +124,18 @@ class DataLoader:
                     raise ValueError(
                         "multi-process loading needs drop_last or pad_last to keep "
                         "the global batch divisible across processes")
+                elif not getattr(self, "_warned_ragged", False):
+                    # A second shape means a second full XLA compile of the step
+                    # (minutes on TPU). The CLIs always set one of the flags;
+                    # warn library users once instead of silently paying it.
+                    self._warned_ragged = True
+                    import warnings
+                    warnings.warn(
+                        f"final batch has {len(idxs)} rows (< batch_size "
+                        f"{self.batch_size}); jitted steps will recompile for "
+                        "the ragged shape — pass drop_last=True (training) or "
+                        "pad_last=True (eval) to keep one compiled shape",
+                        stacklevel=3)
             batches.append(idxs)
         return batches
 

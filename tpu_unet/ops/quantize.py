@@ -493,6 +493,7 @@ def make_quantized_seg_eval_step(num_classes: int, loss_cfg=None):
     fwd = make_quantized_forward("seg_unet")
 
     def step(qparams, images_u8, labels, valid=None):
+        labels = labels.astype(jnp.int32)  # masks ship as uint8
         logits = fwd(qparams, images_u8)
         losses = combined_segmentation_loss(logits, labels, sample_weight=valid,
                                             **cfg.kwargs())

@@ -234,10 +234,13 @@ def train_seg_epoch(state, step_fn, loader, base_key, epoch: int, num_classes: i
                     run_cm += np.asarray(c, np.int64)
                 fetched = upto
                 if run_cm.sum() > 0:
-                    inter = np.diag(run_cm).astype(np.float64)
-                    union = run_cm.sum(0) + run_cm.sum(1) - np.diag(run_cm)
-                    miou = np.nanmean(np.where(union > 0,
-                                               inter / np.maximum(union, 1), np.nan))
+                    # Same 0-for-absent-class convention as the epoch-end
+                    # SegmentationMetrics.compute_iou (reference parity) — a
+                    # NaN-skipping progress figure would read higher than the
+                    # epoch summary whenever a class hasn't appeared yet.
+                    running = SegmentationMetrics(num_classes)
+                    running.confusion_matrix = run_cm
+                    miou = float(np.nanmean(running.compute_iou()))
                     extra = f", mIoU {miou:.4f}"
             prog.tick(i, per_batch, counts, extra=extra)
     for cm in (jax.device_get(cms) if cms else []):
@@ -250,20 +253,25 @@ def train_seg_epoch(state, step_fn, loader, base_key, epoch: int, num_classes: i
     return state, out, metrics
 
 
-def validate_seg_epoch(state, eval_fn, loader, num_classes: int):
+def validate_seg_epoch(state, eval_fn, loader, num_classes: int,
+                       ignore_index: Optional[int] = None):
     """Validation pass; returns (loss dict, SegmentationMetrics).
 
     Multi-process safe: each host accumulates a local confusion matrix over its
     addressable valid rows; the CMs and valid counts are all-gathered at epoch
     end so every process holds the identical global metrics.
+
+    ``ignore_index`` must match the eval step's loss config: the device CM
+    excludes it on-device, and the host-side update() paths (multi-process /
+    padded final batch) need the same exclusion or the two CM definitions mix.
     """
     import jax
 
     from tpu_unet.parallel.collectives import all_gather_host_values, local_rows
 
     multiproc = jax.process_count() > 1
-    metrics = SegmentationMetrics(num_classes)
-    per_batch, counts_local = [], []
+    metrics = SegmentationMetrics(num_classes, ignore_index)
+    per_batch, counts_local, cm_handles = [], [], []
     for batch in loader:
         v = batch.get("valid")
         losses, preds, cm = eval_fn(state, batch["image"], batch["mask"], v)
@@ -278,9 +286,13 @@ def validate_seg_epoch(state, eval_fn, loader, num_classes: int):
             metrics.update(local_rows(preds)[valid_l],
                            local_rows(batch["mask"])[valid_l])
         else:
-            metrics.confusion_matrix = metrics.confusion_matrix + np.asarray(cm, np.int64)
+            # Keep the device handle; fetching here would block on THIS batch's
+            # program every iteration (the per-batch sync _fetch_scalars removed).
+            cm_handles.append(cm)
         per_batch.append(losses)
         counts_local.append(int(valid_l.sum()))
+    for cm in (jax.device_get(cm_handles) if cm_handles else []):
+        metrics.confusion_matrix = metrics.confusion_matrix + np.asarray(cm, np.int64)
     if multiproc and per_batch:
         gathered = all_gather_host_values(
             metrics.confusion_matrix.astype(np.int64))

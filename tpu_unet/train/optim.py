@@ -91,8 +91,13 @@ class LRScheduler:
         return self.base_lr  # 'none'
 
     def step_plateau(self, val_loss: float) -> float:
-        """ReduceLROnPlateau(mode=min): call after each validation; returns new LR."""
-        if self._best is None or val_loss < self._best:
+        """ReduceLROnPlateau(mode=min): call after each validation; returns new LR.
+
+        torch semantics incl. the default relative threshold 1e-4: an epoch only
+        counts as an improvement if ``loss < best * (1 - 1e-4)`` — infinitesimal
+        drifts downward are bad epochs and still trigger the LR cut.
+        """
+        if self._best is None or val_loss < self._best * (1.0 - 1e-4):
             self._best = val_loss
             self._bad_epochs = 0
         else:

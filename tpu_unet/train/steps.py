@@ -177,6 +177,7 @@ def make_seg_train_step(num_classes: int,
     """
 
     def step(state: TrainState, images_u8, labels, key):
+        labels = labels.astype(jnp.int32)  # masks ship as uint8 (4x less traffic)
         k_aug, k_drop = jax.random.split(key)
         img, lbl = train_transform(images_u8, labels[..., None], k_aug, **aug_cfg.kwargs())
         lbl = lbl[..., 0]
@@ -211,6 +212,7 @@ def make_seg_eval_step(num_classes: int,
     """
 
     def step(state: TrainState, images_u8, labels, valid=None):
+        labels = labels.astype(jnp.int32)  # masks ship as uint8 (4x less traffic)
         img = eval_transform(images_u8)
         logits = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
