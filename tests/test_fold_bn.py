@@ -29,6 +29,33 @@ def test_folded_forward_matches_eval():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
+def test_fold_reaches_every_bn():
+    """EVERY BN pair in the network must fold to identity stats — the recursion
+    used to skip Down/Up's DoubleConv child (named 'conv'), leaving 16/18 BNs
+    unfolded while numerics stayed correct (so the forward-parity test passed)."""
+    from tpu_unet.models import AnomalyUNet
+
+    for model, expect in [(UNet(n_classes=2, base_features=4), 18),
+                          (AnomalyUNet(base_features=4), 26)]:
+        v = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)), train=False)
+        stats = jax.tree_util.tree_map(lambda x: x + 0.25, v["batch_stats"])
+        _, folded_stats = fold_batchnorm(v["params"], stats)
+        n_id = n_tot = 0
+        def walk(d):
+            nonlocal n_id, n_tot
+            for val in d.values():
+                if isinstance(val, dict):
+                    if "mean" in val and "var" in val:
+                        n_tot += 1
+                        if (float(jnp.abs(val["mean"]).max()) == 0.0
+                                and float(jnp.abs(val["var"] - 1).max()) == 0.0):
+                            n_id += 1
+                    else:
+                        walk(val)
+        walk(folded_stats)
+        assert (n_id, n_tot) == (expect, expect), (n_id, n_tot, expect)
+
+
 def test_fold_preserves_param_structure():
     model = UNet(n_classes=1, base_features=4)
     variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)), train=False)

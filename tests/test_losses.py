@@ -59,6 +59,21 @@ class TestAnomalyLosses:
         expect = 2.0 * float(out["recon_loss"]) + 0.5 * float(out["seg_loss"])
         assert abs(float(out["total_loss"]) - expect) < 1e-6
 
+    def test_focal_finite_at_saturated_sigmoid(self):
+        """p == 1.0 exactly (sigmoid of logit ~17 in f32) must yield a finite
+        loss AND finite gradients — the old 1e-12 clip rounded away and one
+        saturated background pixel poisoned the training state with NaNs."""
+        from tpu_unet.losses.anomaly import binary_focal_loss
+
+        logits = jnp.asarray([17.0, 120.0, -120.0, 0.3], jnp.float32)
+        t = jnp.asarray([0.0, 0.0, 1.0, 1.0], jnp.float32)  # all "wrong" extremes
+        p = jax.nn.sigmoid(logits)
+        assert float(p[0]) == 1.0  # the saturation actually happens in f32
+        val = binary_focal_loss(p, t)
+        assert bool(jnp.isfinite(val))
+        g = jax.grad(lambda x: binary_focal_loss(jax.nn.sigmoid(x), t))(logits)
+        assert bool(jnp.isfinite(g).all())
+
     def test_ssim_wired_in(self):
         rng = np.random.default_rng(4)
         img = rng.uniform(size=(1, 32, 32, 3)).astype(np.float32)

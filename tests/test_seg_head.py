@@ -28,6 +28,23 @@ def test_sliced_argmax_tie_breaking():
                                   np.asarray(jnp.argmax(logits, axis=-1)))
 
 
+def test_sliced_argmax_nan_parity():
+    """jnp.argmax treats NaN as the greatest value (first NaN wins); the sliced
+    scan must agree so a numerics blowup surfaces identically on both paths."""
+    nan = float("nan")
+    logits = jnp.asarray([[0.5, nan, 0.2],     # NaN mid
+                          [nan, 1.0, 2.0],     # NaN first
+                          [0.1, nan, nan],     # two NaNs -> first one
+                          [3.0, 2.0, 1.0]])    # no NaN
+    np.testing.assert_array_equal(np.asarray(sliced_argmax(logits)),
+                                  np.asarray(jnp.argmax(logits, axis=-1)))
+    preds, conf = sliced_pred_confidence(logits)
+    np.testing.assert_array_equal(np.asarray(preds),
+                                  np.asarray(jnp.argmax(logits, axis=-1)))
+    # confidence of NaN rows is NaN (softmax would be all-NaN too)
+    assert np.isnan(np.asarray(conf)[:3]).all() and np.isfinite(np.asarray(conf)[3])
+
+
 @pytest.mark.parametrize("c", [3, 4])
 def test_sliced_pred_confidence_matches_softmax_max(c):
     rng = np.random.default_rng(10 + c)

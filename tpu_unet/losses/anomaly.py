@@ -20,13 +20,23 @@ from tpu_unet.losses.reduction import weighted_mean
 from tpu_unet.ops.ssim import ssim
 from tpu_unet.ops.ssim import ssim_loss  # noqa: F401  (re-export, public API)
 
-_EPS = 1e-12
+_EPS = 1e-7  # must be representable next to 1.0 in f32 (1 - 1e-12 rounds to 1.0)
 
 
 def binary_focal_loss(probs: jnp.ndarray, targets: jnp.ndarray,
                       alpha: float = 0.25, gamma: float = 2.0,
                       sample_weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Focal loss on probabilities (post-sigmoid), matching torch BCE semantics."""
+    """Focal loss on probabilities (post-sigmoid), matching torch BCE semantics.
+
+    The probability clip eps must be f32-representable: the previous 1e-12 made
+    ``1.0 - eps`` round back to exactly 1.0, so a saturated sigmoid (p == 1.0,
+    reachable from logit ~17) slipped through and produced an inf loss with NaN
+    gradients — one such pixel poisoned the training state irreversibly. (torch
+    survives the same input because F.binary_cross_entropy clamps its log terms
+    at -100; a log-clamp in JAX still NaNs the backward at p in {0, 1} — the
+    log VJP divides a zero cotangent by zero — so the clip is the right fix
+    here. In the clipped region the loss is ~16.1 per pixel and the gradient 0.)
+    """
     p = jnp.clip(probs.astype(jnp.float32), _EPS, 1.0 - _EPS)
     t = targets.astype(jnp.float32)
     bce = -(t * jnp.log(p) + (1.0 - t) * jnp.log(1.0 - p))

@@ -33,7 +33,12 @@ class DoubleConv(nn.Module):
     features: int
     mid_features: Optional[int] = None
     policy: Policy = DEFAULT_POLICY
-    sync_batch_stats: bool = False  # cross-replica (sync-BN) statistics under DP
+    # Cross-replica (sync-BN) statistics for the EXPLICIT-SPMD path only: the
+    # train step must run under shard_map with a 'data' mesh axis bound
+    # (tests/test_shard_map.py). Under plain jit/GSPMD leave this False — batch
+    # stats over a 'data'-sharded N axis are already global there, and an
+    # unbound axis_name would fail tracing.
+    sync_batch_stats: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:

@@ -63,8 +63,6 @@ def fold_batchnorm(params, batch_stats):
     (the DoubleConv layout), the BN is folded into the conv and replaced by an
     identity affine with zero-mean/unit-var statistics.
     """
-    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy via rebuild
-
     def fold_tree(p, s):
         if not isinstance(p, dict):
             return p, s
@@ -80,7 +78,11 @@ def fold_batchnorm(params, batch_stats):
                         "var": jnp.ones_like(s[bn_name]["var"]),
                     }
         for name, child in p.items():
-            if isinstance(child, dict) and not (name.startswith("conv") or name.startswith("bn")):
+            # Recurse into every submodule that is not itself a parameter leaf
+            # (leaf conv dicts hold 'kernel'). Keying on the NAME instead used
+            # to skip Down/Up's DoubleConv child (named 'conv'), silently
+            # leaving 16 of the 18 BN pairs unfolded.
+            if isinstance(child, dict) and "kernel" not in child:
                 child_stats = s.get(name, {})
                 p[name], new_child_stats = fold_tree(child, child_stats)
                 if isinstance(s, dict) and name in s:

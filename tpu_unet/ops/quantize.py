@@ -91,9 +91,16 @@ def full_fold(params: Dict[str, Any], batch_stats: Dict[str, Any]) -> Dict[str, 
                     gamma = bn["scale"].astype(jnp.float32)
                     beta = bn["bias"].astype(jnp.float32)
                     inv = gamma * jax.lax.rsqrt(st["var"].astype(jnp.float32) + _EPS)
+                    # BN(conv(x) + b) = conv'(x) + beta + (b - mean) * inv — a
+                    # conv's own bias folds too (DoubleConv convs are bias-free
+                    # today, but dropping it here would silently corrupt any
+                    # biased variant; fold_bn._fold_pair keeps it as well).
+                    conv_bias = (child["bias"].astype(jnp.float32)
+                                 if "bias" in child else jnp.float32(0.0))
                     out[name] = {
                         "kernel": child["kernel"].astype(jnp.float32) * inv,
-                        "bias": beta - st["mean"].astype(jnp.float32) * inv,
+                        "bias": beta + (conv_bias
+                                        - st["mean"].astype(jnp.float32)) * inv,
                     }
                 else:
                     out[name] = {k: v.astype(jnp.float32) for k, v in child.items()}

@@ -37,16 +37,20 @@ SMALL_C_MAX = 8
 def _argmax_and_max(slices: List[jnp.ndarray], dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(argmax, max) over a list of equal-shape planes via a strict-``>`` scan.
 
-    Reproduces ``jnp.argmax``'s first-max tie-breaking (a later equal value never
-    displaces the incumbent). The single scan serves both sliced_argmax and
-    sliced_pred_confidence so the tie/NaN semantics cannot drift apart.
+    Reproduces ``jnp.argmax`` exactly: first-max tie-breaking (a later equal
+    value never displaces the incumbent) AND NaN-is-greatest (the first NaN
+    wins; a bare strict-``>`` scan would silently report class 0 during a
+    numerics blowup while jnp.argmax consumers report the NaN index). The
+    single scan serves both sliced_argmax and sliced_pred_confidence so the
+    tie/NaN semantics cannot drift apart.
     """
     best = slices[0]
     am = jnp.zeros(slices[0].shape, dtype)
     for i in range(1, len(slices)):
-        gt = slices[i] > best
-        am = jnp.where(gt, jnp.asarray(i, dtype), am)
-        best = jnp.maximum(best, slices[i])
+        l_i = slices[i]
+        take = (l_i > best) | (jnp.isnan(l_i) & ~jnp.isnan(best))
+        am = jnp.where(take, jnp.asarray(i, dtype), am)
+        best = jnp.where(take, l_i, best)
     return am, best
 
 

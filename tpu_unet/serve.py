@@ -62,6 +62,14 @@ def _latency_stats_ms(run_once, n_iters: int) -> dict:
             "mean_ms": round(float(times.mean()), 3)}
 
 
+def _pad_chunk(chunk: np.ndarray, batch_size: int) -> np.ndarray:
+    """Zero-pad a ragged final chunk to the fixed serving batch size."""
+    if len(chunk) < batch_size:
+        pad = np.zeros((batch_size - len(chunk),) + chunk.shape[1:], chunk.dtype)
+        chunk = np.concatenate([chunk, pad])
+    return chunk
+
+
 class DecodeError(RuntimeError):
     """A source image failed to decode; ``.path`` names the offending file."""
 
@@ -123,11 +131,7 @@ def _pipelined_batches(paths: Sequence[str], size_hw, batch_size: int,
             imgs = next_imgs
             future = (prefetch.submit(load_batch, *chunks[i + 1])
                       if i + 1 < len(chunks) else None)
-            if len(imgs) < batch_size:
-                pad = np.zeros((batch_size - len(imgs),) + imgs.shape[1:],
-                               imgs.dtype)
-                imgs = np.concatenate([imgs, pad])
-            results.append(fn(imgs))
+            results.append(fn(_pad_chunk(imgs, batch_size)))
             if future is not None:
                 next_imgs = future.result()
         return results, sorted(failed)
@@ -271,11 +275,8 @@ class AnomalyScorer:
             return np.zeros((0,), np.float32)
         pending = []
         for lo in range(0, n, self.batch_size):
-            chunk = np.asarray(images_u8[lo:lo + self.batch_size])
-            if len(chunk) < self.batch_size:
-                pad = np.zeros((self.batch_size - len(chunk),) + chunk.shape[1:],
-                               chunk.dtype)
-                chunk = np.concatenate([chunk, pad])
+            chunk = _pad_chunk(np.asarray(images_u8[lo:lo + self.batch_size]),
+                               self.batch_size)
             pending.append(self._score_fn(self._params, self._put(chunk)))
         return np.concatenate([np.asarray(s) for s in pending])[:n]
 
@@ -469,11 +470,8 @@ class SegmentationPredictor:
             return np.zeros((0, h, w), np.uint8), np.zeros((0,), np.float32)
         pending = []
         for lo in range(0, n, self.batch_size):
-            chunk = np.asarray(images_u8[lo:lo + self.batch_size])
-            if len(chunk) < self.batch_size:
-                pad = np.zeros((self.batch_size - len(chunk),) + chunk.shape[1:],
-                               chunk.dtype)
-                chunk = np.concatenate([chunk, pad])
+            chunk = _pad_chunk(np.asarray(images_u8[lo:lo + self.batch_size]),
+                               self.batch_size)
             pending.append(self._predict_fn(self._params, self._put(chunk)))
         masks = np.concatenate([np.asarray(p) for p, _ in pending])[:n]
         confs = np.concatenate([np.asarray(c) for _, c in pending])[:n]
