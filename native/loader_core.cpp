@@ -179,24 +179,6 @@ void resize_area_u8(const uint8_t* src, int sh, int sw, int c,
   });
 }
 
-template <typename RowFn>
-void parallel_rows(int dh, int n_threads, RowFn fn) {
-  n_threads = std::max(1, std::min(n_threads, dh));
-  if (n_threads == 1) {
-    fn(0, dh);
-    return;
-  }
-  std::vector<std::thread> workers;
-  int chunk = (dh + n_threads - 1) / n_threads;
-  for (int t = 0; t < n_threads; ++t) {
-    int r0 = t * chunk;
-    int r1 = std::min(dh, r0 + chunk);
-    if (r0 >= r1) break;
-    workers.emplace_back([=] { fn(r0, r1); });
-  }
-  for (auto& w : workers) w.join();
-}
-
 }  // namespace
 
 extern "C" {
@@ -208,11 +190,11 @@ void tu_resize_u8(const uint8_t* src, int sh, int sw, int c,
   if (mode == 2) {
     resize_area_u8(src, sh, sw, c, dst, dh, dw, n_threads, nullptr);
   } else if (mode == 1) {
-    parallel_rows(dh, n_threads, [&](int r0, int r1) {
+    run_rows(dh, n_threads, [&](int r0, int r1) {
       resize_bilinear_rows(src, sh, sw, c, dst, dh, dw, r0, r1);
     });
   } else {
-    parallel_rows(dh, n_threads, [&](int r0, int r1) {
+    run_rows(dh, n_threads, [&](int r0, int r1) {
       resize_nearest_rows(src, sh, sw, c, dst, dh, dw, r0, r1);
     });
   }

@@ -78,7 +78,7 @@ def test_gear_pack_with_polygon_masks(tmp_path):
     packed = GearDataset(root, "train", (32, 32), disk_cache_dir=cache)
     for i in range(len(plain)):
         _sample_equal(plain.load(i), packed.load(i))
-    assert packed.load(0)["mask"].dtype == np.int32
+    assert packed.load(0)["mask"].dtype == np.uint8  # 4x smaller pack than int32
 
 
 def test_env_default_disabled_in_tests(mvtec_root):

@@ -28,6 +28,23 @@ def test_visualize_mvtec(tmp_path):
     # Checkpoint auto-discovery walks the outputs dir.
     assert discover_checkpoint(os.path.join(tmp_path, "outputs"), "bottle") == ckpt
 
+    # Newest-by-mtime, model-filtered: an OLD plain-unet experiment sorts
+    # lexicographically AFTER anomaly_unet ('u' > 'a') but must not win, and
+    # with model given the matching architecture is preferred outright.
+    import time
+
+    stale = os.path.join(tmp_path, "outputs", "bottle_unet_20250101_000000")
+    stale_ckpt = os.path.join(stale, "checkpoints", "best_model")
+    os.makedirs(os.path.dirname(stale_ckpt))
+    import shutil
+    shutil.copytree(ckpt, stale_ckpt)
+    old = time.time() - 3600
+    os.utime(stale, (old, old))
+    outputs = os.path.join(tmp_path, "outputs")
+    assert discover_checkpoint(outputs, "bottle") == ckpt  # newest wins
+    assert discover_checkpoint(outputs, "bottle", "anomaly_unet") == ckpt
+    assert discover_checkpoint(outputs, "bottle", "unet") == stale_ckpt
+
     out = main([
         "--data_root", root, "--category", "bottle", "--image_size", "32",
         "--outputs_dir", os.path.join(tmp_path, "outputs"),

@@ -147,6 +147,11 @@ def build_report(experiment_dir: str, output: str,
             parts.append(f"<h2>{title}</h2>")
             parts.extend(_flatten_metrics(blob))
 
+    if "pipeline_config.txt" in artifacts:
+        with open(artifacts["pipeline_config.txt"]) as f:
+            parts.append("<h2>Pipeline configuration</h2>")
+            parts.append(f"<pre>{html.escape(f.read())}</pre>")
+
     if pngs:
         parts.append(f"<h2>Figures ({min(len(pngs), max_images)} of {len(pngs)})</h2>"
                      "<div class='imggrid'>")

@@ -18,7 +18,6 @@ import glob
 import gzip
 import json
 import os
-import re
 import shutil
 import sys
 import tempfile
@@ -104,14 +103,6 @@ def run_and_profile(trace_dir: str, steps: int, batch: int, size: int,
             for i in range(steps):
                 state, losses = step(state, images, masks, jax.random.key(100 + i))
             float(losses["total_loss"])
-
-
-_CANON = [
-    ("convolution", re.compile(r"conv|%conv", re.I)),
-    ("matmul/shear", re.compile(r"dot|einsum|matmul", re.I)),
-    ("copy/transpose", re.compile(r"copy|transpose", re.I)),
-    ("all-reduce", re.compile(r"all-reduce|reduce-scatter|all-gather", re.I)),
-]
 
 
 def summarize(trace_dir: str, top: int) -> dict:

@@ -56,6 +56,11 @@ def parse_class_weights(s: Optional[str], num_classes: int) -> Optional[Tuple[fl
 
 
 class _Subset:
+    """Random fixed-size subset (the reference's --debug Subset sampling).
+
+    The single shared implementation for every CLI's --debug path (the MVTec
+    trainer re-exports it)."""
+
     def __init__(self, dataset, n, seed):
         rng = np.random.default_rng(seed)
         self.indices = rng.choice(len(dataset), size=min(n, len(dataset)), replace=False)
@@ -215,6 +220,8 @@ def run_seg_training(args, workload: Workload):
 
 def run_seg_evaluation(args, workload: Workload, split: str = "test"):
     """Evaluate a checkpoint; writes evaluation_results.json + prediction panels."""
+    from tpu_unet.core.cache import enable_compilation_cache
+    enable_compilation_cache()
     if getattr(args, "device", "auto") not in ("auto", "tpu"):
         jax.config.update("jax_platforms", args.device)  # e.g. --device cpu
     print(f"JAX devices: {jax.devices()}")

@@ -93,7 +93,8 @@ def main(argv=None):
             raise SystemExit("--quantize int8 requires --calib_dir "
                              "(in-domain images, e.g. the category's train/good)")
         from tpu_unet.data.transforms import load_image_rgb
-        calib_paths = list_images(args.calib_dir)[:args.calib_samples]
+        from tpu_unet.utils.io import list_calibration_images
+        calib_paths = list_calibration_images(args.calib_dir)[:args.calib_samples]
         if not calib_paths:
             raise SystemExit(f"no calibration images under {args.calib_dir}")
         calib_images = np.stack([

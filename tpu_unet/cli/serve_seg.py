@@ -86,15 +86,9 @@ def main(argv=None):
     elif args.quantize == "int8":
         if not args.calib_dir:
             raise SystemExit("--quantize int8 requires --calib_dir")
-        import re
-
         from tpu_unet.data.transforms import load_image_rgb
-        # Skip GT-annotation files living next to the images (KolektorSDD's
-        # X_label.bmp, MVTec's X_mask.png) — calibrating activation ranges on
-        # label rasters would skew the int8 scales.
-        calib_paths = [p for p in list_images(args.calib_dir)
-                       if not re.search(r"_(label|mask)\.[^.]+$", p.lower())]
-        calib_paths = calib_paths[:args.calib_samples]
+        from tpu_unet.utils.io import list_calibration_images
+        calib_paths = list_calibration_images(args.calib_dir)[:args.calib_samples]
         if not calib_paths:
             raise SystemExit(f"no calibration images under {args.calib_dir}")
         calib_images = np.stack([load_image_rgb(p, size_hw) for p in calib_paths])

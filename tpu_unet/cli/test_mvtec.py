@@ -160,6 +160,8 @@ def save_results(results, evaluation, output_dir, args):
 
 def main(argv=None):
     args = parse_args(argv)
+    from tpu_unet.core.cache import enable_compilation_cache
+    enable_compilation_cache()
     if args.device not in ("auto", "tpu"):
         jax.config.update("jax_platforms", args.device)  # e.g. --device cpu
     print(f"JAX devices: {jax.devices()}")

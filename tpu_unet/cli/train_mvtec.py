@@ -137,19 +137,10 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
-class _Subset:
-    """Random fixed-size subset (the reference's --debug Subset sampling)."""
-
-    def __init__(self, dataset, n, seed):
-        rng = np.random.default_rng(seed)
-        self.indices = rng.choice(len(dataset), size=min(n, len(dataset)), replace=False)
-        self.dataset = dataset
-
-    def __len__(self):
-        return len(self.indices)
-
-    def load(self, i):
-        return self.dataset.load(int(self.indices[i]))
+# Random fixed-size subset (the reference's --debug Subset sampling); shared
+# with the seg CLIs. Re-exported here because test_mvtec imports it from this
+# module.
+from tpu_unet.cli._seg_common import _Subset  # noqa: E402
 
 
 def main(argv=None):
@@ -242,6 +233,10 @@ def main(argv=None):
     train_losses, val_losses = [], []
     best_val_loss = float("inf")
 
+    # Profile the second epoch (past compile warm-up) — unless the run only HAS
+    # one epoch, in which case profile it rather than silently capturing nothing.
+    profile_epoch = (start_epoch + 1 if args.epochs > start_epoch + 1
+                     else start_epoch)
     ckpt_writer = CheckpointWriter()  # async: file writes overlap training
     try:
         for epoch in range(start_epoch, args.epochs):
@@ -249,7 +244,7 @@ def main(argv=None):
             state = state.replace(opt_state=set_learning_rate(
                 state.opt_state, scheduler.lr_for_epoch(epoch)))
 
-            profiling = args.profile_dir and epoch == start_epoch + 1
+            profiling = args.profile_dir and epoch == profile_epoch
             if profiling:
                 jax.profiler.start_trace(args.profile_dir)
             state, train_metrics = train_anomaly_epoch(

@@ -57,17 +57,28 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
-def discover_checkpoint(outputs_dir: str, category: str):
+def discover_checkpoint(outputs_dir: str, category: str, model: str = None):
     """Newest experiment for the category with a usable checkpoint
-    (mirrors /root/reference/src/visualize.py:223-264)."""
-    candidates = []
+    (mirrors /root/reference/src/visualize.py:223-264).
+
+    Newest by mtime — experiment names are '{category}_{model}_{timestamp}', so
+    a lexicographic sort would rank by MODEL name before timestamp (e.g. a
+    stale 'bottle_unet_*' beats a fresh 'bottle_anomaly_unet_*'). When
+    ``model`` is given, experiments of that model are preferred so the loaded
+    params match the constructed architecture.
+    """
+    candidates = []  # (matches_model, mtime, ckpt)
     if os.path.isdir(outputs_dir):
-        for name in sorted(os.listdir(outputs_dir)):
+        for name in os.listdir(outputs_dir):
             if name.startswith(category):
-                ckpt = find_best_checkpoint(os.path.join(outputs_dir, name))
+                exp_dir = os.path.join(outputs_dir, name)
+                ckpt = find_best_checkpoint(exp_dir)
                 if ckpt:
-                    candidates.append(ckpt)
-    return candidates[-1] if candidates else None
+                    matches = bool(model) and name.startswith(f"{category}_{model}_")
+                    candidates.append((matches, os.path.getmtime(exp_dir), ckpt))
+    if not candidates:
+        return None
+    return max(candidates)[2]
 
 
 def render_panel(ax_row, image, mask_true, anomaly_map, reconstruction, error_map):
@@ -161,11 +172,14 @@ class AnomalyBrowser:
 
 def main(argv=None):
     args = parse_args(argv)
+    from tpu_unet.core.cache import enable_compilation_cache
+    enable_compilation_cache()
     if args.device not in ("auto", "tpu"):
         jax.config.update("jax_platforms", args.device)
     plt = _plt()
 
-    checkpoint = args.checkpoint or discover_checkpoint(args.outputs_dir, args.category)
+    checkpoint = args.checkpoint or discover_checkpoint(args.outputs_dir,
+                                                        args.category, args.model)
     if checkpoint is None:
         print(f"No checkpoint found under {args.outputs_dir} for '{args.category}'")
         return None

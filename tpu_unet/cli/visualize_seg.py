@@ -87,6 +87,8 @@ def build_dataset(args):
 
 def main(argv=None):
     args = parse_args(argv)
+    from tpu_unet.core.cache import enable_compilation_cache
+    enable_compilation_cache()
     if args.device not in ("auto", "tpu"):
         jax.config.update("jax_platforms", args.device)
     plt = _plt()

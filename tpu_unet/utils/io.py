@@ -51,3 +51,12 @@ def list_images(root: str):
     import glob
     return sorted(p for p in glob.glob(os.path.join(root, "**", "*"), recursive=True)
                   if p.lower().endswith(IMAGE_EXTENSIONS))
+
+
+def list_calibration_images(root: str):
+    """``list_images`` minus GT-annotation rasters living next to the images
+    (KolektorSDD's ``X_label.bmp``, MVTec's ``X_mask.png``) — calibrating int8
+    activation ranges on binary label rasters would skew the scales."""
+    import re
+    return [p for p in list_images(root)
+            if not re.search(r"_(label|mask)\.[^.]+$", p.lower())]
