@@ -45,9 +45,61 @@ def _cost(compiled):
         return None, None
 
 
+def _wait_for_tpu(max_wait_s: float, probe_timeout_s: float = 150.0,
+                  interval_s: float = 120.0) -> bool:
+    """Wait (bounded) for the TPU backend to come up; True when reachable.
+
+    The axon tunnel has observed outages where backend init hangs indefinitely
+    (no exception — see CLAUDE.md), which would hang this whole benchmark. Probe
+    in a SUBPROCESS with a timeout (jax is preloaded at interpreter startup in
+    this environment but the backend is not initialized, so the probe is what
+    pays/tests the init), retrying until ``max_wait_s`` — outages have lasted
+    an hour+, so the retry window is generous by default.
+    """
+    import subprocess
+    import sys
+
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout_s,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return False
+        print(f"bench: TPU backend unreachable (probe {attempt}); retrying for "
+              f"up to {remaining / 60:.0f} more min", flush=True)
+        time.sleep(min(interval_s, max(0.0, remaining)))
+
+
 def main():
     from tpu_unet.core.cache import enable_compilation_cache
     enable_compilation_cache()
+
+    # Probing only matters when we're pointed at the (outage-prone) TPU tunnel;
+    # a CPU run (JAX_PLATFORMS=cpu) initializes locally and can't hang.
+    platforms = os.environ.get("JAX_PLATFORMS", "")
+    if "cpu" not in platforms.split(","):
+        wait_s = float(os.environ.get("TPU_UNET_BENCH_WAIT_S", 2700))
+        if not _wait_for_tpu(wait_s):
+            print(json.dumps({
+                "metric": "mvtec_bottle_anomaly_unet_train_images_per_sec_per_chip",
+                "value": None,
+                "unit": "images/sec/chip",
+                "vs_baseline": None,
+                "error": f"TPU backend unreachable (axon tunnel outage); "
+                         f"probed for {wait_s / 60:.0f} min",
+            }))
+            raise SystemExit(1)
 
     from tpu_unet.core.precision import BF16_POLICY
     from tpu_unet.models import AnomalyUNet
