@@ -233,6 +233,20 @@ def main():
     assert all(np.isfinite(float(v)) for v in acc2)
     per_sample_per_chip = batch * STEPS / (time.perf_counter() - t0) / n_chips
 
+    # ... and the gather-free independent-angles mode (K-tap banded shears).
+    step_pss = make_anomaly_train_step(
+        aug_cfg=AugmentConfig(rotation_mode="per_sample_shear"), donate_state=True)
+    for i in range(WARMUP):
+        state2, losses2 = step_pss(state2, images, masks, jax.random.key(i))
+    float(losses2["total_loss"])
+    t0 = time.perf_counter()
+    acc2 = []
+    for i in range(STEPS):
+        state2, losses2 = step_pss(state2, images, masks, jax.random.key(400 + i))
+        acc2.append(losses2["total_loss"])
+    assert all(np.isfinite(float(v)) for v in acc2)
+    per_sample_shear_per_chip = batch * STEPS / (time.perf_counter() - t0) / n_chips
+
     steps_per_sec = per_chip / BATCH
     mfu = hfu = hbm_frac = None
     if fwd_flops:
@@ -384,6 +398,7 @@ def main():
         "serve_score_only_b128_images_per_sec_per_chip": round(serve_bf16, 2),
         "serve_int8_b128_images_per_sec_per_chip": round(serve_int8, 2),
         "train_per_sample_rotation_images_per_sec_per_chip": round(per_sample_per_chip, 2),
+        "train_per_sample_shear_rotation_images_per_sec_per_chip": round(per_sample_shear_per_chip, 2),
         "batch": BATCH,
         "image_size": IMAGE_SIZE,
         # Roofline accounting (XLA cost analysis; peaks: v5e 197 TFLOP/s bf16,

@@ -127,9 +127,11 @@ def parse_args(argv=None):
     parser.add_argument("--process_id", type=int, default=None,
                         help="Manual multi-host launch: this process's index")
     parser.add_argument("--rotation_mode", type=str, default="per_batch_shear",
-                        choices=["per_sample", "per_batch_shear"],
+                        choices=["per_sample", "per_sample_shear", "per_batch_shear"],
                         help="Rotation augmentation: per-batch MXU shear matmuls "
-                             "(default, fast) or per-sample gathers (reference semantics)")
+                             "(default, fast), per-sample banded shears (reference "
+                             "angle distribution, gather-free), or per-sample "
+                             "gathers (reference numerics)")
     parser.add_argument("--color_jitter_random_order", action="store_true",
                         help="Randomize the ColorJitter op order per step "
                              "(torchvision semantics; ~35%% step-time cost)")

@@ -112,12 +112,17 @@ def paired_geometric_augment(
     Image samples bilinearly; mask nearest (labels must stay integral).
 
     rotation_mode:
-      'per_sample'      — independent angle per image via the 4-corner gather
-                          (reference torchvision semantics; ~20 ms device time at
-                          b16 @256 — TPU gathers are slow).
-      'per_batch_shear' — ONE angle shared by the batch, applied as three banded
-                          shear MATMULS (ops/rotate_shear.py) — MXU work, ~free.
-                          Marginal angle distribution across steps is unchanged.
+      'per_sample'       — independent angle per image via the 4-corner gather
+                           (reference torchvision semantics; ~20 ms device time
+                           at b16 @256 — TPU gathers are slow).
+      'per_sample_shear' — independent angle per image via three K-tap banded
+                           shears (ops/rotate_shear.py) — the reference's angle
+                           DISTRIBUTION without the gather penalty; boundary
+                           numerics are shear-composed (triple-resample) rather
+                           than direct bilinear.
+      'per_batch_shear'  — ONE angle shared by the batch, applied as three
+                           banded shear MATMULS — MXU work, ~free. Marginal
+                           angle distribution across steps is unchanged.
     """
     n = images.shape[0]
     k_flip, k_rot = jax.random.split(key)
@@ -139,6 +144,12 @@ def paired_geometric_augment(
             out_img = rotate_batch_shear(out_img, angle, degrees, order=1)
             if m is not None:
                 m = rotate_batch_shear(m, angle, degrees, order=0)
+        elif rotation_mode == "per_sample_shear":
+            from tpu_unet.ops.rotate_shear import rotate_batch_shear_per_sample
+            angles = jax.random.uniform(k_rot, (n,), minval=-degrees, maxval=degrees)
+            out_img = rotate_batch_shear_per_sample(out_img, angles, degrees, order=1)
+            if m is not None:
+                m = rotate_batch_shear_per_sample(m, angles, degrees, order=0)
         elif rotation_mode == "per_sample":
             angles = jax.random.uniform(k_rot, (n,), minval=-degrees, maxval=degrees)
             out_img = rotate_batch(out_img, angles, order=1)

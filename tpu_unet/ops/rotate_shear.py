@@ -18,8 +18,9 @@ correlates the rotation within a batch. The marginal per-image angle distributio
 across training steps is unchanged (uniform in [-degrees, degrees]), so the
 augmentation strength is practically equivalent to the reference's per-sample
 torchvision RandomRotation. **'per_batch_shear' is the framework default** (41%
-faster training); pass ``--rotation_mode per_sample`` for the reference-parity
-mode (gather-based, independent per-image angles). See README "Deviations".
+faster training); ``--rotation_mode per_sample_shear`` keeps INDEPENDENT
+per-image angles gather-free (K-tap banded shears, below); ``per_sample`` is the
+reference-numerics mode (gather-based). See README "Deviations".
 
 Boundary semantics: zero fill, like the gather path; the shear composition smears
 the zero border slightly differently than direct sampling (interior agrees to
@@ -86,3 +87,80 @@ def _pad_shear_crop_x(x: jnp.ndarray, shear: jnp.ndarray, pad: int,
     m = _shear_operator(shifts, w + 2 * pad)
     out = jnp.einsum("hoi,nhic->nhoc", m, xp, preferred_element_type=jnp.float32)
     return out[:, :, pad:pad + w, :]
+
+
+# ---------------------------------------------------------------------------
+# Per-sample angles, still gather-free
+# ---------------------------------------------------------------------------
+#
+# With INDEPENDENT per-sample angles the shared (H, W', W') banded operator
+# would become (N, H, W', W') — gigabytes. But each output row still only
+# mixes two adjacent taps inside a statically-bounded band of K = 2*pad+1
+# shifts, so each shear is a K-tap contraction over statically-shifted SLICES
+# of the padded input: out[n,h,o] = sum_k wgt[n,h,k] * xp[n,h,o+k], with
+# wgt 2-sparse per (n,h) (the lerp pair at k = lo+pad). Dense-but-sparse is
+# the TPU trade: ~K*NHWC of streaming traffic on the VPU/MXU instead of the
+# 4-corner gather's pointer chasing (measured ~20 ms device time at b16@256 —
+# see ops/augment.py::rotate_batch).
+
+_PATCH_CHUNK_BYTES = 256 * 1024 * 1024  # cap materialized patch stacks
+
+
+def rotate_batch_shear_per_sample(images: jnp.ndarray, angles_deg: jnp.ndarray,
+                                  max_degrees: float, order: int = 1) -> jnp.ndarray:
+    """Rotate an NHWC batch CCW with INDEPENDENT per-sample angles, gather-free.
+
+    Same three-shear decomposition (and therefore the same boundary-smearing
+    numerics) as :func:`rotate_batch_shear`, but every sample gets its own
+    angle — the reference's torchvision RandomRotation distribution
+    (/root/reference/src/dataset.py:137-141) without the TPU gather penalty of
+    ops/augment.py::rotate_batch. angles_deg: (N,); max_degrees: static bound
+    sizing the pad/taps.
+    """
+    n, h, w, c = images.shape
+    theta = jnp.deg2rad(angles_deg.astype(jnp.float32))  # (N,)
+    a = -jnp.tan(theta / 2.0)
+    b = jnp.sin(theta)
+
+    tmax = math.tan(math.radians(max_degrees) / 2.0)
+    smax = math.sin(math.radians(max_degrees))
+    pad_x = int(math.ceil(tmax * (h / 2.0))) + 2
+    pad_y = int(math.ceil(smax * (w / 2.0 + pad_x))) + 2
+
+    x = images
+    x = _pad_shear_crop_x_per_sample(x, a, pad_x, order)
+    x = jnp.swapaxes(x, 1, 2)
+    x = _pad_shear_crop_x_per_sample(x, b, pad_y, order)
+    x = jnp.swapaxes(x, 1, 2)
+    x = _pad_shear_crop_x_per_sample(x, a, pad_x, order)
+    return x.astype(images.dtype)
+
+
+def _pad_shear_crop_x_per_sample(x: jnp.ndarray, shear: jnp.ndarray, pad: int,
+                                 order: int = 1) -> jnp.ndarray:
+    """Shear rows along W by per-(sample,row) subpixel shifts, as K-tap bands."""
+    n, h, w, c = x.shape
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, 0), (pad, pad), (0, 0)))
+    cy = (h - 1) / 2.0
+    shifts = shear[:, None] * (jnp.arange(h, dtype=jnp.float32) - cy)  # (N, H)
+    if order == 0:
+        shifts = jnp.round(shifts)  # integer shifts: pure permutation, mask-safe
+    lo = jnp.floor(shifts).astype(jnp.int32)
+    frac = (shifts - lo).astype(jnp.float32)[:, :, None]  # (N, H, 1)
+
+    k_total = 2 * pad + 1  # |shifts| <= pad-2, so lo+pad and lo+pad+1 fit
+    kidx = jnp.arange(k_total, dtype=jnp.int32)[None, None, :]
+    kk = lo[:, :, None] + pad
+    wgt = jnp.where(kidx == kk, 1.0 - frac,
+                    jnp.where(kidx == kk + 1, frac, 0.0))  # (N, H, K)
+
+    # Chunk the tap axis so the materialized patch stack stays bounded
+    # (K * N*H*W*C f32 reaches GBs at KSDD shapes).
+    chunk = max(1, min(k_total, _PATCH_CHUNK_BYTES // (n * h * w * c * 4)))
+    out = jnp.zeros((n, h, w, c), jnp.float32)
+    for k0 in range(0, k_total, chunk):
+        ks = range(k0, min(k0 + chunk, k_total))
+        patches = jnp.stack([xp[:, :, k:k + w, :] for k in ks], axis=2)
+        out = out + jnp.einsum("nhk,nhkwc->nhwc", wgt[:, :, k0:k0 + len(ks)],
+                               patches, preferred_element_type=jnp.float32)
+    return out
