@@ -116,51 +116,63 @@ def rotate_batch_shear_per_sample(images: jnp.ndarray, angles_deg: jnp.ndarray,
     (/root/reference/src/dataset.py:137-141) without the TPU gather penalty of
     ops/augment.py::rotate_batch. angles_deg: (N,); max_degrees: static bound
     sizing the pad/taps.
+
+    Internally runs on full-lane (N*C, H, W) planes: with C=3 minor the patch
+    stacks would occupy 3 of 128 vector lanes (the measured 128/C elementwise
+    inflation — see docs/ARCHITECTURE.md on the sliced loss heads), so the
+    channel axis is folded into the batch dimension for the three passes.
     """
     n, h, w, c = images.shape
     theta = jnp.deg2rad(angles_deg.astype(jnp.float32))  # (N,)
-    a = -jnp.tan(theta / 2.0)
-    b = jnp.sin(theta)
+    # Shear coefficients replicated per channel-plane: (N,) -> (N*C,) matching
+    # the (N, C, H, W) -> (N*C, H, W) reshape order.
+    a = jnp.repeat(-jnp.tan(theta / 2.0), c)
+    b = jnp.repeat(jnp.sin(theta), c)
 
     tmax = math.tan(math.radians(max_degrees) / 2.0)
     smax = math.sin(math.radians(max_degrees))
     pad_x = int(math.ceil(tmax * (h / 2.0))) + 2
     pad_y = int(math.ceil(smax * (w / 2.0 + pad_x))) + 2
 
-    x = images
-    x = _pad_shear_crop_x_per_sample(x, a, pad_x, order)
+    x = jnp.transpose(images.astype(jnp.float32), (0, 3, 1, 2)).reshape(n * c, h, w)
+    x = _shear_rows_per_sample(x, a, pad_x, order)
     x = jnp.swapaxes(x, 1, 2)
-    x = _pad_shear_crop_x_per_sample(x, b, pad_y, order)
+    x = _shear_rows_per_sample(x, b, pad_y, order)
     x = jnp.swapaxes(x, 1, 2)
-    x = _pad_shear_crop_x_per_sample(x, a, pad_x, order)
-    return x.astype(images.dtype)
+    x = _shear_rows_per_sample(x, a, pad_x, order)
+    out = jnp.transpose(x.reshape(n, c, h, w), (0, 2, 3, 1))
+    return out.astype(images.dtype)
 
 
-def _pad_shear_crop_x_per_sample(x: jnp.ndarray, shear: jnp.ndarray, pad: int,
-                                 order: int = 1) -> jnp.ndarray:
-    """Shear rows along W by per-(sample,row) subpixel shifts, as K-tap bands."""
-    n, h, w, c = x.shape
-    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, 0), (pad, pad), (0, 0)))
+def _shear_rows_per_sample(x: jnp.ndarray, shear: jnp.ndarray, pad: int,
+                           order: int = 1) -> jnp.ndarray:
+    """Shear (B, H, W) plane rows along W by per-(plane, row) subpixel shifts.
+
+    K-tap banded contraction: out[b,h,o] = sum_k wgt[b,h,k] * xp[b,h,o+k] with
+    wgt 2-sparse per (b,h) — the lerp pair at k = floor(shift)+pad.
+    """
+    bsz, h, w = x.shape
+    xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)))
     cy = (h - 1) / 2.0
-    shifts = shear[:, None] * (jnp.arange(h, dtype=jnp.float32) - cy)  # (N, H)
+    shifts = shear[:, None] * (jnp.arange(h, dtype=jnp.float32) - cy)  # (B, H)
     if order == 0:
         shifts = jnp.round(shifts)  # integer shifts: pure permutation, mask-safe
     lo = jnp.floor(shifts).astype(jnp.int32)
-    frac = (shifts - lo).astype(jnp.float32)[:, :, None]  # (N, H, 1)
+    frac = (shifts - lo).astype(jnp.float32)[:, :, None]  # (B, H, 1)
 
     k_total = 2 * pad + 1  # |shifts| <= pad-2, so lo+pad and lo+pad+1 fit
     kidx = jnp.arange(k_total, dtype=jnp.int32)[None, None, :]
     kk = lo[:, :, None] + pad
     wgt = jnp.where(kidx == kk, 1.0 - frac,
-                    jnp.where(kidx == kk + 1, frac, 0.0))  # (N, H, K)
+                    jnp.where(kidx == kk + 1, frac, 0.0))  # (B, H, K)
 
     # Chunk the tap axis so the materialized patch stack stays bounded
-    # (K * N*H*W*C f32 reaches GBs at KSDD shapes).
-    chunk = max(1, min(k_total, _PATCH_CHUNK_BYTES // (n * h * w * c * 4)))
-    out = jnp.zeros((n, h, w, c), jnp.float32)
+    # (K * B*H*W f32 reaches GBs at KSDD shapes).
+    chunk = max(1, min(k_total, _PATCH_CHUNK_BYTES // (bsz * h * w * 4)))
+    out = jnp.zeros((bsz, h, w), jnp.float32)
     for k0 in range(0, k_total, chunk):
         ks = range(k0, min(k0 + chunk, k_total))
-        patches = jnp.stack([xp[:, :, k:k + w, :] for k in ks], axis=2)
-        out = out + jnp.einsum("nhk,nhkwc->nhwc", wgt[:, :, k0:k0 + len(ks)],
+        patches = jnp.stack([xp[:, :, k:k + w] for k in ks], axis=2)  # (B,H,k,W)
+        out = out + jnp.einsum("bhk,bhkw->bhw", wgt[:, :, k0:k0 + len(ks)],
                                patches, preferred_element_type=jnp.float32)
     return out
