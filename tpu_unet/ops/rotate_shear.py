@@ -64,7 +64,10 @@ def rotate_batch_shear(images: jnp.ndarray, angle_deg: jnp.ndarray,
     pad_x = int(math.ceil(tmax * (h / 2.0))) + 2
     pad_y = int(math.ceil(smax * (w / 2.0 + pad_x))) + 2
 
-    x = images
+    # Full-lane (N*C, H, W) planes: with NHWC operands the banded matmul is a
+    # (W'xW') @ (W'x3) per (n,h) — 3 of 128 MXU columns. Folding C into the
+    # batch axis makes it (W'xW') @ (W'x N*C) per h.
+    x = jnp.transpose(images.astype(jnp.float32), (0, 3, 1, 2)).reshape(n * c, h, w)
     # Shear 1: horizontal.
     x = _pad_shear_crop_x(x, a, pad_x, order)
     # Shear 2: vertical == transpose, horizontal shear, transpose back.
@@ -73,20 +76,21 @@ def rotate_batch_shear(images: jnp.ndarray, angle_deg: jnp.ndarray,
     x = jnp.swapaxes(x, 1, 2)
     # Shear 3: horizontal.
     x = _pad_shear_crop_x(x, a, pad_x, order)
-    return x.astype(images.dtype)
+    out = jnp.transpose(x.reshape(n, c, h, w), (0, 2, 3, 1))
+    return out.astype(images.dtype)
 
 
 def _pad_shear_crop_x(x: jnp.ndarray, shear: jnp.ndarray, pad: int,
                       order: int = 1) -> jnp.ndarray:
-    n, h, w, c = x.shape
-    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, 0), (pad, pad), (0, 0)))
+    bsz, h, w = x.shape
+    xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)))
     cy = (h - 1) / 2.0
     shifts = shear * (jnp.arange(h, dtype=jnp.float32) - cy)
     if order == 0:
         shifts = jnp.round(shifts)  # integer shifts: pure permutation, mask-safe
     m = _shear_operator(shifts, w + 2 * pad)
-    out = jnp.einsum("hoi,nhic->nhoc", m, xp, preferred_element_type=jnp.float32)
-    return out[:, :, pad:pad + w, :]
+    out = jnp.einsum("hoi,bhi->bho", m, xp, preferred_element_type=jnp.float32)
+    return out[:, :, pad:pad + w]
 
 
 # ---------------------------------------------------------------------------
