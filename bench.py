@@ -63,6 +63,7 @@ def _wait_for_tpu(max_wait_s: float, probe_timeout_s: float = 150.0,
     attempt = 0
     while True:
         attempt += 1
+        hung = False
         try:
             r = subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
@@ -72,13 +73,15 @@ def _wait_for_tpu(max_wait_s: float, probe_timeout_s: float = 150.0,
             if r.returncode == 0:
                 return True
         except subprocess.TimeoutExpired:
-            pass
+            hung = True  # the probe itself already waited probe_timeout_s
         remaining = deadline - time.monotonic()
         if remaining <= 0:
             return False
+        # Progress goes to STDERR: stdout is reserved for the one JSON line.
         print(f"bench: TPU backend unreachable (probe {attempt}); retrying for "
-              f"up to {remaining / 60:.0f} more min", flush=True)
-        time.sleep(min(interval_s, max(0.0, remaining)))
+              f"up to {remaining / 60:.0f} more min", file=sys.stderr, flush=True)
+        if not hung:
+            time.sleep(min(interval_s, remaining))
 
 
 def main():

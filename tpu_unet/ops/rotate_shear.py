@@ -54,28 +54,37 @@ def rotate_batch_shear(images: jnp.ndarray, angle_deg: jnp.ndarray,
     shear (bilinear-like); order=0 rounds each shear to integer shifts (mask-safe:
     values are permuted, never blended).
     """
-    n, h, w, c = images.shape
     theta = jnp.deg2rad(angle_deg.astype(jnp.float32))
-    a = -jnp.tan(theta / 2.0)
-    b = jnp.sin(theta)
+    return _rotate_3shear_planes(images, -jnp.tan(theta / 2.0), jnp.sin(theta),
+                                 max_degrees, order, _pad_shear_crop_x)
 
+
+def _rotate_3shear_planes(images: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
+                          max_degrees: float, order: int, shear_rows) -> jnp.ndarray:
+    """Shared 3-shear scaffolding: pad sizing + the plane/transpose sandwich.
+
+    Runs on full-lane (N*C, H, W) planes: with NHWC operands each shear would
+    put C=3 in the contraction's free/minor position (3 of 128 MXU columns /
+    vector lanes); folding C into the batch axis keeps every pass full-lane.
+    ``shear_rows(x, shear, pad, order)`` supplies the per-row shear primitive
+    (shared banded operator or per-plane K-tap bands); ``a``/``b`` are the
+    x-/y-shear coefficients (scalar, or per-plane (N*C,)).
+    """
+    n, h, w, c = images.shape
     tmax = math.tan(math.radians(max_degrees) / 2.0)
     smax = math.sin(math.radians(max_degrees))
     pad_x = int(math.ceil(tmax * (h / 2.0))) + 2
     pad_y = int(math.ceil(smax * (w / 2.0 + pad_x))) + 2
 
-    # Full-lane (N*C, H, W) planes: with NHWC operands the banded matmul is a
-    # (W'xW') @ (W'x3) per (n,h) — 3 of 128 MXU columns. Folding C into the
-    # batch axis makes it (W'xW') @ (W'x N*C) per h.
     x = jnp.transpose(images.astype(jnp.float32), (0, 3, 1, 2)).reshape(n * c, h, w)
     # Shear 1: horizontal.
-    x = _pad_shear_crop_x(x, a, pad_x, order)
+    x = shear_rows(x, a, pad_x, order)
     # Shear 2: vertical == transpose, horizontal shear, transpose back.
     x = jnp.swapaxes(x, 1, 2)
-    x = _pad_shear_crop_x(x, b, pad_y, order)
+    x = shear_rows(x, b, pad_y, order)
     x = jnp.swapaxes(x, 1, 2)
     # Shear 3: horizontal.
-    x = _pad_shear_crop_x(x, a, pad_x, order)
+    x = shear_rows(x, a, pad_x, order)
     out = jnp.transpose(x.reshape(n, c, h, w), (0, 2, 3, 1))
     return out.astype(images.dtype)
 
@@ -121,31 +130,15 @@ def rotate_batch_shear_per_sample(images: jnp.ndarray, angles_deg: jnp.ndarray,
     ops/augment.py::rotate_batch. angles_deg: (N,); max_degrees: static bound
     sizing the pad/taps.
 
-    Internally runs on full-lane (N*C, H, W) planes: with C=3 minor the patch
-    stacks would occupy 3 of 128 vector lanes (the measured 128/C elementwise
-    inflation — see docs/ARCHITECTURE.md on the sliced loss heads), so the
-    channel axis is folded into the batch dimension for the three passes.
     """
-    n, h, w, c = images.shape
+    c = images.shape[3]
     theta = jnp.deg2rad(angles_deg.astype(jnp.float32))  # (N,)
     # Shear coefficients replicated per channel-plane: (N,) -> (N*C,) matching
-    # the (N, C, H, W) -> (N*C, H, W) reshape order.
+    # the scaffolding's (N, C, H, W) -> (N*C, H, W) reshape order.
     a = jnp.repeat(-jnp.tan(theta / 2.0), c)
     b = jnp.repeat(jnp.sin(theta), c)
-
-    tmax = math.tan(math.radians(max_degrees) / 2.0)
-    smax = math.sin(math.radians(max_degrees))
-    pad_x = int(math.ceil(tmax * (h / 2.0))) + 2
-    pad_y = int(math.ceil(smax * (w / 2.0 + pad_x))) + 2
-
-    x = jnp.transpose(images.astype(jnp.float32), (0, 3, 1, 2)).reshape(n * c, h, w)
-    x = _shear_rows_per_sample(x, a, pad_x, order)
-    x = jnp.swapaxes(x, 1, 2)
-    x = _shear_rows_per_sample(x, b, pad_y, order)
-    x = jnp.swapaxes(x, 1, 2)
-    x = _shear_rows_per_sample(x, a, pad_x, order)
-    out = jnp.transpose(x.reshape(n, c, h, w), (0, 2, 3, 1))
-    return out.astype(images.dtype)
+    return _rotate_3shear_planes(images, a, b, max_degrees, order,
+                                 _shear_rows_per_sample)
 
 
 def _shear_rows_per_sample(x: jnp.ndarray, shear: jnp.ndarray, pad: int,
