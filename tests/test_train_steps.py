@@ -146,6 +146,36 @@ class TestShardedExecution:
         leaf = jax.tree_util.tree_leaves(state.params)[0]
         assert leaf.sharding.is_fully_replicated
 
+    @pytest.mark.parametrize("mode", ["per_batch_shear", "per_sample_shear"])
+    def test_rotation_modes_dp_match_single_device(self, devices, mode):
+        """The shear-rotation augment paths (shared-angle banded matmul and
+        per-sample K-tap bands) must partition over the data axis without
+        changing numerics: 8-way sharded step == 1-device step."""
+        model = AnomalyUNet(base_features=4)
+        tx = make_optimizer("sgd", 1e-2, 0.0)
+        aug = AugmentConfig(degrees=10.0, rotation_mode=mode)
+        img, msk = anomaly_batch(n=8, seed=5)
+
+        def run(mesh_size):
+            state = create_train_state(model, jax.random.key(0), (1, 32, 32, 3), tx)
+            step = make_anomaly_train_step(aug_cfg=aug, donate_state=False)
+            if mesh_size > 1:
+                mesh = make_mesh(n_data=mesh_size)
+                state = replicate(mesh, state)
+                b = shard_batch(mesh, {"image": np.asarray(img), "mask": np.asarray(msk)})
+                bi, bm = b["image"], b["mask"]
+            else:
+                bi, bm = img, msk
+            state, ld = step(state, bi, bm, jax.random.key(7))
+            return float(ld["total_loss"]), state
+
+        loss1, state1 = run(1)
+        loss8, state8 = run(8)
+        assert abs(loss1 - loss8) < 1e-5
+        p1 = jax.tree_util.tree_leaves(state1.params)[0]
+        p8 = jax.tree_util.tree_leaves(state8.params)[0]
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-5)
+
     def test_dp_matches_single_device_numerics(self, devices):
         """Global-batch semantics: an 8-way sharded step must equal a 1-device step."""
         model = SegmentationUNet(n_classes=3, base_features=4, dropout=0.0)
