@@ -114,6 +114,25 @@ def test_paired_augment_per_sample_shear_mode():
     assert set(np.unique(np.asarray(out_mask))) <= {0, 1, 2, 3}
 
 
+def test_per_sample_shear_row_blocking_boundary():
+    """Row-blocked static band narrowing is exact (skipped taps have weight 0
+    for every angle within the bound): many small blocks over an h that is NOT
+    a block multiple must reproduce the single-block result."""
+    from tpu_unet.ops import rotate_shear as rs
+    rng = np.random.default_rng(8)
+    img = jnp.asarray(rng.random((2, 52, 40, 3)).astype(np.float32))
+    angles = jnp.asarray([-8.7, 5.2], jnp.float32)
+    orig = rs._SHEAR_ROW_BLOCK
+    try:
+        rs._SHEAR_ROW_BLOCK = 10 ** 9  # one block: full-width static band
+        one = np.asarray(rotate_batch_shear_per_sample(img, angles, 10.0))
+        rs._SHEAR_ROW_BLOCK = 8  # 7 blocks per 52-row pass, ragged tail
+        blocked = np.asarray(rotate_batch_shear_per_sample(img, angles, 10.0))
+    finally:
+        rs._SHEAR_ROW_BLOCK = orig
+    np.testing.assert_allclose(blocked, one, atol=1e-6)
+
+
 def test_per_sample_shear_tap_chunking_boundary():
     """Force the K-tap chunk size to 1 so accumulation crosses every chunk
     boundary; result must be identical to the unchunked computation."""

@@ -117,6 +117,7 @@ def _pad_shear_crop_x(x: jnp.ndarray, shear: jnp.ndarray, pad: int,
 # see ops/augment.py::rotate_batch).
 
 _PATCH_CHUNK_BYTES = 256 * 1024 * 1024  # cap materialized patch stacks
+_SHEAR_ROW_BLOCK = 64  # rows per static tap band (sublane-aligned)
 
 
 def rotate_batch_shear_per_sample(images: jnp.ndarray, angles_deg: jnp.ndarray,
@@ -147,6 +148,13 @@ def _shear_rows_per_sample(x: jnp.ndarray, shear: jnp.ndarray, pad: int,
 
     K-tap banded contraction: out[b,h,o] = sum_k wgt[b,h,k] * xp[b,h,o+k] with
     wgt 2-sparse per (b,h) — the lerp pair at k = floor(shift)+pad.
+
+    Row-blocked band narrowing (exact): |shift(row)| <= max|shear| * |row - cy|,
+    a STATIC per-row bound, so rows near the shear center can only ever touch a
+    narrow tap band — taps outside it have weight 0 for every angle within
+    max_degrees. Looping over contiguous row blocks with per-block static bands
+    skips those statically-zero taps: the streamed patch traffic drops from
+    K*H*W to ~(K/2)*H*W (triangle integral), bit-identical output.
     """
     bsz, h, w = x.shape
     xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)))
@@ -163,13 +171,34 @@ def _shear_rows_per_sample(x: jnp.ndarray, shear: jnp.ndarray, pad: int,
     wgt = jnp.where(kidx == kk, 1.0 - frac,
                     jnp.where(kidx == kk + 1, frac, 0.0))  # (B, H, K)
 
-    # Chunk the tap axis so the materialized patch stack stays bounded
-    # (K * B*H*W f32 reaches GBs at KSDD shapes).
-    chunk = max(1, min(k_total, _PATCH_CHUNK_BYTES // (bsz * h * w * 4)))
-    out = jnp.zeros((bsz, h, w), jnp.float32)
-    for k0 in range(0, k_total, chunk):
-        ks = range(k0, min(k0 + chunk, k_total))
-        patches = jnp.stack([xp[:, :, k:k + w] for k in ks], axis=2)  # (B,H,k,W)
+    # The pads are sized as ceil(max|shear| * extent) + 2 with extent >= cy, so
+    # this recovered bound dominates the true max|shear| in every pass.
+    shear_max = (pad - 2) / max(cy, 1.0)
+
+    out_blocks = []
+    for r0 in range(0, h, _SHEAR_ROW_BLOCK):
+        r1 = min(r0 + _SHEAR_ROW_BLOCK, h)
+        bound = shear_max * max(abs(r0 - cy), abs(r1 - 1 - cy))
+        # floor(+-bound)+1 covers both the lerp pair and order-0 rounding.
+        k_lo = max(pad - (int(math.floor(bound)) + 1), 0)
+        k_hi = min(pad + int(math.floor(bound)) + 1, k_total - 1)
+        out_blocks.append(_banded_contract(
+            xp[:, r0:r1], wgt[:, r0:r1], k_lo, k_hi, w))
+    return jnp.concatenate(out_blocks, axis=1)
+
+
+def _banded_contract(xp: jnp.ndarray, wgt: jnp.ndarray, k_lo: int, k_hi: int,
+                     w: int) -> jnp.ndarray:
+    """sum_k wgt[b,h,k] * xp[b,h,k:k+w] over taps k in [k_lo, k_hi], chunked so
+    the materialized patch stack stays bounded (K * B*H*W f32 reaches GBs at
+    KSDD shapes)."""
+    bsz, rows = xp.shape[0], xp.shape[1]
+    chunk = max(1, min(k_hi - k_lo + 1,
+                       _PATCH_CHUNK_BYTES // (bsz * rows * w * 4)))
+    out = jnp.zeros((bsz, rows, w), jnp.float32)
+    for k0 in range(k_lo, k_hi + 1, chunk):
+        ks = range(k0, min(k0 + chunk, k_hi + 1))
+        patches = jnp.stack([xp[:, :, k:k + w] for k in ks], axis=2)  # (B,r,k,W)
         out = out + jnp.einsum("bhk,bhkw->bhw", wgt[:, :, k0:k0 + len(ks)],
                                patches, preferred_element_type=jnp.float32)
     return out
