@@ -117,7 +117,12 @@ def _pad_shear_crop_x(x: jnp.ndarray, shear: jnp.ndarray, pad: int,
 # see ops/augment.py::rotate_batch).
 
 _PATCH_CHUNK_BYTES = 256 * 1024 * 1024  # cap materialized patch stacks
-_SHEAR_ROW_BLOCK = 64  # rows per static tap band (sublane-aligned)
+# Minimum rows per static tap band (sublane-aligned). Effective block size is
+# max(this, ~h/8): a CPU cost-analysis sweep at b16@256 put the knee at 32
+# (9.03 GB single-block -> 6.11 GB; 16 ties at 6.07 but block 8 REGRESSES to
+# 6.63 GB and compiles 10x slower), and capping at ~8 blocks per pass bounds
+# HLO size at KSDD heights.
+_SHEAR_ROW_BLOCK = 32
 
 
 def rotate_batch_shear_per_sample(images: jnp.ndarray, angles_deg: jnp.ndarray,
@@ -175,9 +180,10 @@ def _shear_rows_per_sample(x: jnp.ndarray, shear: jnp.ndarray, pad: int,
     # this recovered bound dominates the true max|shear| in every pass.
     shear_max = (pad - 2) / max(cy, 1.0)
 
+    blk = max(_SHEAR_ROW_BLOCK, ((h + 7) // 8 + 7) // 8 * 8)  # <= ~8 blocks
     out_blocks = []
-    for r0 in range(0, h, _SHEAR_ROW_BLOCK):
-        r1 = min(r0 + _SHEAR_ROW_BLOCK, h)
+    for r0 in range(0, h, blk):
+        r1 = min(r0 + blk, h)
         bound = shear_max * max(abs(r0 - cy), abs(r1 - 1 - cy))
         # floor(+-bound)+1 covers both the lerp pair and order-0 rounding.
         k_lo = max(pad - (int(math.floor(bound)) + 1), 0)
