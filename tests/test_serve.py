@@ -231,6 +231,40 @@ def test_latency_ms(trained, trained_seg):
     assert 0 < lat["p50_ms"] <= lat["p95_ms"]
 
 
+def test_serve_cli_artifact_roundtrip(trained, tmp_path):
+    """--export_artifact then --artifact: identical scores without touching the
+    checkpoint (or any model code) at load time."""
+    from tpu_unet.cli.serve_mvtec import main as serve_main
+
+    root, ckpt = trained
+    test_dir = os.path.join(root, "bottle", "test")
+    art = os.path.join(tmp_path, "artifact")
+    p1 = serve_main([
+        "--checkpoint", ckpt, "--input_dir", test_dir, "--image_size", "32",
+        "--batch_size", "4", "--precision", "f32", "--base_features", "4",
+        "--export_artifact", art,
+        "--output", os.path.join(tmp_path, "scores_ckpt.json"),
+    ])
+    p2 = serve_main([
+        "--artifact", art, "--input_dir", test_dir,
+        "--output", os.path.join(tmp_path, "scores_art.json"),
+    ])
+    assert set(p2["scores"]) == set(p1["scores"])
+    for k, v in p1["scores"].items():
+        assert abs(p2["scores"][k] - v) < 1e-6
+    assert p2["checkpoint"] == art
+
+    # Flag misuse is rejected up front.
+    with pytest.raises(SystemExit):
+        serve_main(["--artifact", art, "--checkpoint", ckpt,
+                    "--input_dir", test_dir])
+    with pytest.raises(SystemExit):
+        serve_main(["--input_dir", test_dir])
+    with pytest.raises(SystemExit):
+        serve_main(["--artifact", art, "--input_dir", test_dir,
+                    "--n_devices", "2"])
+
+
 def test_serve_cli_skip_decode_error_json(trained, tmp_path):
     """--on_decode_error skip: the corrupt file gets a JSON null score and a
     null verdict (NOT 'not anomalous'), is listed in decode_failures, and the
@@ -308,6 +342,32 @@ def trained_seg(tmp_path_factory):
         "--base_features", "4", "--precision", "f32", "--n_devices", "2",
     ])
     return root, os.path.join(exp_dir, "checkpoints", "best_model")
+
+
+def test_serve_seg_cli_artifact_roundtrip(trained_seg, tmp_path):
+    from tpu_unet.cli.serve_seg import main as serve_main
+
+    root, ckpt = trained_seg
+    img_dir = os.path.join(root, "images", "test")
+    art = os.path.join(tmp_path, "artifact")
+    p1 = serve_main([
+        "--checkpoint", ckpt, "--input_dir", img_dir, "--num_classes", "4",
+        "--image_height", "32", "--image_width", "32", "--batch_size", "2",
+        "--precision", "f32", "--base_features", "4",
+        "--export_artifact", art,
+        "--output_dir", os.path.join(tmp_path, "out_ckpt"),
+    ])
+    p2 = serve_main([
+        "--artifact", art, "--input_dir", img_dir,
+        "--output_dir", os.path.join(tmp_path, "out_art"),
+    ])
+    assert p2["num_classes"] == 4  # from artifact meta, not the CLI default
+    assert set(p2["predictions"]) == set(p1["predictions"])
+    for k, rec in p1["predictions"].items():
+        assert p2["predictions"][k]["class_pixel_share"] == rec["class_pixel_share"]
+    with pytest.raises(SystemExit):
+        serve_main(["--artifact", art, "--input_dir", img_dir,
+                    "--n_space", "2"])
 
 
 def test_seg_predictor_modes_agree(trained_seg):

@@ -33,7 +33,14 @@ from tpu_unet.utils.io import list_images, save_json
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Serve anomaly scores for a directory of images")
-    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--artifact", type=str, default=None,
+                   help="Serve from an AOT-exported artifact directory "
+                        "(tpu_unet.serve_artifact) instead of --checkpoint; "
+                        "batch/image geometry come from the artifact")
+    p.add_argument("--export_artifact", type=str, default=None,
+                   help="After building the engine from --checkpoint, export "
+                        "it as a self-contained serving artifact to this dir")
     p.add_argument("--input_dir", type=str, required=True,
                    help="Directory of images to score (searched recursively)")
     p.add_argument("--image_size", type=int, default=256)
@@ -76,11 +83,27 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", args.device)
 
+    if bool(args.artifact) == bool(args.checkpoint):
+        raise SystemExit("exactly one of --checkpoint or --artifact is required")
+    if args.artifact and args.export_artifact:
+        raise SystemExit("--export_artifact requires --checkpoint (an artifact "
+                         "is already the exported form)")
+    if args.artifact and args.n_devices:
+        raise SystemExit("--n_devices does not apply to --artifact "
+                         "(artifacts are per-chip programs)")
+
     paths = list_images(args.input_dir)
     if not paths:
         print(f"No images found under {args.input_dir}")
         return None
     print(f"Scoring {len(paths)} images from {args.input_dir}")
+
+    if args.artifact:
+        from tpu_unet.serve_artifact import load_artifact
+        scorer = load_artifact(args.artifact)
+        print(f"Loaded serving artifact {args.artifact} "
+              f"(batch {scorer.batch_size} @ {scorer.image_size}px)")
+        return _score_and_save(args, scorer, paths)
 
     calib_images = None
     qparams_tree = None
@@ -113,7 +136,15 @@ def main(argv=None):
         from tpu_unet.ops.quantize import save_qparams
         save_qparams(scorer._params, args.qparams)
         print(f"Quantized params saved to {args.qparams}")
+    if args.export_artifact:
+        from tpu_unet.serve_artifact import export_artifact
+        meta = export_artifact(scorer, args.export_artifact)
+        print(f"Serving artifact exported to {args.export_artifact} "
+              f"(platforms {meta['platforms']})")
+    return _score_and_save(args, scorer, paths)
 
+
+def _score_and_save(args, scorer, paths):
     t0 = time.perf_counter()
     scores, failed_idx = scorer.score_paths(paths, num_workers=args.num_workers,
                                             on_decode_error=args.on_decode_error,
@@ -130,9 +161,9 @@ def main(argv=None):
     # NaN also serializes as null but is kept out of decode_failures.
     failed = {int(i) for i in failed_idx}
     payload = {
-        "checkpoint": args.checkpoint,
+        "checkpoint": args.checkpoint or args.artifact,
         "quantize": args.quantize,
-        "image_size": args.image_size,
+        "image_size": scorer.image_size,
         "throughput_img_per_sec": round(throughput, 2),
         "scores": {os.path.relpath(p, args.input_dir):
                    (None if np.isnan(s) else float(s))

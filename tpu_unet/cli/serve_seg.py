@@ -26,7 +26,14 @@ from tpu_unet.utils.io import list_images, save_json
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Serve segmentation masks for a directory of images")
-    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--artifact", type=str, default=None,
+                   help="Serve from an AOT-exported artifact directory "
+                        "(tpu_unet.serve_artifact) instead of --checkpoint; "
+                        "batch/image geometry come from the artifact")
+    p.add_argument("--export_artifact", type=str, default=None,
+                   help="After building the engine from --checkpoint, export "
+                        "it as a self-contained serving artifact to this dir")
     p.add_argument("--input_dir", type=str, required=True)
     p.add_argument("--num_classes", type=int, default=4,
                    help="4 for Gear, 3 for KolektorSDD")
@@ -68,13 +75,28 @@ def main(argv=None):
     if args.device not in ("auto", "tpu"):
         import jax
         jax.config.update("jax_platforms", args.device)
-    from PIL import Image
+
+    if bool(args.artifact) == bool(args.checkpoint):
+        raise SystemExit("exactly one of --checkpoint or --artifact is required")
+    if args.artifact and args.export_artifact:
+        raise SystemExit("--export_artifact requires --checkpoint (an artifact "
+                         "is already the exported form)")
+    if args.artifact and (args.n_devices or args.n_space > 1):
+        raise SystemExit("--n_devices/--n_space do not apply to --artifact "
+                         "(artifacts are per-chip programs)")
 
     paths = list_images(args.input_dir)
     if not paths:
         print(f"No images found under {args.input_dir}")
         return None
     print(f"Predicting masks for {len(paths)} images from {args.input_dir}")
+
+    if args.artifact:
+        from tpu_unet.serve_artifact import load_artifact
+        predictor = load_artifact(args.artifact)
+        print(f"Loaded serving artifact {args.artifact} (batch "
+              f"{predictor.batch_size} @ {predictor.image_size_hw})")
+        return _predict_and_save(args, predictor, paths)
 
     size_hw = (args.image_height, args.image_width)
     calib_images = None
@@ -105,7 +127,18 @@ def main(argv=None):
         from tpu_unet.ops.quantize import save_qparams
         save_qparams(predictor._params, args.qparams)
         print(f"Quantized params saved to {args.qparams}")
+    if args.export_artifact:
+        from tpu_unet.serve_artifact import export_artifact
+        meta = export_artifact(predictor, args.export_artifact)
+        print(f"Serving artifact exported to {args.export_artifact} "
+              f"(platforms {meta['platforms']})")
+    return _predict_and_save(args, predictor, paths)
 
+
+def _predict_and_save(args, predictor, paths):
+    from PIL import Image
+    size_hw = predictor.image_size_hw
+    num_classes = predictor.num_classes or args.num_classes
     t0 = time.perf_counter()
     masks, confs, failed_idx = predictor.predict_paths(
         paths, num_workers=args.num_workers,
@@ -130,7 +163,7 @@ def main(argv=None):
         stem = os.path.splitext(rel)[0].replace(os.sep, "_")
         out_path = os.path.join(args.output_dir, f"{stem}_mask.png")
         Image.fromarray(mask, mode="L").save(out_path)
-        shares = np.bincount(mask.ravel(), minlength=args.num_classes)
+        shares = np.bincount(mask.ravel(), minlength=num_classes)
         records[rel] = {
             "mask": os.path.basename(out_path),
             # A model-produced NaN (decode was fine) serializes as null too —
@@ -142,10 +175,10 @@ def main(argv=None):
         print(f"WARNING: {len(failed)} image(s) could not be decoded "
               f"(no mask written): {failed}")
     payload = {
-        "checkpoint": args.checkpoint,
+        "checkpoint": args.checkpoint or args.artifact,
         "quantize": args.quantize,
         "image_size_hw": list(size_hw),
-        "num_classes": args.num_classes,
+        "num_classes": num_classes,
         "throughput_img_per_sec": round(len(paths) / dt, 2),
         "predictions": records,
     }

@@ -351,11 +351,13 @@ class SegmentationPredictor:
     """
 
     def __init__(self, predict_fn, params_arg, image_size_hw, batch_size: int,
-                 mesh=None, spatial: bool = False):
+                 mesh=None, spatial: bool = False,
+                 num_classes: Optional[int] = None):
         self._predict_fn = predict_fn
         self._params = params_arg
         self.image_size_hw = tuple(int(x) for x in image_size_hw)
         self.batch_size = int(batch_size)
+        self.num_classes = num_classes  # advisory (mask values encode classes)
         self._mesh = mesh
         self._spatial = spatial
         if mesh is not None:
@@ -413,7 +415,7 @@ class SegmentationPredictor:
                 return preds, jnp.mean(conf, axis=(1, 2))
 
             return cls(jax.jit(predict_fn), qparams, image_size_hw, batch_size,
-                       mesh=mesh, spatial=n_space > 1)
+                       mesh=mesh, spatial=n_space > 1, num_classes=num_classes)
 
         policy = get_policy(precision)
         model = build_model("seg_unet", n_classes=num_classes, bilinear=bilinear,
@@ -429,7 +431,7 @@ class SegmentationPredictor:
             return preds, jnp.mean(conf, axis=(1, 2))
 
         return cls(jax.jit(predict_fn), variables, image_size_hw, batch_size,
-                   mesh=mesh, spatial=n_space > 1)
+                   mesh=mesh, spatial=n_space > 1, num_classes=num_classes)
 
     @classmethod
     def from_checkpoint(cls, checkpoint: str, *, num_classes: int,
