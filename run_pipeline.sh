@@ -26,6 +26,7 @@ EXTRA_SERVE_ARGS="${EXTRA_SERVE_ARGS:-}"
 SKIP_TRAIN="${SKIP_TRAIN:-0}"
 SERVE_DIR="${SERVE_DIR:-}"             # optional: directory of images -> serving stage
 QUANTIZE="${QUANTIZE:-none}"           # serving precision: none | int8
+EXPORT_ARTIFACT="${EXPORT_ARTIFACT:-}" # optional: dir -> AOT serving artifact
 # =============================================================================
 
 STAGES=3; [[ -n "$SERVE_DIR" ]] && STAGES=4
@@ -158,6 +159,8 @@ if [[ -n "$SERVE_DIR" ]]; then
       esac
     fi
   fi
+  # After the int8 block: that branch ASSIGNS QARGS, it doesn't append.
+  [[ -n "$EXPORT_ARTIFACT" ]] && QARGS+=(--export_artifact "$EXPORT_ARTIFACT")
   case "$DATASET" in
     mvtec)
       # shellcheck disable=SC2086

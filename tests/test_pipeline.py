@@ -35,6 +35,7 @@ def test_pipeline_mvtec(tmp_path):
         "EXTRA_VIS_ARGS": "--base_features 4 --device cpu --n_devices 2 "
                           "--max_samples 2 --batch_size 4",
         "EXTRA_SERVE_ARGS": "--base_features 4 --device cpu --batch_size 4",
+        "EXPORT_ARTIFACT": os.path.join(tmp_path, "artifact"),
     })
     proc = subprocess.run(["bash", os.path.join(REPO, "run_pipeline.sh")],
                           cwd=REPO, env=env, stdout=subprocess.PIPE,
@@ -57,3 +58,8 @@ def test_pipeline_mvtec(tmp_path):
 
     vis_dir = os.path.join(tmp_path, "visualizations")
     assert any(f.endswith(".png") for f in os.listdir(vis_dir))
+
+    # EXPORT_ARTIFACT knob: the serving stage also wrote an AOT artifact.
+    art = os.path.join(tmp_path, "artifact")
+    assert os.path.exists(os.path.join(art, "meta.json"))
+    assert os.path.exists(os.path.join(art, "program.jaxexport"))
