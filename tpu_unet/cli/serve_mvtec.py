@@ -41,6 +41,11 @@ def parse_args(argv=None):
     p.add_argument("--export_artifact", type=str, default=None,
                    help="After building the engine from --checkpoint, export "
                         "it as a self-contained serving artifact to this dir")
+    p.add_argument("--artifact_platforms", type=str, default=None,
+                   help="Comma-separated lowering platforms for "
+                        "--export_artifact (e.g. 'tpu,cpu' to cross-export a "
+                        "TPU-ready artifact from a CPU host); default: the "
+                        "current backend")
     p.add_argument("--input_dir", type=str, required=True,
                    help="Directory of images to score (searched recursively)")
     p.add_argument("--image_size", type=int, default=256)
@@ -138,7 +143,9 @@ def main(argv=None):
         print(f"Quantized params saved to {args.qparams}")
     if args.export_artifact:
         from tpu_unet.serve_artifact import export_artifact
-        meta = export_artifact(scorer, args.export_artifact)
+        plats = (args.artifact_platforms.split(",")
+                 if args.artifact_platforms else None)
+        meta = export_artifact(scorer, args.export_artifact, platforms=plats)
         print(f"Serving artifact exported to {args.export_artifact} "
               f"(platforms {meta['platforms']})")
     return _score_and_save(args, scorer, paths)

@@ -34,6 +34,11 @@ def parse_args(argv=None):
     p.add_argument("--export_artifact", type=str, default=None,
                    help="After building the engine from --checkpoint, export "
                         "it as a self-contained serving artifact to this dir")
+    p.add_argument("--artifact_platforms", type=str, default=None,
+                   help="Comma-separated lowering platforms for "
+                        "--export_artifact (e.g. 'tpu,cpu' to cross-export a "
+                        "TPU-ready artifact from a CPU host); default: the "
+                        "current backend")
     p.add_argument("--input_dir", type=str, required=True)
     p.add_argument("--num_classes", type=int, default=4,
                    help="4 for Gear, 3 for KolektorSDD")
@@ -129,7 +134,9 @@ def main(argv=None):
         print(f"Quantized params saved to {args.qparams}")
     if args.export_artifact:
         from tpu_unet.serve_artifact import export_artifact
-        meta = export_artifact(predictor, args.export_artifact)
+        plats = (args.artifact_platforms.split(",")
+                 if args.artifact_platforms else None)
+        meta = export_artifact(predictor, args.export_artifact, platforms=plats)
         print(f"Serving artifact exported to {args.export_artifact} "
               f"(platforms {meta['platforms']})")
     return _predict_and_save(args, predictor, paths)
