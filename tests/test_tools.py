@@ -109,3 +109,17 @@ def test_make_report(tmp_path):
     assert "auroc" in html_text and "0.97" in html_text
     assert "data:image/png;base64," in html_text
     assert "final train loss <b>0.2</b>" in html_text
+
+
+def test_bench_rotation_smoke(monkeypatch, capsys):
+    """Rotation microbench runs all three modes at tiny shapes and prints a
+    ms/call line per mode (hermetic: CPU, in-process)."""
+    import bench_rotation
+
+    monkeypatch.setattr(sys, "argv", ["bench_rotation.py", "--batch", "2",
+                                      "--height", "24", "--width", "24",
+                                      "--reps", "2"])
+    bench_rotation.main()
+    out = capsys.readouterr().out
+    for mode in ("per_batch_shear", "per_sample_shear", "per_sample"):
+        assert mode in out and "ms/call" in out
