@@ -64,8 +64,10 @@ def test_int8_anomaly_artifact_roundtrip(tmp_path):
     scorer = AnomalyScorer.from_variables(params, bstats, image_size=32,
                                           batch_size=4, base_features=4,
                                           quantize="int8", calib_images=calib)
-    export_artifact(scorer, str(tmp_path / "art"))
+    meta = export_artifact(scorer, str(tmp_path / "art"))
+    assert meta["quantize"] == "int8"
     art = load_artifact(str(tmp_path / "art"))
+    assert art.quantize == "int8"
     imgs = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
     np.testing.assert_allclose(art.score_array(imgs), scorer.score_array(imgs),
                                atol=1e-6)

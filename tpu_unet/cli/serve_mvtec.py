@@ -169,7 +169,8 @@ def _score_and_save(args, scorer, paths):
     failed = {int(i) for i in failed_idx}
     payload = {
         "checkpoint": args.checkpoint or args.artifact,
-        "quantize": args.quantize,
+        "quantize": (args.quantize if args.checkpoint
+                     else (getattr(scorer, "quantize", None) or "none")),
         "image_size": scorer.image_size,
         "throughput_img_per_sec": round(throughput, 2),
         "scores": {os.path.relpath(p, args.input_dir):

@@ -183,7 +183,8 @@ def _predict_and_save(args, predictor, paths):
               f"(no mask written): {failed}")
     payload = {
         "checkpoint": args.checkpoint or args.artifact,
-        "quantize": args.quantize,
+        "quantize": (args.quantize if args.checkpoint
+                     else (getattr(predictor, "quantize", None) or "none")),
         "image_size_hw": list(size_hw),
         "num_classes": num_classes,
         "throughput_img_per_sec": round(len(paths) / dt, 2),

@@ -148,10 +148,11 @@ class AnomalyScorer:
     """
 
     def __init__(self, score_fn, params_arg, image_size: int, batch_size: int,
-                 mesh=None):
+                 mesh=None, quantize: Optional[str] = None):
         self._score_fn = score_fn
         self.image_size = int(image_size)
         self.batch_size = int(batch_size)
+        self.quantize = quantize  # advisory: 'int8' or None (bf16/f32 program)
         self._mesh = mesh
         if mesh is not None:
             from tpu_unet.parallel import replicate
@@ -214,7 +215,7 @@ class AnomalyScorer:
                 return anomaly_score(recon, eval_transform(images_u8))
 
             return cls(jax.jit(score_fn), qparams, image_size, batch_size,
-                       mesh=mesh)
+                       mesh=mesh, quantize="int8")
 
         policy = get_policy(precision)
         model = build_model("anomaly_unet", bilinear=bilinear, policy=policy,
@@ -352,12 +353,14 @@ class SegmentationPredictor:
 
     def __init__(self, predict_fn, params_arg, image_size_hw, batch_size: int,
                  mesh=None, spatial: bool = False,
-                 num_classes: Optional[int] = None):
+                 num_classes: Optional[int] = None,
+                 quantize: Optional[str] = None):
         self._predict_fn = predict_fn
         self._params = params_arg
         self.image_size_hw = tuple(int(x) for x in image_size_hw)
         self.batch_size = int(batch_size)
         self.num_classes = num_classes  # advisory (mask values encode classes)
+        self.quantize = quantize  # advisory: 'int8' or None (bf16/f32 program)
         self._mesh = mesh
         self._spatial = spatial
         if mesh is not None:
@@ -415,7 +418,8 @@ class SegmentationPredictor:
                 return preds, jnp.mean(conf, axis=(1, 2))
 
             return cls(jax.jit(predict_fn), qparams, image_size_hw, batch_size,
-                       mesh=mesh, spatial=n_space > 1, num_classes=num_classes)
+                       mesh=mesh, spatial=n_space > 1, num_classes=num_classes,
+                       quantize="int8")
 
         policy = get_policy(precision)
         model = build_model("seg_unet", n_classes=num_classes, bilinear=bilinear,

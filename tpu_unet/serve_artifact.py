@@ -81,6 +81,8 @@ def export_artifact(engine: Union[AnomalyScorer, SegmentationPredictor],
     }
     if getattr(engine, "num_classes", None) is not None:
         meta["num_classes"] = int(engine.num_classes)
+    if getattr(engine, "quantize", None):
+        meta["quantize"] = engine.quantize
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, _PROGRAM_NAME), "wb") as f:
         f.write(exported.serialize())
@@ -117,9 +119,11 @@ def load_artifact(artifact_dir: str) -> Union[AnomalyScorer, SegmentationPredict
         if h != w:
             raise ValueError(f"anomaly_scorer artifacts are square; got {h}x{w}")
         return AnomalyScorer(fn, None, image_size=h,
-                             batch_size=meta["batch_size"])
+                             batch_size=meta["batch_size"],
+                             quantize=meta.get("quantize"))
     if meta["kind"] == "segmentation_predictor":
         return SegmentationPredictor(fn, None, (h, w),
                                      batch_size=meta["batch_size"],
-                                     num_classes=meta.get("num_classes"))
+                                     num_classes=meta.get("num_classes"),
+                                     quantize=meta.get("quantize"))
     raise ValueError(f"unknown artifact kind {meta['kind']!r}")
