@@ -17,9 +17,9 @@ Usage: python tools/bench_rotation.py [--batch 16] [--height 256] [--width 256]
 from __future__ import annotations
 
 import argparse
-import time
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

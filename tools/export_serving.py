@@ -20,10 +20,10 @@ Usage:
 from __future__ import annotations
 
 import argparse
-
-import numpy as np
 import os
 import sys
+
+import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -26,6 +26,10 @@ import time
 
 import numpy as np
 
+from tpu_unet.cli._artifact_common import (add_artifact_args,
+                                            load_artifact_engine,
+                                            maybe_export_artifact,
+                                            validate_artifact_args)
 from tpu_unet.serve import AnomalyScorer
 from tpu_unet.utils.io import list_images, save_json
 
@@ -34,18 +38,7 @@ from tpu_unet.utils.io import list_images, save_json
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Serve anomaly scores for a directory of images")
     p.add_argument("--checkpoint", type=str, default=None)
-    p.add_argument("--artifact", type=str, default=None,
-                   help="Serve from an AOT-exported artifact directory "
-                        "(tpu_unet.serve_artifact) instead of --checkpoint; "
-                        "batch/image geometry come from the artifact")
-    p.add_argument("--export_artifact", type=str, default=None,
-                   help="After building the engine from --checkpoint, export "
-                        "it as a self-contained serving artifact to this dir")
-    p.add_argument("--artifact_platforms", type=str, default=None,
-                   help="Comma-separated lowering platforms for "
-                        "--export_artifact (e.g. 'tpu,cpu' to cross-export a "
-                        "TPU-ready artifact from a CPU host); default: the "
-                        "current backend")
+    add_artifact_args(p)
     p.add_argument("--input_dir", type=str, required=True,
                    help="Directory of images to score (searched recursively)")
     p.add_argument("--image_size", type=int, default=256)
@@ -88,14 +81,8 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", args.device)
 
-    if bool(args.artifact) == bool(args.checkpoint):
-        raise SystemExit("exactly one of --checkpoint or --artifact is required")
-    if args.artifact and args.export_artifact:
-        raise SystemExit("--export_artifact requires --checkpoint (an artifact "
-                         "is already the exported form)")
-    if args.artifact and args.n_devices:
-        raise SystemExit("--n_devices does not apply to --artifact "
-                         "(artifacts are per-chip programs)")
+    validate_artifact_args(args, sharded=bool(args.n_devices),
+                           sharded_flags="--n_devices")
 
     paths = list_images(args.input_dir)
     if not paths:
@@ -104,11 +91,7 @@ def main(argv=None):
     print(f"Scoring {len(paths)} images from {args.input_dir}")
 
     if args.artifact:
-        from tpu_unet.serve_artifact import load_artifact
-        scorer = load_artifact(args.artifact)
-        print(f"Loaded serving artifact {args.artifact} "
-              f"(batch {scorer.batch_size} @ {scorer.image_size}px)")
-        return _score_and_save(args, scorer, paths)
+        return _score_and_save(args, load_artifact_engine(args), paths)
 
     calib_images = None
     qparams_tree = None
@@ -141,13 +124,7 @@ def main(argv=None):
         from tpu_unet.ops.quantize import save_qparams
         save_qparams(scorer._params, args.qparams)
         print(f"Quantized params saved to {args.qparams}")
-    if args.export_artifact:
-        from tpu_unet.serve_artifact import export_artifact
-        plats = (args.artifact_platforms.split(",")
-                 if args.artifact_platforms else None)
-        meta = export_artifact(scorer, args.export_artifact, platforms=plats)
-        print(f"Serving artifact exported to {args.export_artifact} "
-              f"(platforms {meta['platforms']})")
+    maybe_export_artifact(scorer, args)
     return _score_and_save(args, scorer, paths)
 
 
@@ -169,8 +146,7 @@ def _score_and_save(args, scorer, paths):
     failed = {int(i) for i in failed_idx}
     payload = {
         "checkpoint": args.checkpoint or args.artifact,
-        "quantize": (args.quantize if args.checkpoint
-                     else (getattr(scorer, "quantize", None) or "none")),
+        "quantize": scorer.quantize or "none",  # the engine tag is canonical
         "image_size": scorer.image_size,
         "throughput_img_per_sec": round(throughput, 2),
         "scores": {os.path.relpath(p, args.input_dir):

@@ -19,6 +19,10 @@ import time
 
 import numpy as np
 
+from tpu_unet.cli._artifact_common import (add_artifact_args,
+                                            load_artifact_engine,
+                                            maybe_export_artifact,
+                                            validate_artifact_args)
 from tpu_unet.serve import SegmentationPredictor
 from tpu_unet.utils.io import list_images, save_json
 
@@ -27,18 +31,7 @@ from tpu_unet.utils.io import list_images, save_json
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Serve segmentation masks for a directory of images")
     p.add_argument("--checkpoint", type=str, default=None)
-    p.add_argument("--artifact", type=str, default=None,
-                   help="Serve from an AOT-exported artifact directory "
-                        "(tpu_unet.serve_artifact) instead of --checkpoint; "
-                        "batch/image geometry come from the artifact")
-    p.add_argument("--export_artifact", type=str, default=None,
-                   help="After building the engine from --checkpoint, export "
-                        "it as a self-contained serving artifact to this dir")
-    p.add_argument("--artifact_platforms", type=str, default=None,
-                   help="Comma-separated lowering platforms for "
-                        "--export_artifact (e.g. 'tpu,cpu' to cross-export a "
-                        "TPU-ready artifact from a CPU host); default: the "
-                        "current backend")
+    add_artifact_args(p)
     p.add_argument("--input_dir", type=str, required=True)
     p.add_argument("--num_classes", type=int, default=4,
                    help="4 for Gear, 3 for KolektorSDD")
@@ -81,14 +74,9 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", args.device)
 
-    if bool(args.artifact) == bool(args.checkpoint):
-        raise SystemExit("exactly one of --checkpoint or --artifact is required")
-    if args.artifact and args.export_artifact:
-        raise SystemExit("--export_artifact requires --checkpoint (an artifact "
-                         "is already the exported form)")
-    if args.artifact and (args.n_devices or args.n_space > 1):
-        raise SystemExit("--n_devices/--n_space do not apply to --artifact "
-                         "(artifacts are per-chip programs)")
+    validate_artifact_args(
+        args, sharded=bool(args.n_devices) or args.n_space > 1,
+        sharded_flags="--n_devices/--n_space")
 
     paths = list_images(args.input_dir)
     if not paths:
@@ -97,11 +85,7 @@ def main(argv=None):
     print(f"Predicting masks for {len(paths)} images from {args.input_dir}")
 
     if args.artifact:
-        from tpu_unet.serve_artifact import load_artifact
-        predictor = load_artifact(args.artifact)
-        print(f"Loaded serving artifact {args.artifact} (batch "
-              f"{predictor.batch_size} @ {predictor.image_size_hw})")
-        return _predict_and_save(args, predictor, paths)
+        return _predict_and_save(args, load_artifact_engine(args), paths)
 
     size_hw = (args.image_height, args.image_width)
     calib_images = None
@@ -132,13 +116,7 @@ def main(argv=None):
         from tpu_unet.ops.quantize import save_qparams
         save_qparams(predictor._params, args.qparams)
         print(f"Quantized params saved to {args.qparams}")
-    if args.export_artifact:
-        from tpu_unet.serve_artifact import export_artifact
-        plats = (args.artifact_platforms.split(",")
-                 if args.artifact_platforms else None)
-        meta = export_artifact(predictor, args.export_artifact, platforms=plats)
-        print(f"Serving artifact exported to {args.export_artifact} "
-              f"(platforms {meta['platforms']})")
+    maybe_export_artifact(predictor, args)
     return _predict_and_save(args, predictor, paths)
 
 
@@ -183,8 +161,7 @@ def _predict_and_save(args, predictor, paths):
               f"(no mask written): {failed}")
     payload = {
         "checkpoint": args.checkpoint or args.artifact,
-        "quantize": (args.quantize if args.checkpoint
-                     else (getattr(predictor, "quantize", None) or "none")),
+        "quantize": predictor.quantize or "none",  # the engine tag is canonical
         "image_size_hw": list(size_hw),
         "num_classes": num_classes,
         "throughput_img_per_sec": round(len(paths) / dt, 2),
