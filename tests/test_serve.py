@@ -247,6 +247,7 @@ def test_serve_cli_artifact_roundtrip(trained, tmp_path):
     ])
     p2 = serve_main([
         "--artifact", art, "--input_dir", test_dir,
+        "--n_devices", "1",  # 1 = unsharded, accepted like the checkpoint path
         "--output", os.path.join(tmp_path, "scores_art.json"),
     ])
     assert set(p2["scores"]) == set(p1["scores"])
@@ -263,6 +264,12 @@ def test_serve_cli_artifact_roundtrip(trained, tmp_path):
     with pytest.raises(SystemExit):
         serve_main(["--artifact", art, "--input_dir", test_dir,
                     "--n_devices", "2"])
+    # ... including export+sharded, BEFORE the engine is built (artifacts are
+    # per-chip programs; previously this crashed after the full scoring setup).
+    with pytest.raises(SystemExit):
+        serve_main(["--checkpoint", ckpt, "--input_dir", test_dir,
+                    "--n_devices", "2", "--export_artifact",
+                    os.path.join(tmp_path, "nope")])
 
 
 def test_serve_cli_skip_decode_error_json(trained, tmp_path):
@@ -344,7 +351,7 @@ def trained_seg(tmp_path_factory):
     return root, os.path.join(exp_dir, "checkpoints", "best_model")
 
 
-def test_serve_seg_cli_artifact_roundtrip(trained_seg, tmp_path):
+def test_serve_seg_cli_artifact_roundtrip(trained_seg, tmp_path, capsys):
     from tpu_unet.cli.serve_seg import main as serve_main
 
     root, ckpt = trained_seg
@@ -357,17 +364,53 @@ def test_serve_seg_cli_artifact_roundtrip(trained_seg, tmp_path):
         "--export_artifact", art,
         "--output_dir", os.path.join(tmp_path, "out_ckpt"),
     ])
+    # A contradicting --num_classes is ignored WITH a warning: meta.json wins
+    # (passing 3 here also makes the ==4 check distinguish meta from the CLI
+    # default, which is 4).
     p2 = serve_main([
-        "--artifact", art, "--input_dir", img_dir,
+        "--artifact", art, "--input_dir", img_dir, "--num_classes", "3",
         "--output_dir", os.path.join(tmp_path, "out_art"),
     ])
-    assert p2["num_classes"] == 4  # from artifact meta, not the CLI default
+    assert "--num_classes" in capsys.readouterr().err
+    assert p2["num_classes"] == 4  # from artifact meta, not the CLI flag
     assert set(p2["predictions"]) == set(p1["predictions"])
     for k, rec in p1["predictions"].items():
         assert p2["predictions"][k]["class_pixel_share"] == rec["class_pixel_share"]
     with pytest.raises(SystemExit):
         serve_main(["--artifact", art, "--input_dir", img_dir,
                     "--n_space", "2"])
+
+
+def test_export_serving_tool(trained_seg, tmp_path):
+    """tools/export_serving.py: int8 with a missing --qparams .npz calibrates
+    (serve-CLI semantics, not a FileNotFoundError), SAVES the scales, and
+    writes a loadable artifact."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import export_serving
+
+    root, ckpt = trained_seg
+    art = os.path.join(tmp_path, "artifact")
+    qp = os.path.join(tmp_path, "scales.npz")
+    meta = export_serving.main([
+        "--engine", "seg", "--checkpoint", ckpt, "--out", art,
+        "--num_classes", "4", "--image_height", "32", "--image_width", "32",
+        "--batch_size", "2", "--base_features", "4", "--precision", "f32",
+        "--quantize", "int8",
+        "--calib_dir", os.path.join(root, "images", "train"),
+        "--calib_samples", "4", "--qparams", qp,
+    ])
+    assert meta["kind"] == "segmentation_predictor"
+    assert meta["quantize"] == "int8"
+    assert os.path.exists(qp)  # calibrated scales persisted for reuse
+
+    from tpu_unet.serve_artifact import load_artifact
+    eng = load_artifact(art)
+    assert eng.quantize == "int8" and eng.num_classes == 4
+    rng = np.random.default_rng(7)
+    masks, confs = eng.predict_array(
+        rng.integers(0, 256, (3, 32, 32, 3), dtype=np.uint8))
+    assert masks.shape == (3, 32, 32) and masks.max() < 4
 
 
 def test_seg_predictor_modes_agree(trained_seg):

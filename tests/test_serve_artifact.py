@@ -90,3 +90,11 @@ def test_load_errors(tmp_path):
     (bad / "meta.json").write_text(json.dumps({"format_version": 99}))
     with pytest.raises(ValueError, match="format_version"):
         load_artifact(str(bad))
+    # meta.json present but the program file missing: curated error, not a
+    # bare open() traceback.
+    partial = tmp_path / "partial"
+    partial.mkdir()
+    (partial / "meta.json").write_text(json.dumps({"format_version": 1,
+                                                   "kind": "anomaly_scorer"}))
+    with pytest.raises(FileNotFoundError, match="program.jaxexport"):
+        load_artifact(str(partial))

@@ -23,8 +23,6 @@ import argparse
 import os
 import sys
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -55,7 +53,9 @@ def parse_args(argv=None):
     p.add_argument("--calib_samples", type=int, default=64)
     p.add_argument("--calib_percentile", type=float, default=None)
     p.add_argument("--qparams", type=str, default=None,
-                   help="Saved qparams .npz (skips calibration)")
+                   help="Quantized-params .npz: loaded if it exists (skips "
+                        "calibration), else written after calibrating "
+                        "(same semantics as the serve CLIs)")
     p.add_argument("--base_features", type=int, default=64)
     p.add_argument("--bilinear", action="store_true")
     p.add_argument("--platforms", type=str, default=None,
@@ -73,29 +73,14 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", args.device)
 
+    from tpu_unet.cli._quant_common import (maybe_save_qparams,
+                                            resolve_quantization)
     from tpu_unet.serve import AnomalyScorer, SegmentationPredictor
     from tpu_unet.serve_artifact import export_artifact
 
     size_hw = ((args.image_size, args.image_size) if args.engine == "anomaly"
                else (args.image_height, args.image_width))
-    quantize = None if args.quantize == "none" else args.quantize
-    calib_images = None
-    qparams_tree = None
-    if quantize == "int8":
-        if args.qparams:
-            from tpu_unet.ops.quantize import load_qparams
-            qparams_tree = load_qparams(args.qparams)
-            print(f"Loaded quantized params from {args.qparams}")
-        elif args.calib_dir:
-            from tpu_unet.data.transforms import load_image_rgb
-            from tpu_unet.utils.io import list_calibration_images
-            paths = list_calibration_images(args.calib_dir)[:args.calib_samples]
-            if not paths:
-                raise SystemExit(f"no calibration images under {args.calib_dir}")
-            calib_images = np.stack([load_image_rgb(p, size_hw) for p in paths])
-            print(f"Calibrated int8 scales on {len(paths)} images")
-        else:
-            raise SystemExit("--quantize int8 needs --calib_dir or --qparams")
+    quantize, calib_images, qparams_tree = resolve_quantization(args, size_hw)
 
     if args.engine == "anomaly":
         engine = AnomalyScorer.from_checkpoint(
@@ -113,6 +98,7 @@ def main(argv=None):
             bilinear=args.bilinear, qparams=qparams_tree,
             calib_percentile=args.calib_percentile)
 
+    maybe_save_qparams(args, engine, qparams_tree)
     plats = args.platforms.split(",") if args.platforms else None
     meta = export_artifact(engine, args.out, platforms=plats)
     print(f"Artifact written to {args.out}: {meta}")

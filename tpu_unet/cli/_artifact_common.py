@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import sys
+
 
 def add_artifact_args(p) -> None:
     p.add_argument("--artifact", type=str, default=None,
@@ -19,16 +21,32 @@ def add_artifact_args(p) -> None:
                         "current backend")
 
 
-def validate_artifact_args(args, sharded: bool, sharded_flags: str) -> None:
-    """SystemExit on contradictory flag combinations (before any model work)."""
+def validate_artifact_args(args, parser, sharded: bool, sharded_flags: str,
+                           baked_flags: tuple = ()) -> None:
+    """SystemExit on contradictory flag combinations (before any model work).
+
+    ``sharded`` must only count flag values that actually build a mesh
+    (n_devices=1 is the unsharded engine, serve.py from_variables semantics).
+    ``baked_flags``: engine-construction arg names whose values are baked into
+    an artifact at export time — explicitly setting them in --artifact mode
+    has no effect, so a non-default value draws a stderr warning.
+    """
     if bool(args.artifact) == bool(args.checkpoint):
         raise SystemExit("exactly one of --checkpoint or --artifact is required")
     if args.artifact and args.export_artifact:
         raise SystemExit("--export_artifact requires --checkpoint (an artifact "
                          "is already the exported form)")
-    if args.artifact and sharded:
-        raise SystemExit(f"{sharded_flags} do not apply to --artifact "
+    if sharded and (args.artifact or args.export_artifact):
+        which = "--artifact" if args.artifact else "--export_artifact"
+        raise SystemExit(f"{sharded_flags} do not apply to {which} "
                          "(artifacts are per-chip programs)")
+    if args.artifact:
+        ignored = [f"--{name}" for name in baked_flags
+                   if getattr(args, name) != parser.get_default(name)]
+        if ignored:
+            print("WARNING: ignored in --artifact mode (batch/image geometry, "
+                  "precision, and quantization are baked into the artifact): "
+                  + ", ".join(ignored), file=sys.stderr)
 
 
 def load_artifact_engine(args):

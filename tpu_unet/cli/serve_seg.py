@@ -23,6 +23,7 @@ from tpu_unet.cli._artifact_common import (add_artifact_args,
                                             load_artifact_engine,
                                             maybe_export_artifact,
                                             validate_artifact_args)
+from tpu_unet.cli._quant_common import maybe_save_qparams, resolve_quantization
 from tpu_unet.serve import SegmentationPredictor
 from tpu_unet.utils.io import list_images, save_json
 
@@ -61,13 +62,13 @@ def parse_args(argv=None):
                    help="Shard image height over this many chips (spatial)")
     p.add_argument("--device", type=str, default="auto")
     p.add_argument("--output_dir", type=str, default="served_masks")
-    return p.parse_args(argv)
+    return p.parse_args(argv), p
 
 
 
 
 def main(argv=None):
-    args = parse_args(argv)
+    args, parser = parse_args(argv)
     from tpu_unet.core.cache import enable_compilation_cache
     enable_compilation_cache()
     if args.device not in ("auto", "tpu"):
@@ -75,8 +76,13 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.device)
 
     validate_artifact_args(
-        args, sharded=bool(args.n_devices) or args.n_space > 1,
-        sharded_flags="--n_devices/--n_space")
+        args, parser,
+        sharded=(args.n_devices or 0) > 1 or args.n_space > 1,
+        sharded_flags="--n_devices/--n_space",
+        baked_flags=("num_classes", "image_height", "image_width",
+                     "batch_size", "precision", "quantize", "calib_dir",
+                     "calib_samples", "calib_percentile", "qparams",
+                     "base_features", "bilinear"))
 
     paths = list_images(args.input_dir)
     if not paths:
@@ -88,34 +94,16 @@ def main(argv=None):
         return _predict_and_save(args, load_artifact_engine(args), paths)
 
     size_hw = (args.image_height, args.image_width)
-    calib_images = None
-    qparams_tree = None
-    if args.quantize == "int8" and args.qparams and os.path.exists(args.qparams):
-        from tpu_unet.ops.quantize import load_qparams
-        qparams_tree = load_qparams(args.qparams)
-        print(f"Loaded quantized params from {args.qparams} (no calibration)")
-    elif args.quantize == "int8":
-        if not args.calib_dir:
-            raise SystemExit("--quantize int8 requires --calib_dir")
-        from tpu_unet.data.transforms import load_image_rgb
-        from tpu_unet.utils.io import list_calibration_images
-        calib_paths = list_calibration_images(args.calib_dir)[:args.calib_samples]
-        if not calib_paths:
-            raise SystemExit(f"no calibration images under {args.calib_dir}")
-        calib_images = np.stack([load_image_rgb(p, size_hw) for p in calib_paths])
-        print(f"Calibrated int8 scales on {len(calib_paths)} images")
+    quantize, calib_images, qparams_tree = resolve_quantization(args, size_hw)
 
     predictor = SegmentationPredictor.from_checkpoint(
         args.checkpoint, num_classes=args.num_classes, image_size_hw=size_hw,
         batch_size=args.batch_size, precision=args.precision,
-        quantize=None if args.quantize == "none" else args.quantize,
+        quantize=quantize,
         calib_images=calib_images, base_features=args.base_features,
         bilinear=args.bilinear, n_devices=args.n_devices, n_space=args.n_space,
         qparams=qparams_tree, calib_percentile=args.calib_percentile)
-    if args.quantize == "int8" and args.qparams and qparams_tree is None:
-        from tpu_unet.ops.quantize import save_qparams
-        save_qparams(predictor._params, args.qparams)
-        print(f"Quantized params saved to {args.qparams}")
+    maybe_save_qparams(args, predictor, qparams_tree)
     maybe_export_artifact(predictor, args)
     return _predict_and_save(args, predictor, paths)
 

@@ -107,7 +107,11 @@ def load_artifact(artifact_dir: str) -> Union[AnomalyScorer, SegmentationPredict
     if meta.get("format_version") != _FORMAT_VERSION:
         raise ValueError(f"unsupported artifact format_version "
                          f"{meta.get('format_version')!r} in {artifact_dir!r}")
-    with open(os.path.join(artifact_dir, _PROGRAM_NAME), "rb") as f:
+    program_path = os.path.join(artifact_dir, _PROGRAM_NAME)
+    if not os.path.exists(program_path):
+        raise FileNotFoundError(f"corrupt serving artifact (has {_META_NAME} "
+                                f"but no {_PROGRAM_NAME}): {artifact_dir!r}")
+    with open(program_path, "rb") as f:
         exported = jax.export.deserialize(f.read())
     call = jax.jit(exported.call)
 
