@@ -1,0 +1,242 @@
+"""Online HTTP serving daemon: fixed-shape TPU micro-batching over the engines.
+
+The serving engines (tpu_unet/serve.py) compile ONE fixed-batch XLA program —
+the TPU-native shape discipline. Online traffic arrives one image at a time,
+so this module adds the standard TPU serving pattern on top: a
+:class:`MicroBatcher` queues concurrent requests, drains up to ``batch_size``
+of them (waiting at most ``max_wait_ms`` for followers after the first
+arrival), pads the tail, and issues a single engine call; every request's
+future resolves from that one program execution. Request threads do the PIL/
+native decode+resize concurrently (GIL-free in the native resampler), so host
+decode overlaps device compute exactly like the batch path's pipelined decode.
+
+The HTTP layer (stdlib ``ThreadingHTTPServer``; zero new dependencies) is a
+thin shell over :class:`ServingService`, which is unit-testable without
+sockets:
+
+- ``POST /v1/score``    (anomaly engines)  image bytes -> {"score": float}
+- ``POST /v1/predict``  (seg engines)      image bytes -> {"mask_png_base64",
+                          "mean_confidence", "class_pixel_share"}
+- ``GET  /v1/meta`` or ``/healthz``        engine geometry + serving counters
+
+No reference counterpart: /root/reference (SURVEY.md §2.9-2.11) stops at
+per-experiment test scripts; this is the online half of the deployment story
+(the batch half is the serve CLIs + AOT artifacts in serve_artifact.py).
+Engines are per-chip programs here — replicate daemons for scale-out, one per
+chip, behind any HTTP load balancer.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Tuple, Union
+
+import numpy as np
+
+from tpu_unet.serve import AnomalyScorer, SegmentationPredictor
+
+
+def decode_image_bytes(data: bytes, size_hw: Tuple[int, int]) -> np.ndarray:
+    """Decode encoded image bytes (PNG/JPEG/BMP/...) to resized (H,W,3) u8."""
+    from tpu_unet.data.transforms import load_image_rgb
+    return load_image_rgb(io.BytesIO(data), size_hw)
+
+
+class MicroBatcher:
+    """Coalesce concurrent single-item requests into fixed-shape engine calls.
+
+    ``run_batch`` takes a (B,H,W,3) uint8 stack with B <= batch_size (the
+    engine pads internally) and returns a sequence of per-item results. A
+    single worker thread owns the engine call — the XLA program is one device
+    stream anyway, so request threads only queue and wait on futures.
+    """
+
+    def __init__(self, run_batch, batch_size: int, max_wait_ms: float = 5.0):
+        self._run = run_batch
+        self.batch_size = int(batch_size)
+        self.max_wait_s = float(max_wait_ms) / 1000.0
+        self._q: queue.Queue = queue.Queue()
+        self.engine_batches = 0          # one per program execution
+        self.requests_served = 0
+        self._closed = False
+        self._worker = threading.Thread(target=self._loop, daemon=True,
+                                        name="tpu-unet-microbatcher")
+        self._worker.start()
+
+    def submit(self, image_u8: np.ndarray) -> Future:
+        if self._closed:
+            raise RuntimeError("MicroBatcher is closed")
+        fut: Future = Future()
+        self._q.put((image_u8, fut))
+        return fut
+
+    def close(self) -> None:
+        if not self._closed:
+            self._closed = True
+            self._q.put(None)  # sentinel
+            self._worker.join(timeout=30)
+
+    def _loop(self) -> None:
+        while True:
+            head = self._q.get()
+            if head is None:
+                return
+            batch = [head]
+            # The first request opens a window: wait up to max_wait_s for
+            # followers, but never beyond a full batch.
+            deadline = time.monotonic() + self.max_wait_s
+            while len(batch) < self.batch_size:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    item = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if item is None:  # close() raced the window: serve, then exit
+                    self._flush(batch)
+                    return
+                batch.append(item)
+            self._flush(batch)
+
+    def _flush(self, batch) -> None:
+        images = np.stack([img for img, _ in batch])
+        try:
+            results = self._run(images)
+        except BaseException as e:  # noqa: BLE001 — propagate to every waiter
+            for _, fut in batch:
+                fut.set_exception(e)
+            return
+        self.engine_batches += 1
+        self.requests_served += len(batch)
+        for (_, fut), res in zip(batch, results):
+            fut.set_result(res)
+
+
+class ServingService:
+    """Engine + micro-batcher + JSON marshalling; the HTTP layer's core."""
+
+    def __init__(self, engine: Union[AnomalyScorer, SegmentationPredictor],
+                 max_wait_ms: float = 5.0,
+                 threshold: Optional[float] = None,
+                 request_timeout_s: float = 120.0):
+        self.engine = engine
+        self.threshold = threshold
+        self.request_timeout_s = request_timeout_s
+        if isinstance(engine, AnomalyScorer):
+            self.kind = "anomaly_scorer"
+            self.size_hw = (engine.image_size, engine.image_size)
+            run = lambda imgs: list(engine.score_array(imgs))  # noqa: E731
+        elif isinstance(engine, SegmentationPredictor):
+            self.kind = "segmentation_predictor"
+            self.size_hw = tuple(engine.image_size_hw)
+            run = lambda imgs: list(zip(*engine.predict_array(imgs)))  # noqa: E731
+        else:
+            raise TypeError(f"unsupported engine type {type(engine).__name__}")
+        self.batcher = MicroBatcher(run, engine.batch_size, max_wait_ms)
+
+    # -- request handling ----------------------------------------------------
+
+    def handle(self, path: str, body: bytes) -> dict:
+        """Serve one POSTed image; returns the JSON-ready response dict.
+
+        Raises ValueError for a wrong endpoint/engine pairing and lets decode
+        errors surface (the HTTP layer maps both to 4xx).
+        """
+        if path == "/v1/score" and self.kind == "anomaly_scorer":
+            image = decode_image_bytes(body, self.size_hw)
+            score = float(self.batcher.submit(image)
+                          .result(timeout=self.request_timeout_s))
+            resp = {"score": None if np.isnan(score) else score}
+            if self.threshold is not None and not np.isnan(score):
+                resp["anomalous"] = bool(score > self.threshold)
+                resp["threshold"] = self.threshold
+            return resp
+        if path == "/v1/predict" and self.kind == "segmentation_predictor":
+            image = decode_image_bytes(body, self.size_hw)
+            mask, conf = self.batcher.submit(image).result(
+                timeout=self.request_timeout_s)
+            from PIL import Image
+            buf = io.BytesIO()
+            Image.fromarray(np.asarray(mask), mode="L").save(buf, format="PNG")
+            nc = self.engine.num_classes or int(mask.max()) + 1
+            shares = np.bincount(np.asarray(mask).ravel(), minlength=nc)
+            return {
+                "mask_png_base64": base64.b64encode(buf.getvalue()).decode(),
+                "mean_confidence": None if np.isnan(conf) else float(conf),
+                "class_pixel_share": (shares / shares.sum()).round(6).tolist(),
+            }
+        raise ValueError(
+            f"endpoint {path!r} does not serve a {self.kind} engine "
+            f"(anomaly engines serve /v1/score, seg engines /v1/predict)")
+
+    def meta(self) -> dict:
+        return {
+            "status": "ok",
+            "kind": self.kind,
+            "image_size_hw": [int(s) for s in self.size_hw],
+            "batch_size": self.engine.batch_size,
+            "quantize": getattr(self.engine, "quantize", None) or "none",
+            "max_wait_ms": self.batcher.max_wait_s * 1000.0,
+            "requests_served": self.batcher.requests_served,
+            "engine_batches": self.batcher.engine_batches,
+        }
+
+    def warmup(self) -> None:
+        """Compile the serving program before accepting traffic."""
+        img = np.zeros(self.size_hw + (3,), np.uint8)
+        self.batcher.submit(img).result(timeout=600)
+
+    def close(self) -> None:
+        self.batcher.close()
+
+
+def make_server(service: ServingService, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server; ``server.server_address`` has the
+    bound port (pass port=0 for an ephemeral one). Run with serve_forever()."""
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 — http.server API
+            if self.path in ("/healthz", "/v1/meta"):
+                self._send(200, service.meta())
+            else:
+                self._send(404, {"error": f"unknown path {self.path!r}"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path not in ("/v1/score", "/v1/predict"):
+                self._send(404, {"error": f"unknown path {self.path!r}"})
+                return
+            length = int(self.headers.get("Content-Length") or 0)
+            if length <= 0:
+                self._send(400, {"error": "empty body (send image bytes)"})
+                return
+            body = self.rfile.read(length)
+            try:
+                self._send(200, service.handle(self.path, body))
+            except ValueError as e:  # endpoint/engine mismatch
+                self._send(404, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — undecodable image etc.
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, fmt, *args):  # quiet; the CLI logs startup
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
