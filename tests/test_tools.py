@@ -111,6 +111,24 @@ def test_make_report(tmp_path):
     assert "final train loss <b>0.2</b>" in html_text
 
 
+def test_bench_daemon_smoke(capsys):
+    """Daemon benchmark sweeps concurrency levels against the micro-batcher
+    and prints one JSON line each (hermetic: CPU, in-process service)."""
+    import bench_daemon
+
+    bench_daemon.main(["--clients", "1", "3", "--requests_per_client", "3",
+                       "--batch_size", "2", "--base_features", "8",
+                       "--height", "32", "--width", "32",
+                       "--max_wait_ms", "2"])
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    assert [r["clients"] for r in lines] == [1, 3]
+    for rec in lines:
+        assert rec["requests"] == rec["clients"] * 3
+        assert rec["req_per_sec"] > 0
+        assert 1.0 <= rec["mean_batch_occupancy"] <= rec["batch_size"]
+
+
 def test_bench_rotation_smoke(monkeypatch, capsys):
     """Rotation microbench runs all three modes at tiny shapes and prints a
     ms/call line per mode (hermetic: CPU, in-process)."""
