@@ -147,7 +147,12 @@ def run_seg_training(args, workload: Workload):
         workload.augment,
         rotation_mode=getattr(args, "rotation_mode", "per_batch_shear"),
         color_jitter_random_order=getattr(args, "color_jitter_random_order", False))
-    train_step = make_seg_train_step(num_classes, loss_cfg, augment)
+    grad_accum = getattr(args, "grad_accum", 1) or 1
+    if grad_accum < 1 or args.batch_size % grad_accum != 0:
+        raise ValueError(f"--batch_size {args.batch_size} must be a positive "
+                         f"multiple of --grad_accum {grad_accum}")
+    train_step = make_seg_train_step(num_classes, loss_cfg, augment,
+                                     grad_accum=grad_accum)
     eval_step = make_seg_eval_step(num_classes, loss_cfg)
 
     start_epoch = 0

@@ -61,6 +61,11 @@ def add_common_args(parser):
                              "(torchvision semantics; ~35%% step-time cost)")
     parser.add_argument("--progress_every", type=int, default=10,
                         help="Intra-epoch progress line every N steps (0 disables)")
+    parser.add_argument("--grad_accum", type=int, default=1,
+                        help="Gradient accumulation microbatches per step: "
+                             "--batch_size is the EFFECTIVE batch, scanned as "
+                             "grad_accum sequential microbatches inside one XLA "
+                             "program (peak activation memory of the microbatch)")
     parser.add_argument("--multihost", action="store_true",
                         help="Multi-host launch: argless jax.distributed.initialize() "
                              "(TPU pod autodetection; run the same command on every host)")

@@ -117,6 +117,13 @@ def parse_args(argv=None):
                         help="Enable jax debug_nans (fail fast on NaN)")
     parser.add_argument("--progress_every", type=int, default=10,
                         help="Intra-epoch progress line every N steps (0 disables)")
+    parser.add_argument("--grad_accum", type=int, default=1,
+                        help="Gradient accumulation microbatches per step: "
+                             "--batch_size is the EFFECTIVE batch, scanned as "
+                             "grad_accum sequential microbatches of "
+                             "batch_size/grad_accum inside one XLA program "
+                             "(peak activation memory of the microbatch; use "
+                             "for effective batches past the >16 spill regime)")
     parser.add_argument("--multihost", action="store_true",
                         help="Multi-host launch: argless jax.distributed.initialize() "
                              "(TPU pod autodetection; run the same command on every host)")
@@ -216,11 +223,14 @@ def main(argv=None):
         recon_loss_type="ssim" if args.use_ssim else "mse",
     )
     dual = args.model == "anomaly_unet"
+    if args.grad_accum < 1 or args.batch_size % args.grad_accum != 0:
+        raise SystemExit(f"--batch_size {args.batch_size} must be a positive "
+                         f"multiple of --grad_accum {args.grad_accum}")
     train_step = make_anomaly_train_step(
         loss_cfg,
         AugmentConfig(rotation_mode=args.rotation_mode,
                       color_jitter_random_order=args.color_jitter_random_order),
-        dual_decoder=dual)
+        dual_decoder=dual, grad_accum=args.grad_accum)
     eval_step = make_anomaly_eval_step(loss_cfg, dual_decoder=dual)
     scheduler = LRScheduler(args.scheduler, args.learning_rate, args.epochs)
 

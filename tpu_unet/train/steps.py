@@ -84,10 +84,21 @@ class SegLossConfig:
 # Anomaly detection (AnomalyUNet / UNet on MVTec)
 # ---------------------------------------------------------------------------
 
+def _microbatch_split(arrays, batch: int, grad_accum: int, what: str):
+    """Reshape each (B, ...) array to (G, B/G, ...) for the accumulation scan."""
+    if batch % grad_accum != 0:
+        raise ValueError(
+            f"{what}: batch size {batch} is not divisible by "
+            f"grad_accum={grad_accum}")
+    return [a.reshape((grad_accum, batch // grad_accum) + a.shape[1:])
+            for a in arrays]
+
+
 def make_anomaly_train_step(loss_cfg: AnomalyLossConfig = AnomalyLossConfig(),
                             aug_cfg: AugmentConfig = AugmentConfig(),
                             donate_state: bool = True,
-                            dual_decoder: bool = True):
+                            dual_decoder: bool = True,
+                            grad_accum: int = 1):
     """Returns jitted ``step(state, images_u8, masks, key) -> (state, loss_dict)``.
 
     images_u8: (N,H,W,3) uint8; masks: (N,H,W,1) float32 in [0,1].
@@ -98,30 +109,64 @@ def make_anomaly_train_step(loss_cfg: AnomalyLossConfig = AnomalyLossConfig(),
     train_epoch (it tuple-unpacks a single tensor, /root/reference/src/
     train_utils.py:122 with src/model.py:97-108); this implements the evident
     intent, mirroring the reference's own eval-time fallback (src/test.py:88-93).
+
+    grad_accum=G splits the batch into G sequential microbatches inside the ONE
+    jitted program (``lax.scan``): per-microbatch gradients are averaged into a
+    single optimizer update, BatchNorm running stats chain through the scan
+    (torch-accumulation semantics: each microbatch normalizes by its own batch
+    statistics), and the augmentation key is split per microbatch. Peak
+    activation memory is that of B/G — the measured per-image throughput knee at
+    batch>16 (spill regime, docs/ARCHITECTURE.md) makes this the way to reach
+    large effective batches. Loss scalars are the mean over microbatches
+    (= the full-batch mean, sizes being equal).
     """
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+
+    def loss_fn(state, params, stats, img, msk):
+        out, mut = state.apply_fn(
+            {"params": params, "batch_stats": stats},
+            img, train=True, mutable=["batch_stats"],
+        )
+        if dual_decoder:
+            recon, amap = out
+        else:
+            amap = jax.nn.sigmoid(out)
+            recon = img
+        losses = combined_anomaly_loss(recon, amap, img, msk, **loss_cfg.kwargs())
+        return losses["total_loss"], (losses, mut["batch_stats"])
 
     def step(state: TrainState, images_u8, masks, key):
         img, msk = train_transform(images_u8, masks, key, **aug_cfg.kwargs())
-
-        def loss_fn(params):
-            out, mut = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                img, train=True, mutable=["batch_stats"],
-            )
-            if dual_decoder:
-                recon, amap = out
-            else:
-                amap = jax.nn.sigmoid(out)
-                recon = img
-            losses = combined_anomaly_loss(recon, amap, img, msk, **loss_cfg.kwargs())
-            return losses["total_loss"], (losses, mut["batch_stats"])
-
-        grads, (losses, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+        grads, (losses, new_stats) = jax.grad(loss_fn, argnums=1, has_aux=True)(
+            state, state.params, state.batch_stats, img, msk)
         state = state.apply_gradients(grads=grads)
         state = state.replace(batch_stats=new_stats)
         return state, losses
 
-    return jax.jit(step, donate_argnums=(0,) if donate_state else ())
+    def step_accum(state: TrainState, images_u8, masks, key):
+        imgs, msks = _microbatch_split([images_u8, masks], images_u8.shape[0],
+                                       grad_accum, "anomaly train step")
+        keys = jax.random.split(key, grad_accum)
+
+        def micro(carry, xs):
+            stats, gsum = carry
+            img_u8, msk, k = xs
+            img, m = train_transform(img_u8, msk, k, **aug_cfg.kwargs())
+            grads, (losses, stats) = jax.grad(loss_fn, argnums=1, has_aux=True)(
+                state, state.params, stats, img, m)
+            return (stats, jax.tree.map(jnp.add, gsum, grads)), losses
+
+        zeros = jax.tree.map(jnp.zeros_like, state.params)
+        (new_stats, gsum), losses = jax.lax.scan(
+            micro, (state.batch_stats, zeros), (imgs, msks, keys))
+        state = state.apply_gradients(
+            grads=jax.tree.map(lambda g: g / grad_accum, gsum))
+        state = state.replace(batch_stats=new_stats)
+        return state, jax.tree.map(lambda x: x.mean(0), losses)
+
+    fn = step if grad_accum == 1 else step_accum
+    return jax.jit(fn, donate_argnums=(0,) if donate_state else ())
 
 
 def make_anomaly_eval_step(loss_cfg: AnomalyLossConfig = AnomalyLossConfig(),
@@ -168,40 +213,76 @@ def make_seg_train_step(num_classes: int,
                         loss_cfg: SegLossConfig = SegLossConfig(),
                         aug_cfg: AugmentConfig = AugmentConfig(),
                         with_confusion: bool = True,
-                        donate_state: bool = True):
+                        donate_state: bool = True,
+                        grad_accum: int = 1):
     """Returns jitted ``step(state, images_u8, labels, key) -> (state, loss_dict, cm)``.
 
     labels: (N,H,W) int32. The (C,C) confusion matrix for the batch is computed on
     device (replacing the reference's per-step .cpu() -> sklearn sync,
     /root/reference/src/metrics.py:30-45).
-    """
 
-    def step(state: TrainState, images_u8, labels, key):
+    grad_accum=G scans G sequential microbatches inside the one jitted program —
+    averaged gradients, one optimizer update, BN stats and the dropout/augment
+    keys per microbatch, confusion matrices summed. Peak activation memory is
+    that of B/G; see make_anomaly_train_step for the semantics note.
+    """
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+
+    def forward(state, params, stats, images_u8, labels, key):
         labels = labels.astype(jnp.int32)  # masks ship as uint8 (4x less traffic)
         k_aug, k_drop = jax.random.split(key)
-        img, lbl = train_transform(images_u8, labels[..., None], k_aug, **aug_cfg.kwargs())
+        img, lbl = train_transform(images_u8, labels[..., None], k_aug,
+                                   **aug_cfg.kwargs())
         lbl = lbl[..., 0]
 
         def loss_fn(params):
             logits, mut = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": params, "batch_stats": stats},
                 img, train=True, mutable=["batch_stats"],
                 rngs={"dropout": k_drop},
             )
             losses = combined_segmentation_loss(logits, lbl, **loss_cfg.kwargs())
             return losses["total_loss"], (losses, mut["batch_stats"], logits)
 
-        grads, (losses, new_stats, logits) = jax.grad(loss_fn, has_aux=True)(state.params)
-        state = state.apply_gradients(grads=grads)
-        state = state.replace(batch_stats=new_stats)
+        grads, (losses, new_stats, logits) = jax.grad(loss_fn, has_aux=True)(params)
         cm = None
         if with_confusion:
             preds = sliced_argmax(logits)
             cm = confusion_matrix_batch(preds, lbl.astype(jnp.int32), num_classes,
                                         loss_cfg.ignore_index)
+        return grads, losses, new_stats, cm
+
+    def step(state: TrainState, images_u8, labels, key):
+        grads, losses, new_stats, cm = forward(
+            state, state.params, state.batch_stats, images_u8, labels, key)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_stats)
         return state, losses, cm
 
-    return jax.jit(step, donate_argnums=(0,) if donate_state else ())
+    def step_accum(state: TrainState, images_u8, labels, key):
+        imgs, lbls = _microbatch_split([images_u8, labels], images_u8.shape[0],
+                                       grad_accum, "seg train step")
+        keys = jax.random.split(key, grad_accum)
+
+        def micro(carry, xs):
+            stats, gsum = carry
+            img_u8, lbl, k = xs
+            grads, losses, stats, cm = forward(
+                state, state.params, stats, img_u8, lbl, k)
+            return (stats, jax.tree.map(jnp.add, gsum, grads)), (losses, cm)
+
+        zeros = jax.tree.map(jnp.zeros_like, state.params)
+        (new_stats, gsum), (losses, cms) = jax.lax.scan(
+            micro, (state.batch_stats, zeros), (imgs, lbls, keys))
+        state = state.apply_gradients(
+            grads=jax.tree.map(lambda g: g / grad_accum, gsum))
+        state = state.replace(batch_stats=new_stats)
+        cm = cms.sum(axis=0) if with_confusion else None
+        return state, jax.tree.map(lambda x: x.mean(0), losses), cm
+
+    fn = step if grad_accum == 1 else step_accum
+    return jax.jit(fn, donate_argnums=(0,) if donate_state else ())
 
 
 def make_seg_eval_step(num_classes: int,
