@@ -212,6 +212,28 @@ def test_serve_cli(trained, tmp_path):
     assert all(np.isfinite(list(payload_q["scores"].values())))
 
 
+def test_serve_cli_heatmap_dir(trained, tmp_path):
+    from PIL import Image
+
+    from tpu_unet.cli.serve_mvtec import main as serve_main
+
+    root, ckpt = trained
+    test_dir = os.path.join(root, "bottle", "test")
+    out = os.path.join(tmp_path, "scores.json")
+    hm_dir = os.path.join(tmp_path, "heatmaps")
+    payload = serve_main([
+        "--checkpoint", ckpt, "--input_dir", test_dir, "--image_size", "32",
+        "--batch_size", "4", "--precision", "f32", "--base_features", "4",
+        "--heatmap_dir", hm_dir, "--output", out,
+    ])
+    assert payload["heatmap_dir"] == hm_dir
+    assert len(payload["scores"]) == 6
+    pngs = sorted(os.listdir(hm_dir))
+    assert len(pngs) == 6 and all(p.endswith("_heatmap.png") for p in pngs)
+    arr = np.asarray(Image.open(os.path.join(hm_dir, pngs[0])))
+    assert arr.shape == (32, 32) and arr.dtype == np.uint8
+
+
 def test_latency_ms(trained, trained_seg):
     """Batch-1 online-serving latency: both engines return p50/p95/mean ms."""
     from tpu_unet.serve import AnomalyScorer, SegmentationPredictor

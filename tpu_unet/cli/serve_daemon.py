@@ -45,6 +45,9 @@ def parse_args(argv=None):
                         "batch waits for followers")
     p.add_argument("--threshold", type=float, default=None,
                    help="anomaly only: adds an 'anomalous' verdict per response")
+    p.add_argument("--heatmap", action="store_true",
+                   help="anomaly only: also compile the heatmap program and "
+                        "serve POST /v1/heatmap (score + anomaly-map PNG)")
     p.add_argument("--image_size", type=int, default=256, help="anomaly only")
     p.add_argument("--image_height", type=int, default=512, help="seg only")
     p.add_argument("--image_width", type=int, default=512, help="seg only")
@@ -78,12 +81,14 @@ def build_service(args, parser):
         baked_flags=("task", "image_size", "image_height", "image_width",
                      "num_classes", "batch_size", "precision", "quantize",
                      "calib_dir", "calib_samples", "calib_percentile",
-                     "qparams", "base_features", "bilinear"))
+                     "qparams", "base_features", "bilinear", "heatmap"))
     if args.artifact:
         engine = load_artifact_engine(args)
     else:
         if args.task is None:
             raise SystemExit("--task anomaly|seg is required with --checkpoint")
+        if args.heatmap and args.task != "anomaly":
+            raise SystemExit("--heatmap only applies to --task anomaly")
         if args.task == "anomaly":
             size_hw = (args.image_size, args.image_size)
         else:
@@ -96,7 +101,8 @@ def build_service(args, parser):
                 batch_size=args.batch_size, precision=args.precision,
                 quantize=quantize, calib_images=calib_images,
                 base_features=args.base_features, bilinear=args.bilinear,
-                qparams=qparams_tree, calib_percentile=args.calib_percentile)
+                qparams=qparams_tree, calib_percentile=args.calib_percentile,
+                with_heatmap=args.heatmap)
         else:
             from tpu_unet.serve import SegmentationPredictor
             engine = SegmentationPredictor.from_checkpoint(
@@ -127,6 +133,8 @@ def main(argv=None):
     host, port = server.server_address[:2]
     endpoint = ("/v1/score" if service.kind == "anomaly_scorer"
                 else "/v1/predict")
+    if service.heatmap_batcher is not None:
+        endpoint += " + /v1/heatmap"
     print(f"Serving {service.kind} on http://{host}:{port}{endpoint} "
           f"(batch {service.engine.batch_size} @ {service.size_hw}, "
           f"window {args.max_wait_ms} ms; GET /healthz for stats)")

@@ -63,6 +63,12 @@ def parse_args(argv=None):
                         "calibration), else written after calibrating")
     p.add_argument("--threshold", type=float, default=None,
                    help="Optional score threshold; adds boolean verdicts to the output")
+    p.add_argument("--heatmap", action="store_true",
+                   help="Also build the anomaly-heatmap program (score + "
+                        "per-pixel map; exported artifacts then embed it)")
+    p.add_argument("--heatmap_dir", type=str, default=None,
+                   help="Save each image's anomaly heatmap as a grayscale PNG "
+                        "under this directory (implies --heatmap)")
     p.add_argument("--base_features", type=int, default=64)
     p.add_argument("--bilinear", action="store_true")
     p.add_argument("--n_devices", type=int, default=None,
@@ -87,7 +93,7 @@ def main(argv=None):
         sharded_flags="--n_devices",
         baked_flags=("image_size", "batch_size", "precision", "quantize",
                      "calib_dir", "calib_samples", "calib_percentile",
-                     "qparams", "base_features", "bilinear"))
+                     "qparams", "base_features", "bilinear", "heatmap"))
 
     paths = list_images(args.input_dir)
     if not paths:
@@ -106,17 +112,28 @@ def main(argv=None):
         precision=args.precision, quantize=quantize,
         calib_images=calib_images, base_features=args.base_features,
         bilinear=args.bilinear, n_devices=args.n_devices,
-        qparams=qparams_tree, calib_percentile=args.calib_percentile)
+        qparams=qparams_tree, calib_percentile=args.calib_percentile,
+        with_heatmap=args.heatmap or args.heatmap_dir is not None)
     maybe_save_qparams(args, scorer, qparams_tree)
     maybe_export_artifact(scorer, args)
     return _score_and_save(args, scorer, paths)
 
 
 def _score_and_save(args, scorer, paths):
+    heatmaps = None
     t0 = time.perf_counter()
-    scores, failed_idx = scorer.score_paths(paths, num_workers=args.num_workers,
-                                            on_decode_error=args.on_decode_error,
-                                            return_failed=True)
+    if args.heatmap_dir is not None:
+        if not scorer.has_heatmap:
+            raise SystemExit(
+                "--heatmap_dir needs a heatmap-capable engine; this artifact "
+                "was exported without --heatmap")
+        scores, heatmaps, failed_idx = scorer.heatmap_paths(
+            paths, num_workers=args.num_workers,
+            on_decode_error=args.on_decode_error, return_failed=True)
+    else:
+        scores, failed_idx = scorer.score_paths(
+            paths, num_workers=args.num_workers,
+            on_decode_error=args.on_decode_error, return_failed=True)
     dt = time.perf_counter() - t0
     throughput = len(paths) / dt
     print(f"Scored {len(paths)} images in {dt:.2f}s "
@@ -142,6 +159,18 @@ def _score_and_save(args, scorer, paths):
                                       for i in sorted(failed)]
         print(f"WARNING: {len(failed)} image(s) could not be decoded "
               f"(scores null, no verdicts): {payload['decode_failures']}")
+    if heatmaps is not None:
+        from PIL import Image
+        os.makedirs(args.heatmap_dir, exist_ok=True)
+        for i, p in enumerate(paths):
+            if i in failed:
+                continue  # zeroed map for an undecodable input is noise
+            rel = os.path.relpath(p, args.input_dir)
+            name = os.path.splitext(rel)[0].replace(os.sep, "__") + "_heatmap.png"
+            Image.fromarray(heatmaps[i], mode="L").save(
+                os.path.join(args.heatmap_dir, name))
+        payload["heatmap_dir"] = args.heatmap_dir
+        print(f"Heatmaps written to {args.heatmap_dir}")
     if args.threshold is not None:
         payload["threshold"] = args.threshold
         payload["verdicts"] = {os.path.relpath(p, args.input_dir):

@@ -62,6 +62,12 @@ def _latency_stats_ms(run_once, n_iters: int) -> dict:
             "mean_ms": round(float(times.mean()), 3)}
 
 
+def _amap_to_u8(amap):
+    """(N,H,W,1) sigmoid anomaly map -> (N,H,W) uint8 heatmap (0..255)."""
+    a = jnp.clip(amap[..., 0].astype(jnp.float32), 0.0, 1.0)
+    return jnp.round(a * 255.0).astype(jnp.uint8)
+
+
 def _pad_chunk(chunk: np.ndarray, batch_size: int) -> np.ndarray:
     """Zero-pad a ragged final chunk to the fixed serving batch size."""
     if len(chunk) < batch_size:
@@ -148,8 +154,9 @@ class AnomalyScorer:
     """
 
     def __init__(self, score_fn, params_arg, image_size: int, batch_size: int,
-                 mesh=None, quantize: Optional[str] = None):
+                 mesh=None, quantize: Optional[str] = None, heatmap_fn=None):
         self._score_fn = score_fn
+        self._heatmap_fn = heatmap_fn  # optional second program (with_heatmap)
         self.image_size = int(image_size)
         self.batch_size = int(batch_size)
         self.quantize = quantize  # advisory: 'int8' or None (bf16/f32 program)
@@ -176,7 +183,8 @@ class AnomalyScorer:
                        fold_bn: bool = True,
                        n_devices: Optional[int] = None,
                        qparams: Optional[dict] = None,
-                       calib_percentile: Optional[float] = None) -> "AnomalyScorer":
+                       calib_percentile: Optional[float] = None,
+                       with_heatmap: bool = False) -> "AnomalyScorer":
         """Build a scorer from an AnomalyUNet's (params, batch_stats).
 
         ``n_devices > 1`` shards each serving batch over a 'data' mesh (data
@@ -185,6 +193,14 @@ class AnomalyScorer:
         ops.quantize.load_qparams) skips calibration entirely;
         ``calib_percentile`` (e.g. 99.9) uses outlier-robust percentile
         calibration instead of abs-max.
+
+        ``with_heatmap=True`` builds a SECOND jitted program returning
+        (score, anomaly-map) per image — the model's predicted anomaly map
+        (the seg-decoder sigmoid the eval/visualize paths threshold for pixel
+        metrics, cf. /root/reference/src/test.py pixel-level evaluation) as a
+        (H,W) uint8 0..255 heatmap. The score-only program stays the fast path
+        (its seg decoder is DCE'd); use :meth:`heatmap_array` /
+        :meth:`heatmap_paths` for "where is the defect" serving.
         """
         if quantize not in (None, "none", "int8"):
             raise ValueError(f"unsupported quantize mode {quantize!r}")
@@ -214,8 +230,14 @@ class AnomalyScorer:
                 recon, _ = fwd(qp, images_u8)
                 return anomaly_score(recon, eval_transform(images_u8))
 
+            def heatmap_fn(qp, images_u8):
+                recon, amap = fwd(qp, images_u8)
+                return (anomaly_score(recon, eval_transform(images_u8)),
+                        _amap_to_u8(amap))
+
             return cls(jax.jit(score_fn), qparams, image_size, batch_size,
-                       mesh=mesh, quantize="int8")
+                       mesh=mesh, quantize="int8",
+                       heatmap_fn=jax.jit(heatmap_fn) if with_heatmap else None)
 
         policy = get_policy(precision)
         model = build_model("anomaly_unet", bilinear=bilinear, policy=policy,
@@ -229,8 +251,14 @@ class AnomalyScorer:
             recon, _ = model.apply(v, img, train=False)  # seg decoder DCE'd
             return anomaly_score(recon, img)
 
+        def heatmap_fn(v, images_u8):
+            img = eval_transform(images_u8)
+            recon, amap = model.apply(v, img, train=False)
+            return anomaly_score(recon, img), _amap_to_u8(amap)
+
         return cls(jax.jit(score_fn), variables, image_size, batch_size,
-                   mesh=mesh)
+                   mesh=mesh,
+                   heatmap_fn=jax.jit(heatmap_fn) if with_heatmap else None)
 
     @classmethod
     def from_checkpoint(cls, checkpoint: str, *, image_size: int = 256,
@@ -240,7 +268,8 @@ class AnomalyScorer:
                         base_features: int = 64, bilinear: bool = False,
                         n_devices: Optional[int] = None,
                         qparams: Optional[dict] = None,
-                        calib_percentile: Optional[float] = None) -> "AnomalyScorer":
+                        calib_percentile: Optional[float] = None,
+                        with_heatmap: bool = False) -> "AnomalyScorer":
         """Load an Orbax checkpoint (best_model / checkpoint_epoch_N layout)."""
         from tpu_unet.train.checkpoint import load_params
         from tpu_unet.train.optim import make_optimizer
@@ -261,7 +290,8 @@ class AnomalyScorer:
                                   calib_images=calib_images,
                                   base_features=base_features, bilinear=bilinear,
                                   n_devices=n_devices, qparams=qparams,
-                                  calib_percentile=calib_percentile)
+                                  calib_percentile=calib_percentile,
+                                  with_heatmap=with_heatmap)
 
     # -- scoring ------------------------------------------------------------
 
@@ -308,6 +338,64 @@ class AnomalyScorer:
             scores = scores.copy()
             scores[np.asarray(failed)] = np.nan
         return (scores, list(failed)) if return_failed else scores
+
+    @property
+    def has_heatmap(self) -> bool:
+        """True when the engine was built with ``with_heatmap=True`` (or loaded
+        from an artifact that embeds the heatmap program)."""
+        return self._heatmap_fn is not None
+
+    def _require_heatmap(self):
+        if self._heatmap_fn is None:
+            raise RuntimeError(
+                "this engine has no heatmap program; rebuild with "
+                "with_heatmap=True (or export/load an artifact from one)")
+
+    def heatmap_array(self, images_u8: np.ndarray):
+        """(N,H,W,3) uint8 -> (scores (N,) f32, heatmaps (N,H,W) uint8).
+
+        The heatmap is the model's predicted anomaly map scaled to 0..255;
+        scores are computed by the same formula as :meth:`score_array` (inside
+        the heatmap program, so one device call yields both).
+        """
+        self._require_heatmap()
+        n = len(images_u8)
+        hw = self.image_size
+        if n == 0:
+            return np.zeros((0,), np.float32), np.zeros((0, hw, hw), np.uint8)
+        pending = []
+        for lo in range(0, n, self.batch_size):
+            chunk = _pad_chunk(np.asarray(images_u8[lo:lo + self.batch_size]),
+                               self.batch_size)
+            pending.append(self._heatmap_fn(self._params, self._put(chunk)))
+        scores = np.concatenate([np.asarray(s) for s, _ in pending])[:n]
+        maps = np.concatenate([np.asarray(m) for _, m in pending])[:n]
+        return scores, maps
+
+    def heatmap_paths(self, paths: Sequence[str], num_workers: int = 4,
+                      on_decode_error: str = "raise", return_failed: bool = False):
+        """Decode image files and produce (scores, heatmaps), streaming batch by
+        batch with the same pipelined decode + failure policy as
+        :meth:`score_paths` (skipped files: score NaN, heatmap zeroed)."""
+        self._require_heatmap()
+        pending, failed = _pipelined_batches(
+            paths, (self.image_size, self.image_size), self.batch_size,
+            num_workers,
+            lambda imgs: self._heatmap_fn(self._params, self._put(imgs)),
+            on_decode_error=on_decode_error)
+        if not pending:
+            hw = self.image_size
+            out = (np.zeros((0,), np.float32), np.zeros((0, hw, hw), np.uint8))
+            return out + ([],) if return_failed else out
+        scores = np.concatenate([np.asarray(s) for s, _ in pending])[:len(paths)]
+        maps = np.concatenate([np.asarray(m) for _, m in pending])[:len(paths)]
+        if failed:
+            scores, maps = scores.copy(), maps.copy()
+            scores[np.asarray(failed)] = np.nan
+            maps[np.asarray(failed)] = 0
+        if return_failed:
+            return scores, maps, list(failed)
+        return scores, maps
 
     def throughput(self, n_batches: int = 10) -> float:
         """Measured serving throughput (img/s) on synthetic data; warms compile."""

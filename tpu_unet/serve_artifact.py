@@ -15,7 +15,8 @@ TPU-native analogue of torch.jit.save/load for the serving path.
 
 Layout: ``<dir>/meta.json`` (engine kind, batch/image geometry, precision,
 lowering platforms) + ``<dir>/program.jaxexport`` (the serialized StableHLO
-module). Artifacts are per-chip programs: mesh-sharded engines are rejected —
+module) + optional ``<dir>/heatmap.jaxexport`` (the anomaly-heatmap program,
+present when the engine was built ``with_heatmap=True``). Artifacts are per-chip programs: mesh-sharded engines are rejected —
 export a per-chip engine and replicate it across serving processes instead.
 Artifacts execute only on the platform family they were lowered for (pass
 ``platforms=("tpu", "cpu")`` to export a multi-platform module); jax.export
@@ -39,6 +40,7 @@ from tpu_unet.serve import AnomalyScorer, SegmentationPredictor
 
 _META_NAME = "meta.json"
 _PROGRAM_NAME = "program.jaxexport"
+_HEATMAP_NAME = "heatmap.jaxexport"  # optional second program (with_heatmap)
 _FORMAT_VERSION = 1
 
 
@@ -68,8 +70,13 @@ def export_artifact(engine: Union[AnomalyScorer, SegmentationPredictor],
     params = engine._params  # baked into the exported module as constants
     fn = jax.jit(lambda images_u8: inner(params, images_u8))
     spec = jax.ShapeDtypeStruct((engine.batch_size, h, w, 3), jnp.uint8)
-    exported = jax.export.export(
-        fn, platforms=list(platforms) if platforms is not None else None)(spec)
+    plats = list(platforms) if platforms is not None else None
+    exported = jax.export.export(fn, platforms=plats)(spec)
+    heatmap_fn = getattr(engine, "_heatmap_fn", None)
+    exported_heatmap = None
+    if heatmap_fn is not None:
+        hm = jax.jit(lambda images_u8: heatmap_fn(params, images_u8))
+        exported_heatmap = jax.export.export(hm, platforms=plats)(spec)
 
     meta = {
         "format_version": _FORMAT_VERSION,
@@ -83,9 +90,14 @@ def export_artifact(engine: Union[AnomalyScorer, SegmentationPredictor],
         meta["num_classes"] = int(engine.num_classes)
     if getattr(engine, "quantize", None):
         meta["quantize"] = engine.quantize
+    if exported_heatmap is not None:
+        meta["with_heatmap"] = True
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, _PROGRAM_NAME), "wb") as f:
         f.write(exported.serialize())
+    if exported_heatmap is not None:
+        with open(os.path.join(out_dir, _HEATMAP_NAME), "wb") as f:
+            f.write(exported_heatmap.serialize())
     with open(os.path.join(out_dir, _META_NAME), "w") as f:
         json.dump(meta, f, indent=2)
     return meta
@@ -122,9 +134,20 @@ def load_artifact(artifact_dir: str) -> Union[AnomalyScorer, SegmentationPredict
     if meta["kind"] == "anomaly_scorer":
         if h != w:
             raise ValueError(f"anomaly_scorer artifacts are square; got {h}x{w}")
+        heatmap_fn = None
+        if meta.get("with_heatmap"):
+            heatmap_path = os.path.join(artifact_dir, _HEATMAP_NAME)
+            if not os.path.exists(heatmap_path):
+                raise FileNotFoundError(
+                    f"corrupt serving artifact (meta says with_heatmap but no "
+                    f"{_HEATMAP_NAME}): {artifact_dir!r}")
+            with open(heatmap_path, "rb") as f:
+                hm_call = jax.jit(jax.export.deserialize(f.read()).call)
+            heatmap_fn = lambda _p, images_u8: hm_call(images_u8)  # noqa: E731
         return AnomalyScorer(fn, None, image_size=h,
                              batch_size=meta["batch_size"],
-                             quantize=meta.get("quantize"))
+                             quantize=meta.get("quantize"),
+                             heatmap_fn=heatmap_fn)
     if meta["kind"] == "segmentation_predictor":
         return SegmentationPredictor(fn, None, (h, w),
                                      batch_size=meta["batch_size"],

@@ -15,6 +15,8 @@ thin shell over :class:`ServingService`, which is unit-testable without
 sockets:
 
 - ``POST /v1/score``    (anomaly engines)  image bytes -> {"score": float}
+- ``POST /v1/heatmap``  (anomaly engines built with_heatmap) image bytes ->
+                          {"score", "heatmap_png_base64"} — where the defect is
 - ``POST /v1/predict``  (seg engines)      image bytes -> {"mask_png_base64",
                           "mean_confidence", "class_pixel_share"}
 - ``GET  /v1/meta`` or ``/healthz``        engine geometry + serving counters
@@ -47,6 +49,14 @@ def decode_image_bytes(data: bytes, size_hw: Tuple[int, int]) -> np.ndarray:
     """Decode encoded image bytes (PNG/JPEG/BMP/...) to resized (H,W,3) u8."""
     from tpu_unet.data.transforms import load_image_rgb
     return load_image_rgb(io.BytesIO(data), size_hw)
+
+
+def _png_b64(gray_u8: np.ndarray) -> str:
+    """(H,W) uint8 -> base64-encoded grayscale PNG."""
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(gray_u8, mode="L").save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
 
 
 class MicroBatcher:
@@ -130,10 +140,15 @@ class ServingService:
         self.engine = engine
         self.threshold = threshold
         self.request_timeout_s = request_timeout_s
+        self.heatmap_batcher: Optional[MicroBatcher] = None
         if isinstance(engine, AnomalyScorer):
             self.kind = "anomaly_scorer"
             self.size_hw = (engine.image_size, engine.image_size)
             run = lambda imgs: list(engine.score_array(imgs))  # noqa: E731
+            if engine.has_heatmap:
+                self.heatmap_batcher = MicroBatcher(
+                    lambda imgs: list(zip(*engine.heatmap_array(imgs))),
+                    engine.batch_size, max_wait_ms)
         elif isinstance(engine, SegmentationPredictor):
             self.kind = "segmentation_predictor"
             self.size_hw = tuple(engine.image_size_hw)
@@ -154,28 +169,39 @@ class ServingService:
             image = decode_image_bytes(body, self.size_hw)
             score = float(self.batcher.submit(image)
                           .result(timeout=self.request_timeout_s))
-            resp = {"score": None if np.isnan(score) else score}
-            if self.threshold is not None and not np.isnan(score):
-                resp["anomalous"] = bool(score > self.threshold)
-                resp["threshold"] = self.threshold
+            return self._score_resp(score)
+        if path == "/v1/heatmap" and self.heatmap_batcher is not None:
+            image = decode_image_bytes(body, self.size_hw)
+            score, heatmap = self.heatmap_batcher.submit(image).result(
+                timeout=self.request_timeout_s)
+            resp = self._score_resp(float(score))
+            resp["heatmap_png_base64"] = _png_b64(np.asarray(heatmap))
             return resp
         if path == "/v1/predict" and self.kind == "segmentation_predictor":
             image = decode_image_bytes(body, self.size_hw)
             mask, conf = self.batcher.submit(image).result(
                 timeout=self.request_timeout_s)
-            from PIL import Image
-            buf = io.BytesIO()
-            Image.fromarray(np.asarray(mask), mode="L").save(buf, format="PNG")
             nc = self.engine.num_classes or int(mask.max()) + 1
             shares = np.bincount(np.asarray(mask).ravel(), minlength=nc)
             return {
-                "mask_png_base64": base64.b64encode(buf.getvalue()).decode(),
+                "mask_png_base64": _png_b64(np.asarray(mask)),
                 "mean_confidence": None if np.isnan(conf) else float(conf),
                 "class_pixel_share": (shares / shares.sum()).round(6).tolist(),
             }
+        if path == "/v1/heatmap":
+            raise ValueError(
+                "endpoint '/v1/heatmap' needs an anomaly engine built with "
+                "--heatmap (or an artifact exported from one)")
         raise ValueError(
             f"endpoint {path!r} does not serve a {self.kind} engine "
             f"(anomaly engines serve /v1/score, seg engines /v1/predict)")
+
+    def _score_resp(self, score: float) -> dict:
+        resp = {"score": None if np.isnan(score) else score}
+        if self.threshold is not None and not np.isnan(score):
+            resp["anomalous"] = bool(score > self.threshold)
+            resp["threshold"] = self.threshold
+        return resp
 
     def meta(self) -> dict:
         return {
@@ -187,15 +213,23 @@ class ServingService:
             "max_wait_ms": self.batcher.max_wait_s * 1000.0,
             "requests_served": self.batcher.requests_served,
             "engine_batches": self.batcher.engine_batches,
+            "heatmap": self.heatmap_batcher is not None,
+            **({"heatmap_requests_served": self.heatmap_batcher.requests_served,
+                "heatmap_engine_batches": self.heatmap_batcher.engine_batches}
+               if self.heatmap_batcher is not None else {}),
         }
 
     def warmup(self) -> None:
-        """Compile the serving program before accepting traffic."""
+        """Compile the serving program(s) before accepting traffic."""
         img = np.zeros(self.size_hw + (3,), np.uint8)
         self.batcher.submit(img).result(timeout=600)
+        if self.heatmap_batcher is not None:
+            self.heatmap_batcher.submit(img).result(timeout=600)
 
     def close(self) -> None:
         self.batcher.close()
+        if self.heatmap_batcher is not None:
+            self.heatmap_batcher.close()
 
 
 def make_server(service: ServingService, host: str = "127.0.0.1",
@@ -221,7 +255,7 @@ def make_server(service: ServingService, host: str = "127.0.0.1",
                 self._send(404, {"error": f"unknown path {self.path!r}"})
 
         def do_POST(self):  # noqa: N802
-            if self.path not in ("/v1/score", "/v1/predict"):
+            if self.path not in ("/v1/score", "/v1/predict", "/v1/heatmap"):
                 self._send(404, {"error": f"unknown path {self.path!r}"})
                 return
             length = int(self.headers.get("Content-Length") or 0)
