@@ -129,6 +129,29 @@ def test_bench_daemon_smoke(capsys):
         assert 1.0 <= rec["mean_batch_occupancy"] <= rec["batch_size"]
 
 
+def test_bench_accum_smoke(monkeypatch, capsys):
+    """Accumulation A/B runs both tasks at tiny shapes and prints an img/s +
+    temp-memory line per (batch, accum) pair (hermetic: CPU, in-process)."""
+    import bench_accum
+
+    monkeypatch.setattr(sys, "argv", ["bench_accum.py", "--image_size", "24",
+                                      "--pairs", "2x1,4x2", "--steps", "2",
+                                      "--base_features", "4",
+                                      "--warmup", "0"])  # 0: clamped to 1 warm call
+    bench_accum.main()
+    out = capsys.readouterr().out
+    assert out.count("img/s") == 2 and "accum 2" in out and "temp" in out
+
+    monkeypatch.setattr(sys, "argv", ["bench_accum.py", "--task", "seg",
+                                      "--height", "24", "--width", "16",
+                                      "--pairs", "2x2", "--steps", "2",
+                                      "--base_features", "4",
+                                      "--warmup", "1"])
+    bench_accum.main()
+    out = capsys.readouterr().out
+    assert out.count("img/s") == 1 and "micro   1" in out
+
+
 def test_bench_rotation_smoke(monkeypatch, capsys):
     """Rotation microbench runs all three modes at tiny shapes and prints a
     ms/call line per mode (hermetic: CPU, in-process)."""

@@ -48,6 +48,8 @@ def main():
                    help="comma list of <effective_batch>x<grad_accum>")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--base_features", type=int, default=64,
+                   help="UNet width (shrink for quick smoke runs)")
     args = p.parse_args()
 
     from tpu_unet.core.cache import enable_compilation_cache
@@ -63,10 +65,12 @@ def main():
 
     if args.task == "anomaly":
         h = w = args.image_size
-        model = AnomalyUNet(policy=BF16_POLICY)
+        model = AnomalyUNet(policy=BF16_POLICY,
+                            base_features=args.base_features)
     else:
         h, w = args.height, args.width
-        model = SegmentationUNet(n_classes=args.num_classes, policy=BF16_POLICY)
+        model = SegmentationUNet(n_classes=args.num_classes, policy=BF16_POLICY,
+                                 base_features=args.base_features)
     tx = make_optimizer("adam", 1e-3, 1e-4)
     rng = np.random.default_rng(0)
     print(f"{args.task} @ {h}x{w} on {jax.devices()[0].platform}, "
@@ -95,7 +99,7 @@ def main():
             losses = out[1]
             return float(losses["total_loss"])
 
-        for i in range(args.warmup):
+        for i in range(max(1, args.warmup)):  # >=1: first call must precede t0
             out = compiled(state, images, target, jax.random.key(i))
             state = out[0]
         fetch(out)

@@ -85,6 +85,12 @@ def _to_device(mesh, spatial: bool = False):
 
 
 def run_seg_training(args, workload: Workload):
+    grad_accum = getattr(args, "grad_accum", 1)
+    if grad_accum is None:
+        grad_accum = 1
+    if grad_accum < 1 or args.batch_size % grad_accum != 0:
+        raise SystemExit(f"--batch_size {args.batch_size} must be a positive "
+                         f"multiple of --grad_accum {grad_accum}")
     from tpu_unet.core.cache import enable_compilation_cache
     enable_compilation_cache()
     if getattr(args, "device", "auto") not in ("auto", "tpu"):
@@ -147,12 +153,8 @@ def run_seg_training(args, workload: Workload):
         workload.augment,
         rotation_mode=getattr(args, "rotation_mode", "per_batch_shear"),
         color_jitter_random_order=getattr(args, "color_jitter_random_order", False))
-    grad_accum = getattr(args, "grad_accum", 1) or 1
-    if grad_accum < 1 or args.batch_size % grad_accum != 0:
-        raise ValueError(f"--batch_size {args.batch_size} must be a positive "
-                         f"multiple of --grad_accum {grad_accum}")
     train_step = make_seg_train_step(num_classes, loss_cfg, augment,
-                                     grad_accum=grad_accum)
+                                     grad_accum=grad_accum)  # validated on entry
     eval_step = make_seg_eval_step(num_classes, loss_cfg)
 
     start_epoch = 0

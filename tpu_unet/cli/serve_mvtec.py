@@ -162,11 +162,17 @@ def _score_and_save(args, scorer, paths):
     if heatmaps is not None:
         from PIL import Image
         os.makedirs(args.heatmap_dir, exist_ok=True)
+        used = set()
         for i, p in enumerate(paths):
             if i in failed:
                 continue  # zeroed map for an undecodable input is noise
             rel = os.path.relpath(p, args.input_dir)
-            name = os.path.splitext(rel)[0].replace(os.sep, "__") + "_heatmap.png"
+            # Keep the source extension in the flattened name (x.png vs x.jpg
+            # must not collide); disambiguate any residual clash by index.
+            name = rel.replace(os.sep, "__") + "_heatmap.png"
+            if name in used:
+                name = f"{rel.replace(os.sep, '__')}_{i}_heatmap.png"
+            used.add(name)
             Image.fromarray(heatmaps[i], mode="L").save(
                 os.path.join(args.heatmap_dir, name))
         payload["heatmap_dir"] = args.heatmap_dir

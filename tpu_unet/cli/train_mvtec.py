@@ -154,6 +154,9 @@ from tpu_unet.cli._seg_common import _Subset  # noqa: E402
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.grad_accum < 1 or args.batch_size % args.grad_accum != 0:
+        raise SystemExit(f"--batch_size {args.batch_size} must be a positive "
+                         f"multiple of --grad_accum {args.grad_accum}")
 
     from tpu_unet.core.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -223,9 +226,6 @@ def main(argv=None):
         recon_loss_type="ssim" if args.use_ssim else "mse",
     )
     dual = args.model == "anomaly_unet"
-    if args.grad_accum < 1 or args.batch_size % args.grad_accum != 0:
-        raise SystemExit(f"--batch_size {args.batch_size} must be a positive "
-                         f"multiple of --grad_accum {args.grad_accum}")
     train_step = make_anomaly_train_step(
         loss_cfg,
         AugmentConfig(rotation_mode=args.rotation_mode,

@@ -146,6 +146,39 @@ def _pipelined_batches(paths: Sequence[str], size_hw, batch_size: int,
         decode_pool.shutdown(wait=False)
 
 
+def _lagged_host_fetch(device_fn):
+    """Wrap a batch-enqueue fn so each batch's outputs land on host when the
+    NEXT batch is enqueued (one batch of device output buffers in flight).
+
+    Score scans enqueue everything and fetch at the end — fine for (N,) score
+    vectors, but mask/heatmap outputs scale with the dataset: an all-enqueue
+    scan over 100k images would pin every (B,H,W) output buffer in HBM at
+    once. The lag-1 fetch keeps device memory at ~one batch while still
+    overlapping batch k+1's decode (prefetch thread) and compute with batch
+    k's fetch. Returns ``(run, drain)``: pass ``run`` to _pipelined_batches,
+    call ``drain()`` afterwards for the list of per-batch host tuples.
+    """
+    pending: list = []
+    host: list = []
+
+    def _fetch_one():
+        host.append(tuple(np.asarray(x) for x in pending.pop()))
+
+    def run(imgs):
+        out = device_fn(imgs)
+        if pending:
+            _fetch_one()
+        pending.append(out)
+        return None
+
+    def drain():
+        if pending:
+            _fetch_one()
+        return host
+
+    return run, drain
+
+
 class AnomalyScorer:
     """Batched anomaly scorer over one jitted, score-only program.
 
@@ -376,19 +409,22 @@ class AnomalyScorer:
                       on_decode_error: str = "raise", return_failed: bool = False):
         """Decode image files and produce (scores, heatmaps), streaming batch by
         batch with the same pipelined decode + failure policy as
-        :meth:`score_paths` (skipped files: score NaN, heatmap zeroed)."""
+        :meth:`score_paths` (skipped files: score NaN, heatmap zeroed). Heatmap
+        outputs are fetched lag-1 so device buffers stay one batch deep (the
+        host accumulates the full result)."""
         self._require_heatmap()
-        pending, failed = _pipelined_batches(
+        run, drain = _lagged_host_fetch(
+            lambda imgs: self._heatmap_fn(self._params, self._put(imgs)))
+        _, failed = _pipelined_batches(
             paths, (self.image_size, self.image_size), self.batch_size,
-            num_workers,
-            lambda imgs: self._heatmap_fn(self._params, self._put(imgs)),
-            on_decode_error=on_decode_error)
+            num_workers, run, on_decode_error=on_decode_error)
+        pending = drain()
         if not pending:
             hw = self.image_size
             out = (np.zeros((0,), np.float32), np.zeros((0, hw, hw), np.uint8))
             return out + ([],) if return_failed else out
-        scores = np.concatenate([np.asarray(s) for s, _ in pending])[:len(paths)]
-        maps = np.concatenate([np.asarray(m) for _, m in pending])[:len(paths)]
+        scores = np.concatenate([s for s, _ in pending])[:len(paths)]
+        maps = np.concatenate([m for _, m in pending])[:len(paths)]
         if failed:
             scores, maps = scores.copy(), maps.copy()
             scores[np.asarray(failed)] = np.nan
@@ -610,25 +646,28 @@ class SegmentationPredictor:
     def predict_paths(self, paths: Sequence[str], num_workers: int = 4,
                       on_decode_error: str = "raise", return_failed: bool = False):
         """Decode+resize image files and predict, streaming batch by batch
-        (decode overlaps device work; memory stays one batch deep, not the whole
-        directory); returns (masks (N,H,W) uint8, mean_confidences (N,)).
+        (decode overlaps device work; mask outputs are fetched lag-1 so device
+        buffers stay one batch deep — the host accumulates the full result);
+        returns (masks (N,H,W) uint8, mean_confidences (N,)).
 
         A corrupt file raises :class:`DecodeError` naming the path; with
         ``on_decode_error='skip'`` it is logged, its mask zeroed, and its
         confidence set to NaN. With ``return_failed=True`` returns
         ``(masks, confs, failed_indices)`` — the authoritative decode-skip list,
         distinct from confidences the MODEL produced as NaN."""
-        pending, failed = _pipelined_batches(
-            paths, self.image_size_hw, self.batch_size, num_workers,
-            lambda imgs: self._predict_fn(self._params, self._put(imgs)),
+        run, drain = _lagged_host_fetch(
+            lambda imgs: self._predict_fn(self._params, self._put(imgs)))
+        _, failed = _pipelined_batches(
+            paths, self.image_size_hw, self.batch_size, num_workers, run,
             on_decode_error=on_decode_error)
+        pending = drain()
         if not pending:
             h, w = self.image_size_hw
             masks = np.zeros((0, h, w), np.uint8)
             confs = np.zeros((0,), np.float32)
             return (masks, confs, []) if return_failed else (masks, confs)
-        masks = np.concatenate([np.asarray(m) for m, _ in pending])[:len(paths)]
-        confs = np.concatenate([np.asarray(c) for _, c in pending])[:len(paths)]
+        masks = np.concatenate([m for m, _ in pending])[:len(paths)]
+        confs = np.concatenate([c for _, c in pending])[:len(paths)]
         if failed:
             masks, confs = masks.copy(), confs.copy()
             masks[np.asarray(failed)] = 0
