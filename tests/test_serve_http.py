@@ -223,6 +223,50 @@ def test_daemon_cli_flag_validation(tmp_path):
         build_service(args, parser)
 
 
+def test_daemon_sigterm_graceful_shutdown():
+    """SIGTERM (docker stop / systemd / kubelet) ends serve_until_signal
+    cleanly: the server socket closes, the batcher drains, and an in-flight
+    request that landed just before the signal still resolves."""
+    import os
+    import signal
+    import time
+
+    from tpu_unet.cli.serve_daemon import serve_until_signal
+
+    params, bstats = _variables(AnomalyUNet(base_features=4), (32, 32))
+    scorer = AnomalyScorer.from_variables(params, bstats, image_size=32,
+                                          batch_size=2, base_features=4)
+    svc = ServingService(scorer, max_wait_ms=0)
+    server = make_server(svc, port=0)
+    port = server.server_address[1]
+    results = {}
+
+    def client():
+        time.sleep(0.3)
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        try:
+            img = np.zeros((32, 32, 3), np.uint8)
+            conn.request("POST", "/v1/score", body=_png_bytes(img))
+            resp = conn.getresponse()
+            results["status"] = resp.status
+            results["body"] = json.loads(resp.read().decode())
+        finally:
+            conn.close()
+        os.kill(os.getpid(), signal.SIGTERM)
+
+    t = threading.Thread(target=client, daemon=True)
+    t.start()
+    serve_until_signal(server, svc)  # returns (instead of killing the process)
+    t.join(timeout=30)
+    assert results.get("status") == 200
+    assert np.isfinite(results["body"]["score"])
+    # The batcher is drained and closed: new submissions are refused.
+    with pytest.raises(RuntimeError, match="closed"):
+        svc.batcher.submit(np.zeros((32, 32, 3), np.uint8))
+    # The previous SIGTERM disposition was restored.
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+
+
 def test_daemon_cli_from_artifact(tmp_path):
     """--artifact mode: kind + geometry come from meta.json, no --task needed."""
     from tpu_unet.cli.serve_daemon import build_service, parse_args

@@ -117,6 +117,33 @@ def build_service(args, parser):
                           threshold=args.threshold)
 
 
+def serve_until_signal(server, service) -> None:
+    """serve_forever until SIGTERM or Ctrl-C, then shut down cleanly.
+
+    SIGTERM is the production stop signal (systemd, docker stop, kubelet): the
+    handler raises SystemExit in the serving thread, the threaded HTTP server
+    waits for in-flight request handlers on close, and the micro-batcher(s)
+    flush their queued requests before the engine goes away — no request is
+    left hanging on an unresolved future.
+    """
+    import signal
+
+    def _term(signum, frame):
+        raise SystemExit(0)
+
+    prev = signal.signal(signal.SIGTERM, _term)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        print("Shutting down (SIGINT)")
+    except SystemExit:
+        print("Shutting down (SIGTERM)")
+    finally:
+        signal.signal(signal.SIGTERM, prev)
+        server.server_close()
+        service.close()
+
+
 def main(argv=None):
     args, parser = parse_args(argv)
     from tpu_unet.core.cache import enable_compilation_cache
@@ -138,13 +165,7 @@ def main(argv=None):
     print(f"Serving {service.kind} on http://{host}:{port}{endpoint} "
           f"(batch {service.engine.batch_size} @ {service.size_hw}, "
           f"window {args.max_wait_ms} ms; GET /healthz for stats)")
-    try:
-        server.serve_forever()
-    except KeyboardInterrupt:
-        print("Shutting down")
-    finally:
-        server.server_close()
-        service.close()
+    serve_until_signal(server, service)
 
 
 if __name__ == "__main__":
