@@ -243,3 +243,39 @@ class TestGradAccumSharded:
         p1 = jax.tree_util.tree_leaves(state1.params)[0]
         p8 = jax.tree_util.tree_leaves(state8.params)[0]
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-5)
+
+    def test_spatial_mesh_matches_unsharded(self, devices):
+        """Accumulation under H ('space') sharding — the seg CLIs allow
+        --n_space with --grad_accum, so the (G, B/G, H, W) reshape must
+        partition over BOTH mesh axes without numeric drift."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tpu_unet.models import SegmentationUNet
+
+        model = SegmentationUNet(n_classes=3, base_features=4, dropout=0.0)
+        tx = make_optimizer("sgd", 1e-2, 0.0)
+        rng = np.random.default_rng(8)
+        img = rng.integers(0, 256, (4, 64, 32, 3), dtype=np.uint8)
+        lbl = rng.integers(0, 3, (4, 64, 32)).astype(np.int32)
+
+        def run(spatial):
+            state = create_train_state(model, jax.random.key(0), (1, 64, 32, 3), tx)
+            step = make_seg_train_step(3, aug_cfg=AUG, donate_state=False,
+                                       grad_accum=2)
+            bi, bl = img, lbl
+            if spatial:
+                mesh = make_mesh(n_data=2, n_space=4)
+                state = replicate(mesh, state)
+                bi = jax.device_put(img, NamedSharding(mesh, P("data", "space")))
+                bl = jax.device_put(lbl, NamedSharding(mesh, P("data", "space")))
+            state, ld, cm = step(state, bi, bl, jax.random.key(4))
+            return float(ld["total_loss"]), np.asarray(cm), state
+
+        loss1, cm1, state1 = run(False)
+        loss8, cm8, state8 = run(True)
+        assert abs(loss1 - loss8) < 1e-4 * max(1.0, abs(loss1))
+        np.testing.assert_array_equal(cm1, cm8)
+        p1 = jax.tree_util.tree_leaves(state1.params)[0]
+        p8 = jax.tree_util.tree_leaves(state8.params)[0]
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p8),
+                                   rtol=2e-4, atol=2e-5)
