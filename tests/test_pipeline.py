@@ -4,9 +4,10 @@ orchestration layer, /root/reference/run_pipeline.sh)."""
 
 import json
 import os
+import shutil
 import subprocess
 
-from tests.test_data import make_mvtec
+from tests.test_data import make_kolektorsdd, make_mvtec
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -63,3 +64,63 @@ def test_pipeline_mvtec(tmp_path):
     art = os.path.join(tmp_path, "artifact")
     assert os.path.exists(os.path.join(art, "meta.json"))
     assert os.path.exists(os.path.join(art, "program.jaxexport"))
+
+
+def test_pipeline_kolektorsdd_int8(tmp_path):
+    """KolektorSDD pipeline with QUANTIZE=int8: the serving stage calibrates
+    from the kos*/ folders (no images/ subdir — the layout that used to abort
+    stage 4 with 'no calibration images') and the annotation rasters are
+    filtered out of the calibration set."""
+    root = make_kolektorsdd(str(tmp_path / "ksdd"), n_folders=4, per_folder=3,
+                            h=64, w=32)
+    # A serve dir with images only: pointing --input_dir at a kos*/ folder
+    # would also "predict" on the X_label.bmp annotation rasters.
+    serve_dir = tmp_path / "serve_inputs"
+    serve_dir.mkdir()
+    for name in ("Part0.jpg", "Part1.jpg"):
+        shutil.copy(os.path.join(root, "kos00", name), serve_dir / name)
+
+    geom = ("--image_height 64 --image_width 32 --base_features 4 "
+            "--device cpu --n_devices 2")
+    env = dict(os.environ)
+    env.update({
+        "TPU_UNET_DATA_CACHE": "",
+        "DATASET": "kolektorsdd",
+        "DATA_ROOT": root,
+        "MODEL": "seg_unet",
+        "EPOCHS": "1",
+        "BATCH_SIZE": "2",
+        "PRECISION": "f32",
+        "QUANTIZE": "int8",
+        "SAVE_DIR": os.path.join(tmp_path, "outputs"),
+        "TEST_DIR": os.path.join(tmp_path, "test_results"),
+        "VIS_DIR": os.path.join(tmp_path, "visualizations"),
+        "SERVE_DIR": str(serve_dir),
+        "EXTRA_TRAIN_ARGS": f"{geom} --val_freq 1 --save_freq 1 --num_workers 2",
+        "EXTRA_TEST_ARGS": f"{geom} --num_workers 2",
+        "EXTRA_VIS_ARGS": f"{geom} --num_workers 2 --max_samples 2",
+        # argparse last-wins: overrides the script's hardcoded 1024x512.
+        "EXTRA_SERVE_ARGS": f"{geom} --batch_size 2 --calib_samples 4",
+    })
+    proc = subprocess.run(["bash", os.path.join(REPO, "run_pipeline.sh")],
+                          cwd=REPO, env=env, stdout=subprocess.PIPE,
+                          stderr=subprocess.STDOUT, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stdout[-4000:]
+    assert "Pipeline completed" in proc.stdout
+
+    outputs = os.path.join(tmp_path, "outputs")
+    exps = [d for d in os.listdir(outputs) if d.startswith("kolektorsdd_seg_unet")]
+    assert len(exps) == 1
+    assert os.path.isdir(os.path.join(outputs, exps[0], "checkpoints", "best_model"))
+    assert os.path.exists(os.path.join(tmp_path, "test_results", "kolektorsdd",
+                                       "evaluation_results.json"))
+    assert any(f.endswith(".png")
+               for f in os.listdir(os.path.join(tmp_path, "visualizations")))
+
+    with open(os.path.join(tmp_path, "test_results", "served_masks",
+                           "predictions.json")) as f:
+        payload = json.load(f)
+    assert payload["quantize"] == "int8"  # stage 4 actually ran quantized
+    assert len(payload["predictions"]) == 2
+    masks = os.listdir(os.path.join(tmp_path, "test_results", "served_masks"))
+    assert sum(m.endswith("_mask.png") for m in masks) == 2
