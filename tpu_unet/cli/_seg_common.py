@@ -34,8 +34,10 @@ from tpu_unet.train import (
     num_params,
     CheckpointWriter,
 )
+from tpu_unet.train.interrupt import (GracefulInterrupt, INTERRUPT_EXIT_CODE,
+                                      interrupt_checkpoint_path)
 from tpu_unet.train.loop import train_seg_epoch, validate_seg_epoch
-from tpu_unet.utils import create_output_dirs, save_json, setup_logging
+from tpu_unet.utils import append_jsonl, create_output_dirs, save_json, setup_logging
 
 
 @dataclasses.dataclass
@@ -161,22 +163,42 @@ def run_seg_training(args, workload: Workload):
     if args.resume:
         state, last_epoch, _ = load_checkpoint(state, args.resume)
         start_epoch = last_epoch + 1
+        # Align the loader's shuffle-epoch counter so a resumed run sees the
+        # same per-epoch sample order as an uninterrupted one.
+        train_loader.epoch = start_epoch
 
     logger.info("Starting training...")
     base_key = jax.random.key(args.seed)
     train_losses, val_losses = [], []
     best_val_miou = 0.0
+    history_path = os.path.join(output_dirs["results"], "history.jsonl")
+    interrupted_at = None  # epoch cut short by SIGTERM (preemption)
 
     ckpt_writer = CheckpointWriter()  # async: file writes overlap training
+    intr = GracefulInterrupt().install()  # SIGTERM -> checkpoint, not death
     try:
         for epoch in range(start_epoch, args.epochs):
             t0 = time.time()
             state, train_metrics, train_cm = train_seg_epoch(
                 state, train_step, train_loader, base_key, epoch, num_classes,
                 progress_fn=logger.info,
-                progress_every=getattr(args, "progress_every", 10))
+                progress_every=getattr(args, "progress_every", 10),
+                should_stop=intr.step_poll())
+            if intr.poll_global():
+                # SIGTERM (preemption/eviction): this epoch may be partial, so
+                # checkpoint the state with epoch-1 as "last completed" —
+                # --resume replays the interrupted epoch from its start.
+                ipath = interrupt_checkpoint_path(output_dirs["checkpoints"])
+                ckpt_writer.save(state, epoch - 1,
+                                 train_metrics.get("total_loss", 0.0), ipath)
+                ckpt_writer.wait()
+                interrupted_at = epoch
+                logger.info(f"SIGTERM received: training interrupted during "
+                            f"epoch {epoch}; resume with --resume {ipath}")
+                break
             train_losses.append(train_metrics.get("total_loss", 0.0))
             train_miou = float(np.nanmean(train_cm.compute_iou()))
+            history = {"epoch": epoch, "train_miou": train_miou, **train_metrics}
 
             val_results = None
             if epoch % args.val_freq == 0 or epoch == args.epochs - 1:
@@ -186,6 +208,12 @@ def run_seg_training(args, workload: Workload):
                 val_losses.append(val_metrics.get("total_loss", 0.0))
                 val_all = val_cm.compute_all_metrics()
                 val_results = (val_metrics, val_all)
+                history.update({
+                    "val_loss": val_metrics.get("total_loss", 0.0),
+                    "val_miou": float(val_all["mean_iou"]),
+                    "val_dice": float(val_all["mean_dice"]),
+                    "val_pixel_accuracy": float(val_all["pixel_accuracy"]),
+                })
                 if val_all["mean_iou"] > best_val_miou:
                     best_val_miou = val_all["mean_iou"]
                     ckpt_writer.save(state, epoch, val_metrics.get("total_loss", 0.0),
@@ -199,8 +227,11 @@ def run_seg_training(args, workload: Workload):
                 msg += (f" | val loss {val_results[0].get('total_loss', 0):.4f} "
                         f"mIoU {val_results[1]['mean_iou']:.4f} "
                         f"dice {val_results[1]['mean_dice']:.4f}")
-            msg += f" ({time.time() - t0:.1f}s)"
+            dt = time.time() - t0
+            msg += f" ({dt:.1f}s)"
             logger.info(msg)
+            history["epoch_seconds"] = round(dt, 3)
+            append_jsonl(history, history_path)  # live, crash-surviving record
 
             if epoch % args.save_freq == 0 or epoch == args.epochs - 1:
                 ckpt_writer.save(state, epoch, train_metrics.get("total_loss", 0.0),
@@ -209,6 +240,7 @@ def run_seg_training(args, workload: Workload):
 
     finally:
         ckpt_writer.close()  # flush in-flight writes even on error
+        intr.uninstall()
     results = {
         "train_losses": train_losses,
         "val_losses": val_losses,
@@ -216,9 +248,14 @@ def run_seg_training(args, workload: Workload):
         "total_epochs": args.epochs,
         "total_params": total_params,
         "num_classes": num_classes,
+        "interrupted": interrupted_at is not None,
         "args": vars(args),
     }
     save_json(results, os.path.join(output_dirs["results"], "training_results.json"))
+    if interrupted_at is not None:
+        logger.info(f"Training interrupted (SIGTERM) during epoch "
+                    f"{interrupted_at}; partial results saved to: {experiment_dir}")
+        raise SystemExit(INTERRUPT_EXIT_CODE)  # EX_TEMPFAIL: requeue me
     logger.info("Training completed!")
     logger.info(f"Best validation mIoU: {best_val_miou:.4f}")
     logger.info(f"Results saved to: {experiment_dir}")

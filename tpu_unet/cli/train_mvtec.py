@@ -40,8 +40,10 @@ from tpu_unet.train import (
     CheckpointWriter,
     set_learning_rate,
 )
+from tpu_unet.train.interrupt import (GracefulInterrupt, INTERRUPT_EXIT_CODE,
+                                      interrupt_checkpoint_path)
 from tpu_unet.train.loop import train_anomaly_epoch, validate_anomaly_epoch
-from tpu_unet.utils import create_output_dirs, print_metrics, save_json
+from tpu_unet.utils import append_jsonl, create_output_dirs, print_metrics, save_json
 from tpu_unet.utils.viz import plot_training_curves
 
 
@@ -238,38 +240,64 @@ def main(argv=None):
     if args.resume:
         state, last_epoch, _ = load_checkpoint(state, args.resume)
         start_epoch = last_epoch + 1
+        # Align the loader's shuffle-epoch counter so a resumed run sees the
+        # same per-epoch sample order as an uninterrupted one.
+        train_loader.epoch = start_epoch
 
     # Training loop
     print("Starting training...")
     base_key = jax.random.key(args.seed)
     train_losses, val_losses = [], []
     best_val_loss = float("inf")
+    history_path = os.path.join(output_dirs["results"], "history.jsonl")
+    interrupted_at = None  # epoch cut short by SIGTERM (preemption)
 
     # Profile the second epoch (past compile warm-up) — unless the run only HAS
     # one epoch, in which case profile it rather than silently capturing nothing.
     profile_epoch = (start_epoch + 1 if args.epochs > start_epoch + 1
                      else start_epoch)
     ckpt_writer = CheckpointWriter()  # async: file writes overlap training
+    intr = GracefulInterrupt().install()  # SIGTERM -> checkpoint, not death
     try:
         for epoch in range(start_epoch, args.epochs):
             epoch_start = time.time()
-            state = state.replace(opt_state=set_learning_rate(
-                state.opt_state, scheduler.lr_for_epoch(epoch)))
+            lr = scheduler.lr_for_epoch(epoch)
+            state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
 
             profiling = args.profile_dir and epoch == profile_epoch
             if profiling:
                 jax.profiler.start_trace(args.profile_dir)
             state, train_metrics = train_anomaly_epoch(
                 state, train_step, train_loader, base_key, epoch,
-                progress_fn=print, progress_every=args.progress_every)
+                progress_fn=print, progress_every=args.progress_every,
+                should_stop=intr.step_poll())
             if profiling:
                 jax.profiler.stop_trace()
                 print(f"Profiler trace saved to {args.profile_dir}")
+            if intr.poll_global():
+                # SIGTERM (preemption/eviction): this epoch may be partial, so
+                # checkpoint the state with epoch-1 as "last completed" —
+                # --resume replays the interrupted epoch from its start.
+                ipath = interrupt_checkpoint_path(output_dirs["checkpoints"])
+                ckpt_writer.save(state, epoch - 1,
+                                 train_metrics.get("total_loss", 0.0), ipath)
+                ckpt_writer.wait()
+                interrupted_at = epoch
+                print(f"SIGTERM received: training interrupted during epoch "
+                      f"{epoch}; resume with --resume {ipath}")
+                break
             train_losses.append(train_metrics["total_loss"])
+            history = {"epoch": epoch, "lr": lr,
+                       "epoch_seconds": round(time.time() - epoch_start, 3),
+                       **{k: train_metrics[k] for k in
+                          ("total_loss", "recon_loss", "seg_loss")}}
 
             if epoch % args.val_freq == 0 or epoch == args.epochs - 1:
                 val_metrics = validate_anomaly_epoch(state, eval_step, val_loader)
                 val_losses.append(val_metrics["total_loss"])
+                history["val_loss"] = val_metrics["total_loss"]
+                history.update({f"val_{k}": v for k, v in
+                                val_metrics["image_metrics"].items()})
                 if args.scheduler == "plateau":
                     scheduler.step_plateau(val_metrics["total_loss"])
 
@@ -294,22 +322,30 @@ def main(argv=None):
                                  os.path.join(output_dirs["checkpoints"],
                                               f"checkpoint_epoch_{epoch}"))
 
+            append_jsonl(history, history_path)  # live, crash-surviving record
             print(f"Epoch time: {time.time() - epoch_start:.2f}s")
 
     finally:
         ckpt_writer.close()  # flush in-flight writes even on error
-    plot_training_curves(train_losses, val_losses,
-                         os.path.join(output_dirs["results"], "training_curves.png"))
+        intr.uninstall()
+    if train_losses or val_losses:
+        plot_training_curves(train_losses, val_losses,
+                             os.path.join(output_dirs["results"], "training_curves.png"))
     results = {
         "train_losses": train_losses,
         "val_losses": val_losses,
-        "best_val_loss": best_val_loss,
+        "best_val_loss": best_val_loss if best_val_loss != float("inf") else None,
         "total_epochs": args.epochs,
         "total_params": total_params,
+        "interrupted": interrupted_at is not None,
         "args": vars(args),
     }
     save_json(results, os.path.join(output_dirs["results"], "training_results.json"))
 
+    if interrupted_at is not None:
+        print(f"\nTraining interrupted (SIGTERM) during epoch {interrupted_at}; "
+              f"partial results saved to: {experiment_dir}")
+        raise SystemExit(INTERRUPT_EXIT_CODE)  # EX_TEMPFAIL: requeue me
     print("\nTraining completed!")
     print(f"Best validation loss: {best_val_loss:.4f}")
     print(f"Results saved to: {experiment_dir}")

@@ -79,11 +79,15 @@ class _Progress:
 def train_anomaly_epoch(state, step_fn, loader, base_key, epoch: int,
                         log_fn: Optional[Callable[[str], None]] = None,
                         progress_fn: Optional[Callable[[str], None]] = None,
-                        progress_every: int = 10):
+                        progress_every: int = 10,
+                        should_stop: Optional[Callable[[], bool]] = None):
     """One training epoch; returns (state, {'total_loss','recon_loss','seg_loss'}).
 
     ``progress_fn``: optional sink for an intra-epoch step/loss/rate line every
     ``progress_every`` steps (lagged device reads — no added chip syncs).
+    ``should_stop``: polled between steps; True ends the epoch early (the
+    trainers' SIGTERM latch — see train/interrupt.py). Metrics cover the steps
+    that ran.
     """
     key = _epoch_key(base_key, epoch)
     per_batch = []
@@ -91,6 +95,8 @@ def train_anomaly_epoch(state, step_fn, loader, base_key, epoch: int,
     prog = _Progress(progress_fn, progress_every,
                      len(loader) if hasattr(loader, "__len__") else None)
     for i, batch in enumerate(loader):
+        if should_stop is not None and should_stop():
+            break
         k = jax.random.fold_in(key, i)
         state, losses = step_fn(state, batch["image"], batch["mask"], k)
         per_batch.append(losses)
@@ -203,12 +209,15 @@ def validate_anomaly_epoch(state, eval_fn, loader) -> Dict:
 
 def train_seg_epoch(state, step_fn, loader, base_key, epoch: int, num_classes: int,
                     progress_fn: Optional[Callable[[str], None]] = None,
-                    progress_every: int = 10):
+                    progress_every: int = 10,
+                    should_stop: Optional[Callable[[], bool]] = None):
     """One seg training epoch; returns (state, loss dict, SegmentationMetrics).
 
     ``progress_fn``: optional intra-epoch step/loss/mIoU/rate line every
     ``progress_every`` steps (the reference's tqdm postfix,
     /root/reference/train.py:148-153) from lagged device handles.
+    ``should_stop``: polled between steps; True ends the epoch early (the
+    trainers' SIGTERM latch — see train/interrupt.py).
     """
     key = _epoch_key(base_key, epoch)
     metrics = SegmentationMetrics(num_classes)
@@ -218,6 +227,8 @@ def train_seg_epoch(state, step_fn, loader, base_key, epoch: int, num_classes: i
     run_cm = np.zeros((num_classes, num_classes), np.int64)
     fetched = 0  # cms consumed into run_cm at progress ticks
     for i, batch in enumerate(loader):
+        if should_stop is not None and should_stop():
+            break
         k = jax.random.fold_in(key, i)
         state, losses, cm = step_fn(state, batch["image"], batch["mask"], k)
         per_batch.append(losses)

@@ -43,6 +43,14 @@ def save_json(obj, path: str) -> None:
         json.dump(convert_numpy(obj), f, indent=2)
 
 
+def append_jsonl(record, path: str) -> None:
+    """Append one JSON record as a line (open/write/close per call, so every
+    completed epoch's entry survives a crash — the trainers' live
+    ``history.jsonl``)."""
+    with open(path, "a") as f:
+        f.write(json.dumps(convert_numpy(record)) + "\n")
+
+
 IMAGE_EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")
 
 
