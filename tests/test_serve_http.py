@@ -210,6 +210,50 @@ def test_daemon_seg_predict_roundtrip():
         d.close()
 
 
+def test_daemon_metrics_endpoint(anomaly_daemon):
+    """GET /metrics: Prometheus text exposition with request counters, latency
+    histograms, and per-program occupancy counters (serve_metrics.py)."""
+    d, _ = anomaly_daemon
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    status, _ = d.request("POST", "/v1/score", _png_bytes(img))
+    assert status == 200
+    status, _ = d.request("POST", "/v1/score", b"not an image")  # error path
+    assert status == 400
+
+    conn = http.client.HTTPConnection("127.0.0.1", d.port, timeout=120)
+    try:
+        conn.request("GET", "/metrics")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type").startswith("text/plain")
+        text = resp.read().decode()
+    finally:
+        conn.close()
+
+    assert 'tpu_unet_serving_info{' in text
+    assert 'kind="anomaly_scorer"' in text and 'quantize="none"' in text
+
+    def counter(line_prefix):
+        for line in text.splitlines():
+            if line.startswith(line_prefix):
+                return int(line.rsplit(" ", 1)[1])
+        raise AssertionError(f"no line starting with {line_prefix!r}:\n{text}")
+
+    ok = counter('tpu_unet_requests_total{endpoint="/v1/score",status="ok"}')
+    err = counter('tpu_unet_requests_total{endpoint="/v1/score",status="error"}')
+    assert ok >= 1 and err >= 1
+    # Errors are timed too: the histogram saw every /v1/score request.
+    assert counter(
+        'tpu_unet_request_latency_seconds_count{endpoint="/v1/score"}'
+    ) == ok + err
+    # Program counters mirror the live micro-batcher (occupancy source).
+    assert counter('tpu_unet_engine_batches_total{program="main"}') \
+        == d.service.batcher.engine_batches
+    assert counter('tpu_unet_engine_requests_total{program="main"}') \
+        == d.service.batcher.requests_served
+
+
 # -- CLI service construction --------------------------------------------------
 
 def test_daemon_cli_flag_validation(tmp_path):

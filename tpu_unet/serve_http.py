@@ -20,6 +20,9 @@ sockets:
 - ``POST /v1/predict``  (seg engines)      image bytes -> {"mask_png_base64",
                           "mean_confidence", "class_pixel_share"}
 - ``GET  /v1/meta`` or ``/healthz``        engine geometry + serving counters
+- ``GET  /metrics``                        Prometheus text exposition (request
+                          counts, latency histograms, per-program occupancy —
+                          see serve_metrics.py)
 
 No reference counterpart: /root/reference (SURVEY.md §2.9-2.11) stops at
 per-experiment test scripts; this is the online half of the deployment story
@@ -43,6 +46,7 @@ from typing import Optional, Tuple, Union
 import numpy as np
 
 from tpu_unet.serve import AnomalyScorer, SegmentationPredictor
+from tpu_unet.serve_metrics import ServingMetrics
 
 
 def decode_image_bytes(data: bytes, size_hw: Tuple[int, int]) -> np.ndarray:
@@ -140,6 +144,7 @@ class ServingService:
         self.engine = engine
         self.threshold = threshold
         self.request_timeout_s = request_timeout_s
+        self.metrics = ServingMetrics()
         self.heatmap_batcher: Optional[MicroBatcher] = None
         if isinstance(engine, AnomalyScorer):
             self.kind = "anomaly_scorer"
@@ -163,8 +168,19 @@ class ServingService:
         """Serve one POSTed image; returns the JSON-ready response dict.
 
         Raises ValueError for a wrong endpoint/engine pairing and lets decode
-        errors surface (the HTTP layer maps both to 4xx).
+        errors surface (the HTTP layer maps both to 4xx). Every request —
+        success or failure — is timed into the Prometheus metrics registry.
         """
+        t0 = time.monotonic()
+        try:
+            resp = self._handle(path, body)
+        except BaseException:
+            self.metrics.observe(path, time.monotonic() - t0, ok=False)
+            raise
+        self.metrics.observe(path, time.monotonic() - t0, ok=True)
+        return resp
+
+    def _handle(self, path: str, body: bytes) -> dict:
         if path == "/v1/score" and self.kind == "anomaly_scorer":
             image = decode_image_bytes(body, self.size_hw)
             score = float(self.batcher.submit(image)
@@ -219,6 +235,21 @@ class ServingService:
                if self.heatmap_batcher is not None else {}),
         }
 
+    def metrics_text(self) -> str:
+        """Prometheus exposition text for GET /metrics (serve_metrics.py)."""
+        programs = {"main": (self.batcher.engine_batches,
+                             self.batcher.requests_served)}
+        if self.heatmap_batcher is not None:
+            programs["heatmap"] = (self.heatmap_batcher.engine_batches,
+                                   self.heatmap_batcher.requests_served)
+        info = {
+            "kind": self.kind,
+            "quantize": getattr(self.engine, "quantize", None) or "none",
+            "batch_size": str(self.engine.batch_size),
+            "image_size_hw": "x".join(str(int(s)) for s in self.size_hw),
+        }
+        return self.metrics.render(info, programs)
+
     def warmup(self) -> None:
         """Compile the serving program(s) before accepting traffic."""
         img = np.zeros(self.size_hw + (3,), np.uint8)
@@ -251,6 +282,14 @@ def make_server(service: ServingService, host: str = "127.0.0.1",
         def do_GET(self):  # noqa: N802 — http.server API
             if self.path in ("/healthz", "/v1/meta"):
                 self._send(200, service.meta())
+            elif self.path == "/metrics":
+                body = service.metrics_text().encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": f"unknown path {self.path!r}"})
 
