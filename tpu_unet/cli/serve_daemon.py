@@ -56,6 +56,13 @@ def parse_args(argv=None):
                    help="Max micro-batch (the compiled program's batch); "
                         "smaller = lower tail latency, larger = more "
                         "coalescing headroom")
+    p.add_argument("--bucket_sizes", type=str, default=None,
+                   help="Comma-separated batch-shape ladder (e.g. '1,2,4'): "
+                        "a part-full micro-batch pads to the smallest "
+                        "adequate compiled bucket instead of the full "
+                        "--batch_size — lower device cost per request at low "
+                        "concurrency, one extra compile per bucket at warmup "
+                        "(--batch_size is always the top bucket)")
     p.add_argument("--precision", type=str, default="bf16",
                    choices=["bf16", "f32"])
     p.add_argument("--quantize", type=str, default="none",
@@ -81,7 +88,15 @@ def build_service(args, parser):
         baked_flags=("task", "image_size", "image_height", "image_width",
                      "num_classes", "batch_size", "precision", "quantize",
                      "calib_dir", "calib_samples", "calib_percentile",
-                     "qparams", "base_features", "bilinear", "heatmap"))
+                     "qparams", "base_features", "bilinear", "heatmap",
+                     "bucket_sizes"))
+    buckets = None
+    if args.bucket_sizes:
+        try:
+            buckets = [int(tok) for tok in args.bucket_sizes.split(",") if tok]
+        except ValueError:
+            raise SystemExit(f"--bucket_sizes must be comma-separated "
+                             f"integers, got {args.bucket_sizes!r}")
     if args.artifact:
         engine = load_artifact_engine(args)
     else:
@@ -89,6 +104,12 @@ def build_service(args, parser):
             raise SystemExit("--task anomaly|seg is required with --checkpoint")
         if args.heatmap and args.task != "anomaly":
             raise SystemExit("--heatmap only applies to --task anomaly")
+        if buckets is not None:
+            from tpu_unet.serve import _normalize_buckets
+            try:
+                _normalize_buckets(buckets, args.batch_size)
+            except ValueError as e:
+                raise SystemExit(f"--bucket_sizes: {e}")
         if args.task == "anomaly":
             size_hw = (args.image_size, args.image_size)
         else:
@@ -102,7 +123,7 @@ def build_service(args, parser):
                 quantize=quantize, calib_images=calib_images,
                 base_features=args.base_features, bilinear=args.bilinear,
                 qparams=qparams_tree, calib_percentile=args.calib_percentile,
-                with_heatmap=args.heatmap)
+                with_heatmap=args.heatmap, bucket_sizes=buckets)
         else:
             from tpu_unet.serve import SegmentationPredictor
             engine = SegmentationPredictor.from_checkpoint(
@@ -111,7 +132,7 @@ def build_service(args, parser):
                 precision=args.precision, quantize=quantize,
                 calib_images=calib_images, base_features=args.base_features,
                 bilinear=args.bilinear, qparams=qparams_tree,
-                calib_percentile=args.calib_percentile)
+                calib_percentile=args.calib_percentile, bucket_sizes=buckets)
         maybe_save_qparams(args, engine, qparams_tree)
     return ServingService(engine, max_wait_ms=args.max_wait_ms,
                           threshold=args.threshold)
@@ -162,8 +183,10 @@ def main(argv=None):
                 else "/v1/predict")
     if service.heatmap_batcher is not None:
         endpoint += " + /v1/heatmap"
+    buckets = ("" if not service.engine.bucket_sizes else
+               f", buckets {list(service.engine.bucket_sizes)}")
     print(f"Serving {service.kind} on http://{host}:{port}{endpoint} "
-          f"(batch {service.engine.batch_size} @ {service.size_hw}, "
+          f"(batch {service.engine.batch_size} @ {service.size_hw}{buckets}, "
           f"window {args.max_wait_ms} ms; GET /healthz for stats)")
     serve_until_signal(server, service)
 

@@ -17,7 +17,10 @@ figures are bench.py's serve_* keys):
 - **Pipelined dispatch**: batches are enqueued back-to-back and only the (N,)
   score vectors are fetched, keeping the device busy across the host roundtrip.
 - **Fixed shapes**: inputs are padded to the serving batch size so exactly one
-  XLA program is compiled.
+  XLA program is compiled. An optional ``bucket_sizes`` ladder (TF-Serving's
+  allowed_batch_sizes pattern) compiles a few extra batch shapes so ragged
+  chunks — the online daemon's low-concurrency flushes — pad to the smallest
+  adequate bucket instead of the full batch.
 
 Usage:
     scorer = AnomalyScorer.from_checkpoint("outputs/exp/checkpoints/best_model",
@@ -76,6 +79,35 @@ def _pad_chunk(chunk: np.ndarray, batch_size: int) -> np.ndarray:
     return chunk
 
 
+def _normalize_buckets(bucket_sizes, batch_size: int, n_data: int = 1):
+    """Validate and canonicalize a serving-batch bucket ladder.
+
+    The ladder (the TF-Serving ``allowed_batch_sizes`` pattern) lets a ragged
+    chunk pad to the SMALLEST adequate compiled batch instead of the full
+    serving batch — one compiled program per bucket (jit caches per shape),
+    so 3 queued requests against ``bucket_sizes=(1, 4, 16)`` cost a 4-image
+    program call, not a ``batch_size``-image one. Returns a sorted tuple of
+    distinct sizes always ending in ``batch_size`` (the implicit top bucket),
+    or None when no ladder was given. Every bucket must stay divisible by the
+    data-parallel degree so sharded batches still split evenly.
+    """
+    if not bucket_sizes:
+        return None
+    sizes = sorted({int(b) for b in bucket_sizes})
+    if sizes[0] < 1:
+        raise ValueError(f"bucket sizes must be >= 1, got {sizes[0]}")
+    if sizes[-1] > batch_size:
+        raise ValueError(f"bucket size {sizes[-1]} exceeds the serving "
+                         f"batch_size {batch_size}")
+    if sizes[-1] != batch_size:
+        sizes.append(batch_size)
+    bad = [b for b in sizes if b % n_data]
+    if bad:
+        raise ValueError(f"bucket sizes {bad} not divisible by the "
+                         f"data-parallel degree {n_data}")
+    return tuple(sizes)
+
+
 class DecodeError(RuntimeError):
     """A source image failed to decode; ``.path`` names the offending file."""
 
@@ -86,7 +118,7 @@ class DecodeError(RuntimeError):
 
 def _pipelined_batches(paths: Sequence[str], size_hw, batch_size: int,
                        num_workers: int, fn, on_decode_error: str = "raise",
-                       log_fn=print):
+                       log_fn=print, pad_target=None):
     """Decode path chunks and apply ``fn(padded_uint8_batch)`` to each, streaming.
 
     A decode pool (``num_workers`` threads, GIL-free inside the native resampler)
@@ -102,10 +134,14 @@ def _pipelined_batches(paths: Sequence[str], size_hw, batch_size: int,
 
     Returns ``(results, failed)``: fn's results one per chunk, plus the sorted
     global path indices that were skipped (always empty in 'raise' mode).
+    ``pad_target`` maps a ragged chunk length to its padded batch size
+    (default: always ``batch_size``; engines pass their bucket ladder).
     """
     if on_decode_error not in ("raise", "skip"):
         raise ValueError(f"on_decode_error must be 'raise' or 'skip', "
                          f"got {on_decode_error!r}")
+    if pad_target is None:
+        pad_target = lambda n: batch_size  # noqa: E731
     chunks = [(lo, paths[lo:lo + batch_size])
               for lo in range(0, len(paths), batch_size)]
     if not chunks:
@@ -137,7 +173,7 @@ def _pipelined_batches(paths: Sequence[str], size_hw, batch_size: int,
             imgs = next_imgs
             future = (prefetch.submit(load_batch, *chunks[i + 1])
                       if i + 1 < len(chunks) else None)
-            results.append(fn(_pad_chunk(imgs, batch_size)))
+            results.append(fn(_pad_chunk(imgs, pad_target(len(imgs)))))
             if future is not None:
                 next_imgs = future.result()
         return results, sorted(failed)
@@ -187,13 +223,17 @@ class AnomalyScorer:
     """
 
     def __init__(self, score_fn, params_arg, image_size: int, batch_size: int,
-                 mesh=None, quantize: Optional[str] = None, heatmap_fn=None):
+                 mesh=None, quantize: Optional[str] = None, heatmap_fn=None,
+                 bucket_sizes: Optional[Sequence[int]] = None):
         self._score_fn = score_fn
         self._heatmap_fn = heatmap_fn  # optional second program (with_heatmap)
         self.image_size = int(image_size)
         self.batch_size = int(batch_size)
         self.quantize = quantize  # advisory: 'int8' or None (bf16/f32 program)
         self._mesh = mesh
+        n_data = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+        self.bucket_sizes = _normalize_buckets(bucket_sizes, self.batch_size,
+                                               n_data)
         if mesh is not None:
             from tpu_unet.parallel import replicate
             params_arg = replicate(mesh, params_arg)
@@ -204,6 +244,13 @@ class AnomalyScorer:
             return jnp.asarray(chunk)
         from tpu_unet.parallel import shard_batch
         return shard_batch(self._mesh, chunk)
+
+    def _pad_target(self, n: int) -> int:
+        """Smallest compiled batch adequate for ``n`` queued images (the full
+        serving batch without a bucket ladder; chunking keeps n <= batch_size)."""
+        if self.bucket_sizes is None:
+            return self.batch_size
+        return next(b for b in self.bucket_sizes if b >= n)
 
     # -- constructors -------------------------------------------------------
 
@@ -217,7 +264,8 @@ class AnomalyScorer:
                        n_devices: Optional[int] = None,
                        qparams: Optional[dict] = None,
                        calib_percentile: Optional[float] = None,
-                       with_heatmap: bool = False) -> "AnomalyScorer":
+                       with_heatmap: bool = False,
+                       bucket_sizes: Optional[Sequence[int]] = None) -> "AnomalyScorer":
         """Build a scorer from an AnomalyUNet's (params, batch_stats).
 
         ``n_devices > 1`` shards each serving batch over a 'data' mesh (data
@@ -234,9 +282,20 @@ class AnomalyScorer:
         (H,W) uint8 0..255 heatmap. The score-only program stays the fast path
         (its seg decoder is DCE'd); use :meth:`heatmap_array` /
         :meth:`heatmap_paths` for "where is the defect" serving.
+
+        ``bucket_sizes`` (e.g. ``(1, 4, 16)``) compiles a LADDER of batch
+        shapes: a ragged chunk pads to the smallest adequate bucket instead of
+        the full serving batch (TF-Serving's allowed_batch_sizes pattern) —
+        the online daemon's low-concurrency win, where a lone request against
+        ``batch_size=128`` would otherwise pay a 128-image program call. Costs
+        one compile per bucket (see :meth:`warmup`); ``batch_size`` is always
+        the implicit top bucket.
         """
         if quantize not in (None, "none", "int8"):
             raise ValueError(f"unsupported quantize mode {quantize!r}")
+        # Validate the ladder BEFORE any expensive calibration/model work.
+        _normalize_buckets(bucket_sizes, batch_size,
+                           n_devices if n_devices and n_devices > 1 else 1)
         mesh = None
         if n_devices is not None and n_devices > 1:
             from tpu_unet.parallel import make_mesh
@@ -270,7 +329,8 @@ class AnomalyScorer:
 
             return cls(jax.jit(score_fn), qparams, image_size, batch_size,
                        mesh=mesh, quantize="int8",
-                       heatmap_fn=jax.jit(heatmap_fn) if with_heatmap else None)
+                       heatmap_fn=jax.jit(heatmap_fn) if with_heatmap else None,
+                       bucket_sizes=bucket_sizes)
 
         policy = get_policy(precision)
         model = build_model("anomaly_unet", bilinear=bilinear, policy=policy,
@@ -291,7 +351,8 @@ class AnomalyScorer:
 
         return cls(jax.jit(score_fn), variables, image_size, batch_size,
                    mesh=mesh,
-                   heatmap_fn=jax.jit(heatmap_fn) if with_heatmap else None)
+                   heatmap_fn=jax.jit(heatmap_fn) if with_heatmap else None,
+                   bucket_sizes=bucket_sizes)
 
     @classmethod
     def from_checkpoint(cls, checkpoint: str, *, image_size: int = 256,
@@ -302,7 +363,8 @@ class AnomalyScorer:
                         n_devices: Optional[int] = None,
                         qparams: Optional[dict] = None,
                         calib_percentile: Optional[float] = None,
-                        with_heatmap: bool = False) -> "AnomalyScorer":
+                        with_heatmap: bool = False,
+                        bucket_sizes: Optional[Sequence[int]] = None) -> "AnomalyScorer":
         """Load an Orbax checkpoint (best_model / checkpoint_epoch_N layout)."""
         from tpu_unet.train.checkpoint import load_params
         from tpu_unet.train.optim import make_optimizer
@@ -324,7 +386,8 @@ class AnomalyScorer:
                                   base_features=base_features, bilinear=bilinear,
                                   n_devices=n_devices, qparams=qparams,
                                   calib_percentile=calib_percentile,
-                                  with_heatmap=with_heatmap)
+                                  with_heatmap=with_heatmap,
+                                  bucket_sizes=bucket_sizes)
 
     # -- scoring ------------------------------------------------------------
 
@@ -339,8 +402,8 @@ class AnomalyScorer:
             return np.zeros((0,), np.float32)
         pending = []
         for lo in range(0, n, self.batch_size):
-            chunk = _pad_chunk(np.asarray(images_u8[lo:lo + self.batch_size]),
-                               self.batch_size)
+            raw = np.asarray(images_u8[lo:lo + self.batch_size])
+            chunk = _pad_chunk(raw, self._pad_target(len(raw)))
             pending.append(self._score_fn(self._params, self._put(chunk)))
         return np.concatenate([np.asarray(s) for s in pending])[:n]
 
@@ -362,7 +425,7 @@ class AnomalyScorer:
         pending, failed = _pipelined_batches(
             paths, (self.image_size, self.image_size), self.batch_size,
             num_workers, lambda imgs: self._score_fn(self._params, self._put(imgs)),
-            on_decode_error=on_decode_error)
+            on_decode_error=on_decode_error, pad_target=self._pad_target)
         if not pending:
             scores = np.zeros((0,), np.float32)
             return (scores, []) if return_failed else scores
@@ -398,8 +461,8 @@ class AnomalyScorer:
             return np.zeros((0,), np.float32), np.zeros((0, hw, hw), np.uint8)
         pending = []
         for lo in range(0, n, self.batch_size):
-            chunk = _pad_chunk(np.asarray(images_u8[lo:lo + self.batch_size]),
-                               self.batch_size)
+            raw = np.asarray(images_u8[lo:lo + self.batch_size])
+            chunk = _pad_chunk(raw, self._pad_target(len(raw)))
             pending.append(self._heatmap_fn(self._params, self._put(chunk)))
         scores = np.concatenate([np.asarray(s) for s, _ in pending])[:n]
         maps = np.concatenate([np.asarray(m) for _, m in pending])[:n]
@@ -417,7 +480,8 @@ class AnomalyScorer:
             lambda imgs: self._heatmap_fn(self._params, self._put(imgs)))
         _, failed = _pipelined_batches(
             paths, (self.image_size, self.image_size), self.batch_size,
-            num_workers, run, on_decode_error=on_decode_error)
+            num_workers, run, on_decode_error=on_decode_error,
+            pad_target=self._pad_target)
         pending = drain()
         if not pending:
             hw = self.image_size
@@ -432,6 +496,18 @@ class AnomalyScorer:
         if return_failed:
             return scores, maps, list(failed)
         return scores, maps
+
+    def warmup(self) -> None:
+        """Compile every serving program shape up front: each bucket in the
+        ladder (or just the full serving batch), for the score program and —
+        when present — the heatmap program. Idempotent after the first call
+        (jit's per-shape cache)."""
+        hw = self.image_size
+        for b in (self.bucket_sizes or (self.batch_size,)):
+            imgs = np.zeros((b, hw, hw, 3), np.uint8)
+            self.score_array(imgs)
+            if self._heatmap_fn is not None:
+                self.heatmap_array(imgs)
 
     def throughput(self, n_batches: int = 10) -> float:
         """Measured serving throughput (img/s) on synthetic data; warms compile."""
@@ -478,7 +554,8 @@ class SegmentationPredictor:
     def __init__(self, predict_fn, params_arg, image_size_hw, batch_size: int,
                  mesh=None, spatial: bool = False,
                  num_classes: Optional[int] = None,
-                 quantize: Optional[str] = None):
+                 quantize: Optional[str] = None,
+                 bucket_sizes: Optional[Sequence[int]] = None):
         self._predict_fn = predict_fn
         self._params = params_arg
         self.image_size_hw = tuple(int(x) for x in image_size_hw)
@@ -487,6 +564,9 @@ class SegmentationPredictor:
         self.quantize = quantize  # advisory: 'int8' or None (bf16/f32 program)
         self._mesh = mesh
         self._spatial = spatial
+        n_data = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+        self.bucket_sizes = _normalize_buckets(bucket_sizes, self.batch_size,
+                                               n_data)
         if mesh is not None:
             from tpu_unet.parallel import replicate
             self._params = replicate(mesh, params_arg)
@@ -496,6 +576,13 @@ class SegmentationPredictor:
             return jnp.asarray(chunk)
         from tpu_unet.parallel import shard_batch
         return shard_batch(self._mesh, chunk, spatial=self._spatial)
+
+    def _pad_target(self, n: int) -> int:
+        """Smallest compiled batch adequate for ``n`` queued images (see
+        AnomalyScorer._pad_target; same bucket-ladder semantics)."""
+        if self.bucket_sizes is None:
+            return self.batch_size
+        return next(b for b in self.bucket_sizes if b >= n)
 
     @classmethod
     def from_variables(cls, params, batch_stats, *, num_classes: int,
@@ -507,9 +594,14 @@ class SegmentationPredictor:
                        n_devices: Optional[int] = None,
                        n_space: int = 1,
                        qparams: Optional[dict] = None,
-                       calib_percentile: Optional[float] = None) -> "SegmentationPredictor":
+                       calib_percentile: Optional[float] = None,
+                       bucket_sizes: Optional[Sequence[int]] = None) -> "SegmentationPredictor":
         if quantize not in (None, "none", "int8"):
             raise ValueError(f"unsupported quantize mode {quantize!r}")
+        # Validate the bucket ladder BEFORE any expensive calibration work
+        # (semantics: AnomalyScorer.from_variables bucket_sizes docstring).
+        _normalize_buckets(bucket_sizes, batch_size,
+                           n_devices if n_devices and n_devices > 1 else 1)
         mesh = None
         if (n_devices is not None and n_devices > 1) or n_space > 1:
             from tpu_unet.parallel import make_mesh
@@ -543,7 +635,7 @@ class SegmentationPredictor:
 
             return cls(jax.jit(predict_fn), qparams, image_size_hw, batch_size,
                        mesh=mesh, spatial=n_space > 1, num_classes=num_classes,
-                       quantize="int8")
+                       quantize="int8", bucket_sizes=bucket_sizes)
 
         policy = get_policy(precision)
         model = build_model("seg_unet", n_classes=num_classes, bilinear=bilinear,
@@ -559,7 +651,8 @@ class SegmentationPredictor:
             return preds, jnp.mean(conf, axis=(1, 2))
 
         return cls(jax.jit(predict_fn), variables, image_size_hw, batch_size,
-                   mesh=mesh, spatial=n_space > 1, num_classes=num_classes)
+                   mesh=mesh, spatial=n_space > 1, num_classes=num_classes,
+                   bucket_sizes=bucket_sizes)
 
     @classmethod
     def from_checkpoint(cls, checkpoint: str, *, num_classes: int,
@@ -570,7 +663,8 @@ class SegmentationPredictor:
                         dropout: float = 0.1, n_devices: Optional[int] = None,
                         n_space: int = 1,
                         qparams: Optional[dict] = None,
-                        calib_percentile: Optional[float] = None) -> "SegmentationPredictor":
+                        calib_percentile: Optional[float] = None,
+                        bucket_sizes: Optional[Sequence[int]] = None) -> "SegmentationPredictor":
         from tpu_unet.train.checkpoint import load_params
         from tpu_unet.train.optim import make_optimizer
         from tpu_unet.train.state import create_train_state
@@ -590,7 +684,8 @@ class SegmentationPredictor:
                                   base_features=base_features, bilinear=bilinear,
                                   dropout=dropout, n_devices=n_devices,
                                   n_space=n_space, qparams=qparams,
-                                  calib_percentile=calib_percentile)
+                                  calib_percentile=calib_percentile,
+                                  bucket_sizes=bucket_sizes)
 
     def predict_array(self, images_u8: np.ndarray):
         """(N,H,W,3) uint8 -> (masks (N,H,W) uint8, mean_confidence (N,) f32)."""
@@ -600,12 +695,20 @@ class SegmentationPredictor:
             return np.zeros((0, h, w), np.uint8), np.zeros((0,), np.float32)
         pending = []
         for lo in range(0, n, self.batch_size):
-            chunk = _pad_chunk(np.asarray(images_u8[lo:lo + self.batch_size]),
-                               self.batch_size)
+            raw = np.asarray(images_u8[lo:lo + self.batch_size])
+            chunk = _pad_chunk(raw, self._pad_target(len(raw)))
             pending.append(self._predict_fn(self._params, self._put(chunk)))
         masks = np.concatenate([np.asarray(p) for p, _ in pending])[:n]
         confs = np.concatenate([np.asarray(c) for _, c in pending])[:n]
         return masks, confs
+
+    def warmup(self) -> None:
+        """Compile every serving program shape up front: each bucket in the
+        ladder, or just the full serving batch. Idempotent after the first
+        call (jit's per-shape cache)."""
+        h, w = self.image_size_hw
+        for b in (self.bucket_sizes or (self.batch_size,)):
+            self.predict_array(np.zeros((b, h, w, 3), np.uint8))
 
     def throughput(self, n_batches: int = 10) -> float:
         """Device mask-prediction throughput (img/s); completion forced by the
@@ -659,7 +762,7 @@ class SegmentationPredictor:
             lambda imgs: self._predict_fn(self._params, self._put(imgs)))
         _, failed = _pipelined_batches(
             paths, self.image_size_hw, self.batch_size, num_workers, run,
-            on_decode_error=on_decode_error)
+            on_decode_error=on_decode_error, pad_target=self._pad_target)
         pending = drain()
         if not pending:
             h, w = self.image_size_hw

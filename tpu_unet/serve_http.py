@@ -6,7 +6,10 @@ so this module adds the standard TPU serving pattern on top: a
 :class:`MicroBatcher` queues concurrent requests, drains up to ``batch_size``
 of them (waiting at most ``max_wait_ms`` for followers after the first
 arrival), pads the tail, and issues a single engine call; every request's
-future resolves from that one program execution. Request threads do the PIL/
+future resolves from that one program execution. When the engine carries a
+``bucket_sizes`` ladder (serve.py), a part-full flush pads to the smallest
+adequate compiled batch instead of the full one — lower device cost per
+request at low concurrency. Request threads do the PIL/
 native decode+resize concurrently (GIL-free in the native resampler), so host
 decode overlaps device compute exactly like the batch path's pipelined decode.
 
@@ -225,6 +228,9 @@ class ServingService:
             "kind": self.kind,
             "image_size_hw": [int(s) for s in self.size_hw],
             "batch_size": self.engine.batch_size,
+            "bucket_sizes": (list(self.engine.bucket_sizes)
+                             if getattr(self.engine, "bucket_sizes", None)
+                             else None),
             "quantize": getattr(self.engine, "quantize", None) or "none",
             "max_wait_ms": self.batcher.max_wait_s * 1000.0,
             "requests_served": self.batcher.requests_served,
@@ -251,7 +257,10 @@ class ServingService:
         return self.metrics.render(info, programs)
 
     def warmup(self) -> None:
-        """Compile the serving program(s) before accepting traffic."""
+        """Compile the serving program(s) before accepting traffic — every
+        bucket in the engine's ladder when one is configured, then one request
+        through each micro-batcher to prove the full path end to end."""
+        self.engine.warmup()
         img = np.zeros(self.size_hw + (3,), np.uint8)
         self.batcher.submit(img).result(timeout=600)
         if self.heatmap_batcher is not None:
