@@ -181,6 +181,146 @@ def test_service_meta_and_single_request_bucket(anomaly_pair):
         svc.close()
 
 
+# -- bucketed AOT artifacts (format v2) --------------------------------------------
+
+def test_tree_npz_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_unet.serve_artifact import _load_tree, _save_tree
+
+    tree = {
+        "layers": {"conv": np.arange(6, dtype=np.int8).reshape(2, 3),
+                   "scale": np.float32(0.5) * np.ones(3, np.float32)},
+        # '/'-bearing and empty keys must survive verbatim (qparams scales)
+        "scales": {"encoder/inc/relu1": np.float32([2.0]), "": np.int32([7])},
+        "stack": [np.ones(2), (np.zeros(1), np.full(2, 3.0))],
+    }
+    path = str(tmp_path / "t.npz")
+    _save_tree(tree, path)
+    got = _load_tree(path)
+    assert isinstance(got["stack"], list) and isinstance(got["stack"][1], tuple)
+    flat_a = jax.tree_util.tree_flatten_with_path(tree)
+    flat_b = jax.tree_util.tree_flatten_with_path(got)
+    assert flat_a[1] == flat_b[1]  # identical treedefs (incl. key order-insensitive)
+    for (pa, va), (pb, vb) in zip(flat_a[0], flat_b[0]):
+        assert pa == pb
+        assert jnp.asarray(va).dtype == vb.dtype
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+
+def _fresh_bucketed_scorer():
+    """Export needs a pristine jitted program — the module fixture's fns get
+    wrapped by _record_batches, so artifact tests build their own engine."""
+    params, bstats = _variables("anomaly_unet", (16, 16))
+    return AnomalyScorer.from_variables(params, bstats, image_size=16,
+                                        batch_size=8, precision="f32",
+                                        base_features=4, bucket_sizes=(2, 4))
+
+
+def test_bucketed_artifact_roundtrip(tmp_path):
+    import json
+    import os
+
+    from tpu_unet.serve_artifact import export_artifact, load_artifact
+
+    bucketed = _fresh_bucketed_scorer()
+    out = str(tmp_path / "art")
+    meta = export_artifact(bucketed, out)
+    assert meta["format_version"] == 2
+    assert meta["bucket_sizes"] == [2, 4, 8]
+    for b in (2, 4, 8):
+        assert os.path.exists(os.path.join(out, f"program_b{b}.jaxexport"))
+    assert os.path.exists(os.path.join(out, "params.npz"))
+    assert not os.path.exists(os.path.join(out, "program.jaxexport"))
+
+    loaded = load_artifact(out)
+    assert loaded.bucket_sizes == (2, 4, 8)
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 256, (3, 16, 16, 3), dtype=np.uint8)
+    shapes = _record_batches(loaded, "_score_fn")
+    np.testing.assert_allclose(loaded.score_array(imgs),
+                               bucketed.score_array(imgs), rtol=1e-6)
+    assert shapes == [4]
+    # a batch shape outside the ladder names the compiled sizes
+    with pytest.raises(ValueError, match="compiled for batch sizes"):
+        loaded._score_fn(loaded._params, imgs)  # raw 3 is not a bucket
+
+    # meta.json sanity for ops tooling
+    with open(os.path.join(out, "meta.json")) as f:
+        assert json.load(f)["bucket_sizes"] == [2, 4, 8]
+
+
+def test_bucketed_artifact_heatmap_and_missing_files(tmp_path):
+    import os
+
+    from tpu_unet.serve_artifact import export_artifact, load_artifact
+
+    params, bstats = _variables("anomaly_unet", (16, 16))
+    eng = AnomalyScorer.from_variables(params, bstats, image_size=16,
+                                       batch_size=4, precision="f32",
+                                       base_features=4, bucket_sizes=(1,),
+                                       with_heatmap=True)
+    out = str(tmp_path / "art")
+    meta = export_artifact(eng, out)
+    assert meta["with_heatmap"] is True
+    loaded = load_artifact(out)
+    imgs = np.random.default_rng(4).integers(0, 256, (1, 16, 16, 3),
+                                             dtype=np.uint8)
+    s_ref, m_ref = eng.heatmap_array(imgs)
+    s_got, m_got = loaded.heatmap_array(imgs)
+    np.testing.assert_allclose(s_got, s_ref, rtol=1e-6)
+    np.testing.assert_array_equal(m_got, m_ref)
+
+    os.remove(os.path.join(out, "heatmap_b1.jaxexport"))
+    with pytest.raises(FileNotFoundError, match="heatmap_b1.jaxexport"):
+        load_artifact(out)
+    os.remove(os.path.join(out, "params.npz"))
+    with pytest.raises(FileNotFoundError, match="params.npz"):
+        load_artifact(out)
+
+
+def test_bucketed_seg_artifact_roundtrip(tmp_path):
+    from tpu_unet.serve_artifact import export_artifact, load_artifact
+
+    params, bstats = _variables("seg_unet", (16, 16), n_classes=3)
+    eng = SegmentationPredictor.from_variables(
+        params, bstats, num_classes=3, image_size_hw=(16, 16), batch_size=4,
+        precision="f32", base_features=4, bucket_sizes=(2,))
+    out = str(tmp_path / "art")
+    export_artifact(eng, out)
+    loaded = load_artifact(out)
+    assert loaded.bucket_sizes == (2, 4) and loaded.num_classes == 3
+    imgs = np.random.default_rng(5).integers(0, 256, (2, 16, 16, 3),
+                                             dtype=np.uint8)
+    m_ref, c_ref = eng.predict_array(imgs)
+    m_got, c_got = loaded.predict_array(imgs)
+    np.testing.assert_array_equal(m_got, m_ref)
+    np.testing.assert_allclose(c_got, c_ref, rtol=1e-6)
+
+
+def test_bucketed_artifact_serves_via_service(tmp_path):
+    import io
+
+    from PIL import Image
+
+    from tpu_unet.serve_artifact import export_artifact, load_artifact
+    from tpu_unet.serve_http import ServingService
+
+    bucketed = _fresh_bucketed_scorer()
+    out = str(tmp_path / "art")
+    export_artifact(bucketed, out)
+    svc = ServingService(load_artifact(out), max_wait_ms=0)
+    try:
+        svc.warmup()
+        buf = io.BytesIO()
+        Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(buf, format="PNG")
+        assert svc.handle("/v1/score", buf.getvalue())["score"] is not None
+        assert svc.meta()["bucket_sizes"] == [2, 4, 8]
+    finally:
+        svc.close()
+
+
 # -- CLI flag validation --------------------------------------------------------------
 
 def test_daemon_cli_bucket_flag_validation(tmp_path):

@@ -6,7 +6,9 @@ The serve CLIs can export with --export_artifact, but they also score an
 the deployment packaging step: build the engine from an Orbax checkpoint
 (BN-folded; optional int8 PTQ with calibration images or a saved qparams
 .npz), snapshot its compiled-shape program with the params baked in, write
-meta.json + program.jaxexport. Reload anywhere with
+meta.json + program.jaxexport (with --bucket_sizes: a format-v2 artifact —
+per-bucket programs + shared params.npz; optionally --heatmap for the anomaly
+heatmap program). Reload anywhere with
 ``tpu_unet.serve_artifact.load_artifact`` or ``--artifact`` on the serve CLIs.
 
 Usage:
@@ -45,6 +47,15 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=None,
                    help="Serving batch baked into the artifact "
                         "(default: 128 anomaly / 16 seg)")
+    p.add_argument("--bucket_sizes", type=str, default=None,
+                   help="Comma-separated batch-shape ladder (e.g. '1,2,4'): "
+                        "exports a format-v2 artifact with one program per "
+                        "bucket + shared params.npz — loaded engines pad "
+                        "ragged batches to the smallest adequate bucket "
+                        "(--batch_size is always the top bucket)")
+    p.add_argument("--heatmap", action="store_true",
+                   help="anomaly only: also export the heatmap program "
+                        "(score + per-pixel anomaly map)")
     p.add_argument("--precision", type=str, default="bf16",
                    choices=["bf16", "f32"])
     p.add_argument("--quantize", type=str, default="none",
@@ -73,30 +84,36 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", args.device)
 
+    from tpu_unet.cli._artifact_common import parse_bucket_sizes
     from tpu_unet.cli._quant_common import (maybe_save_qparams,
                                             resolve_quantization)
     from tpu_unet.serve import AnomalyScorer, SegmentationPredictor
     from tpu_unet.serve_artifact import export_artifact
 
+    if args.heatmap and args.engine != "anomaly":
+        raise SystemExit("--heatmap only applies to --engine anomaly")
     size_hw = ((args.image_size, args.image_size) if args.engine == "anomaly"
                else (args.image_height, args.image_width))
+    batch_size = args.batch_size or (128 if args.engine == "anomaly" else 16)
+    buckets = parse_bucket_sizes(args, batch_size)
     quantize, calib_images, qparams_tree = resolve_quantization(args, size_hw)
 
     if args.engine == "anomaly":
         engine = AnomalyScorer.from_checkpoint(
             args.checkpoint, image_size=args.image_size,
-            batch_size=args.batch_size or 128, precision=args.precision,
+            batch_size=batch_size, precision=args.precision,
             quantize=quantize, calib_images=calib_images,
             base_features=args.base_features, bilinear=args.bilinear,
-            qparams=qparams_tree, calib_percentile=args.calib_percentile)
+            qparams=qparams_tree, calib_percentile=args.calib_percentile,
+            with_heatmap=args.heatmap, bucket_sizes=buckets)
     else:
         engine = SegmentationPredictor.from_checkpoint(
             args.checkpoint, num_classes=args.num_classes,
-            image_size_hw=size_hw, batch_size=args.batch_size or 16,
+            image_size_hw=size_hw, batch_size=batch_size,
             precision=args.precision, quantize=quantize,
             calib_images=calib_images, base_features=args.base_features,
             bilinear=args.bilinear, qparams=qparams_tree,
-            calib_percentile=args.calib_percentile)
+            calib_percentile=args.calib_percentile, bucket_sizes=buckets)
 
     maybe_save_qparams(args, engine, qparams_tree)
     plats = args.platforms.split(",") if args.platforms else None

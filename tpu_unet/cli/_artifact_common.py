@@ -21,6 +21,36 @@ def add_artifact_args(p) -> None:
                         "current backend")
 
 
+def add_bucket_arg(p) -> None:
+    p.add_argument("--bucket_sizes", type=str, default=None,
+                   help="Comma-separated batch-shape ladder (e.g. '1,2,4'): "
+                        "a ragged batch pads to the smallest adequate "
+                        "compiled bucket instead of the full --batch_size "
+                        "(one extra compile per bucket; --batch_size is "
+                        "always the top bucket). Exported artifacts embed "
+                        "one program per bucket (format v2)")
+
+
+def parse_bucket_sizes(args, batch_size=None):
+    """--bucket_sizes string -> list of ints (None when unset), with clean
+    SystemExit messages; ``batch_size`` additionally range-checks the ladder
+    before any engine/calibration work."""
+    if not getattr(args, "bucket_sizes", None):
+        return None
+    try:
+        buckets = [int(tok) for tok in args.bucket_sizes.split(",") if tok]
+    except ValueError:
+        raise SystemExit(f"--bucket_sizes must be comma-separated integers, "
+                         f"got {args.bucket_sizes!r}")
+    if batch_size is not None:
+        from tpu_unet.serve import _normalize_buckets
+        try:
+            _normalize_buckets(buckets, batch_size)
+        except ValueError as e:
+            raise SystemExit(f"--bucket_sizes: {e}")
+    return buckets
+
+
 def validate_artifact_args(args, parser, sharded: bool, sharded_flags: str,
                            baked_flags: tuple = ()) -> None:
     """SystemExit on contradictory flag combinations (before any model work).

@@ -23,8 +23,9 @@ from __future__ import annotations
 
 import argparse
 
-from tpu_unet.cli._artifact_common import (add_artifact_args,
+from tpu_unet.cli._artifact_common import (add_artifact_args, add_bucket_arg,
                                             load_artifact_engine,
+                                            parse_bucket_sizes,
                                             validate_artifact_args)
 from tpu_unet.cli._quant_common import maybe_save_qparams, resolve_quantization
 
@@ -56,13 +57,7 @@ def parse_args(argv=None):
                    help="Max micro-batch (the compiled program's batch); "
                         "smaller = lower tail latency, larger = more "
                         "coalescing headroom")
-    p.add_argument("--bucket_sizes", type=str, default=None,
-                   help="Comma-separated batch-shape ladder (e.g. '1,2,4'): "
-                        "a part-full micro-batch pads to the smallest "
-                        "adequate compiled bucket instead of the full "
-                        "--batch_size — lower device cost per request at low "
-                        "concurrency, one extra compile per bucket at warmup "
-                        "(--batch_size is always the top bucket)")
+    add_bucket_arg(p)
     p.add_argument("--precision", type=str, default="bf16",
                    choices=["bf16", "f32"])
     p.add_argument("--quantize", type=str, default="none",
@@ -90,13 +85,6 @@ def build_service(args, parser):
                      "calib_dir", "calib_samples", "calib_percentile",
                      "qparams", "base_features", "bilinear", "heatmap",
                      "bucket_sizes"))
-    buckets = None
-    if args.bucket_sizes:
-        try:
-            buckets = [int(tok) for tok in args.bucket_sizes.split(",") if tok]
-        except ValueError:
-            raise SystemExit(f"--bucket_sizes must be comma-separated "
-                             f"integers, got {args.bucket_sizes!r}")
     if args.artifact:
         engine = load_artifact_engine(args)
     else:
@@ -104,12 +92,7 @@ def build_service(args, parser):
             raise SystemExit("--task anomaly|seg is required with --checkpoint")
         if args.heatmap and args.task != "anomaly":
             raise SystemExit("--heatmap only applies to --task anomaly")
-        if buckets is not None:
-            from tpu_unet.serve import _normalize_buckets
-            try:
-                _normalize_buckets(buckets, args.batch_size)
-            except ValueError as e:
-                raise SystemExit(f"--bucket_sizes: {e}")
+        buckets = parse_bucket_sizes(args, args.batch_size)
         if args.task == "anomaly":
             size_hw = (args.image_size, args.image_size)
         else:

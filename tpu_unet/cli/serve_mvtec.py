@@ -27,8 +27,10 @@ import time
 import numpy as np
 
 from tpu_unet.cli._artifact_common import (add_artifact_args,
+                                            add_bucket_arg,
                                             load_artifact_engine,
                                             maybe_export_artifact,
+                                            parse_bucket_sizes,
                                             validate_artifact_args)
 from tpu_unet.cli._quant_common import maybe_save_qparams, resolve_quantization
 from tpu_unet.serve import AnomalyScorer
@@ -40,6 +42,7 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Serve anomaly scores for a directory of images")
     p.add_argument("--checkpoint", type=str, default=None)
     add_artifact_args(p)
+    add_bucket_arg(p)
     p.add_argument("--input_dir", type=str, required=True,
                    help="Directory of images to score (searched recursively)")
     p.add_argument("--image_size", type=int, default=256)
@@ -93,7 +96,8 @@ def main(argv=None):
         sharded_flags="--n_devices",
         baked_flags=("image_size", "batch_size", "precision", "quantize",
                      "calib_dir", "calib_samples", "calib_percentile",
-                     "qparams", "base_features", "bilinear", "heatmap"))
+                     "qparams", "base_features", "bilinear", "heatmap",
+                     "bucket_sizes"))
 
     paths = list_images(args.input_dir)
     if not paths:
@@ -113,7 +117,8 @@ def main(argv=None):
         calib_images=calib_images, base_features=args.base_features,
         bilinear=args.bilinear, n_devices=args.n_devices,
         qparams=qparams_tree, calib_percentile=args.calib_percentile,
-        with_heatmap=args.heatmap or args.heatmap_dir is not None)
+        with_heatmap=args.heatmap or args.heatmap_dir is not None,
+        bucket_sizes=parse_bucket_sizes(args, args.batch_size))
     maybe_save_qparams(args, scorer, qparams_tree)
     maybe_export_artifact(scorer, args)
     return _score_and_save(args, scorer, paths)

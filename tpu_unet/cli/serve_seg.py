@@ -20,8 +20,10 @@ import time
 import numpy as np
 
 from tpu_unet.cli._artifact_common import (add_artifact_args,
+                                            add_bucket_arg,
                                             load_artifact_engine,
                                             maybe_export_artifact,
+                                            parse_bucket_sizes,
                                             validate_artifact_args)
 from tpu_unet.cli._quant_common import maybe_save_qparams, resolve_quantization
 from tpu_unet.serve import SegmentationPredictor
@@ -33,6 +35,7 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Serve segmentation masks for a directory of images")
     p.add_argument("--checkpoint", type=str, default=None)
     add_artifact_args(p)
+    add_bucket_arg(p)
     p.add_argument("--input_dir", type=str, required=True)
     p.add_argument("--num_classes", type=int, default=4,
                    help="4 for Gear, 3 for KolektorSDD")
@@ -82,7 +85,7 @@ def main(argv=None):
         baked_flags=("num_classes", "image_height", "image_width",
                      "batch_size", "precision", "quantize", "calib_dir",
                      "calib_samples", "calib_percentile", "qparams",
-                     "base_features", "bilinear"))
+                     "base_features", "bilinear", "bucket_sizes"))
 
     paths = list_images(args.input_dir)
     if not paths:
@@ -102,7 +105,8 @@ def main(argv=None):
         quantize=quantize,
         calib_images=calib_images, base_features=args.base_features,
         bilinear=args.bilinear, n_devices=args.n_devices, n_space=args.n_space,
-        qparams=qparams_tree, calib_percentile=args.calib_percentile)
+        qparams=qparams_tree, calib_percentile=args.calib_percentile,
+        bucket_sizes=parse_bucket_sizes(args, args.batch_size))
     maybe_save_qparams(args, predictor, qparams_tree)
     maybe_export_artifact(predictor, args)
     return _predict_and_save(args, predictor, paths)
