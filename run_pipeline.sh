@@ -27,6 +27,7 @@ SKIP_TRAIN="${SKIP_TRAIN:-0}"
 SERVE_DIR="${SERVE_DIR:-}"             # optional: directory of images -> serving stage
 QUANTIZE="${QUANTIZE:-none}"           # serving precision: none | int8
 EXPORT_ARTIFACT="${EXPORT_ARTIFACT:-}" # optional: dir -> AOT serving artifact
+BUCKET_SIZES="${BUCKET_SIZES:-}"       # optional: batch-shape ladder, e.g. "1,4"
 # =============================================================================
 
 STAGES=3; [[ -n "$SERVE_DIR" ]] && STAGES=4
@@ -161,6 +162,7 @@ if [[ -n "$SERVE_DIR" ]]; then
   fi
   # After the int8 block: that branch ASSIGNS QARGS, it doesn't append.
   [[ -n "$EXPORT_ARTIFACT" ]] && QARGS+=(--export_artifact "$EXPORT_ARTIFACT")
+  [[ -n "$BUCKET_SIZES" ]] && QARGS+=(--bucket_sizes "$BUCKET_SIZES")
   case "$DATASET" in
     mvtec)
       # shellcheck disable=SC2086

@@ -37,6 +37,7 @@ def test_pipeline_mvtec(tmp_path):
                           "--max_samples 2 --batch_size 4",
         "EXTRA_SERVE_ARGS": "--base_features 4 --device cpu --batch_size 4",
         "EXPORT_ARTIFACT": os.path.join(tmp_path, "artifact"),
+        "BUCKET_SIZES": "1",
     })
     proc = subprocess.run(["bash", os.path.join(REPO, "run_pipeline.sh")],
                           cwd=REPO, env=env, stdout=subprocess.PIPE,
@@ -60,10 +61,15 @@ def test_pipeline_mvtec(tmp_path):
     vis_dir = os.path.join(tmp_path, "visualizations")
     assert any(f.endswith(".png") for f in os.listdir(vis_dir))
 
-    # EXPORT_ARTIFACT knob: the serving stage also wrote an AOT artifact.
+    # EXPORT_ARTIFACT + BUCKET_SIZES knobs: the serving stage wrote a bucketed
+    # (format v2) AOT artifact — one program per ladder size + shared params.
     art = os.path.join(tmp_path, "artifact")
     assert os.path.exists(os.path.join(art, "meta.json"))
-    assert os.path.exists(os.path.join(art, "program.jaxexport"))
+    assert os.path.exists(os.path.join(art, "params.npz"))
+    assert os.path.exists(os.path.join(art, "program_b1.jaxexport"))
+    assert os.path.exists(os.path.join(art, "program_b4.jaxexport"))
+    with open(os.path.join(art, "meta.json")) as f:
+        assert json.load(f)["bucket_sizes"] == [1, 4]
 
 
 def test_pipeline_kolektorsdd_int8(tmp_path):

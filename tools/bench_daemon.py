@@ -48,6 +48,11 @@ def main(argv=None):
     p.add_argument("--width", type=int, default=256)
     p.add_argument("--num_classes", type=int, default=4, help="seg only")
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--bucket_sizes", type=str, default=None,
+                   help="Comma-separated batch-shape ladder (e.g. '1,2,4'): "
+                        "part-full flushes pad to the smallest adequate "
+                        "compiled bucket — measures the low-concurrency win "
+                        "vs always padding to --batch_size")
     p.add_argument("--base_features", type=int, default=64)
     p.add_argument("--precision", type=str, default="bf16",
                    choices=["bf16", "f32"])
@@ -72,11 +77,13 @@ def main(argv=None):
     import numpy as np
     from PIL import Image
 
+    from tpu_unet.cli._artifact_common import parse_bucket_sizes
     from tpu_unet.core.precision import get_policy
     from tpu_unet.models import AnomalyUNet, SegmentationUNet
     from tpu_unet.serve import AnomalyScorer, SegmentationPredictor
     from tpu_unet.serve_http import ServingService, make_server
 
+    buckets = parse_bucket_sizes(args, args.batch_size)
     policy = get_policy(args.precision)
     size_hw = (args.height, args.width)
     if args.task == "anomaly":
@@ -88,7 +95,7 @@ def main(argv=None):
         engine = AnomalyScorer.from_variables(
             v["params"], v["batch_stats"], image_size=args.height,
             batch_size=args.batch_size, base_features=args.base_features,
-            precision=args.precision)
+            precision=args.precision, bucket_sizes=buckets)
         endpoint = "/v1/score"
     else:
         model = SegmentationUNet(n_classes=args.num_classes,
@@ -100,7 +107,7 @@ def main(argv=None):
             v["params"], v["batch_stats"], num_classes=args.num_classes,
             image_size_hw=size_hw, batch_size=args.batch_size,
             base_features=args.base_features, dropout=0.0,
-            precision=args.precision)
+            precision=args.precision, bucket_sizes=buckets)
         endpoint = "/v1/predict"
 
     # Pre-encode distinct PNG request bodies so every request pays the real
@@ -168,6 +175,8 @@ def main(argv=None):
         print(json.dumps({
             "task": args.task, "hw": list(size_hw),
             "batch_size": args.batch_size,
+            "bucket_sizes": (list(engine.bucket_sizes)
+                             if engine.bucket_sizes else None),
             "max_wait_ms": args.max_wait_ms, "http": bool(args.http),
             "clients": n_clients, "requests": n_req,
             "req_per_sec": round(n_req / wall, 2),
