@@ -44,6 +44,14 @@ def parse_args(argv=None):
     p.add_argument("--max_wait_ms", type=float, default=5.0,
                    help="Micro-batch window: how long the first request of a "
                         "batch waits for followers")
+    p.add_argument("--max_queue", type=int, default=0,
+                   help="Overload bound: max requests waiting for a batch "
+                        "slot; beyond it requests get 503 + Retry-After "
+                        "(0 = unbounded). Sized in engine batches, e.g. "
+                        "4*batch_size ~= 4 full program calls of queueing")
+    p.add_argument("--request_timeout_s", type=float, default=120.0,
+                   help="Per-request server-side timeout; a request still "
+                        "queued past it is dropped without an engine call")
     p.add_argument("--threshold", type=float, default=None,
                    help="anomaly only: adds an 'anomalous' verdict per response")
     p.add_argument("--heatmap", action="store_true",
@@ -117,8 +125,14 @@ def build_service(args, parser):
                 bilinear=args.bilinear, qparams=qparams_tree,
                 calib_percentile=args.calib_percentile, bucket_sizes=buckets)
         maybe_save_qparams(args, engine, qparams_tree)
+    if args.max_queue < 0:
+        raise SystemExit("--max_queue must be >= 0 (0 = unbounded)")
+    if args.request_timeout_s <= 0:
+        raise SystemExit("--request_timeout_s must be positive")
     return ServingService(engine, max_wait_ms=args.max_wait_ms,
-                          threshold=args.threshold)
+                          threshold=args.threshold,
+                          request_timeout_s=args.request_timeout_s,
+                          max_queue=args.max_queue or None)
 
 
 def serve_until_signal(server, service) -> None:
@@ -168,9 +182,11 @@ def main(argv=None):
         endpoint += " + /v1/heatmap"
     buckets = ("" if not service.engine.bucket_sizes else
                f", buckets {list(service.engine.bucket_sizes)}")
+    bound = (f", queue bound {service.batcher.max_queue}"
+             if service.batcher.max_queue else "")
     print(f"Serving {service.kind} on http://{host}:{port}{endpoint} "
           f"(batch {service.engine.batch_size} @ {service.size_hw}{buckets}, "
-          f"window {args.max_wait_ms} ms; GET /healthz for stats)")
+          f"window {args.max_wait_ms} ms{bound}; GET /healthz for stats)")
     serve_until_signal(server, service)
 
 

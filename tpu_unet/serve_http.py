@@ -13,6 +13,14 @@ request at low concurrency. Request threads do the PIL/
 native decode+resize concurrently (GIL-free in the native resampler), so host
 decode overlaps device compute exactly like the batch path's pipelined decode.
 
+Overload policy (``max_queue`` on :class:`ServingService` / ``--max_queue`` on
+the daemon): when the arrival rate exceeds engine throughput, admission is
+refused at the configured queue bound (HTTP 503 + ``Retry-After``) instead of
+letting the queue and every waiter's latency grow without bound, and a request
+whose client-side timeout already passed while it queued is dropped without
+spending a device slot on it (its waiter is gone). Rejected/expired counts
+ride /healthz and /metrics.
+
 The HTTP layer (stdlib ``ThreadingHTTPServer``; zero new dependencies) is a
 thin shell over :class:`ServingService`, which is unit-testable without
 sockets:
@@ -66,6 +74,15 @@ def _png_b64(gray_u8: np.ndarray) -> str:
     return base64.b64encode(buf.getvalue()).decode()
 
 
+class QueueFullError(RuntimeError):
+    """Admission refused: the serving queue is at its configured bound.
+
+    The HTTP layer maps this to 503 + ``Retry-After`` — the standard overload
+    contract — instead of letting the queue (and every waiter's latency) grow
+    without bound when the arrival rate exceeds engine throughput.
+    """
+
+
 class MicroBatcher:
     """Coalesce concurrent single-item requests into fixed-shape engine calls.
 
@@ -73,25 +90,48 @@ class MicroBatcher:
     engine pads internally) and returns a sequence of per-item results. A
     single worker thread owns the engine call — the XLA program is one device
     stream anyway, so request threads only queue and wait on futures.
+
+    Overload policy (both knobs off by default):
+
+    - ``max_queue``: bound on requests *waiting* for a batch slot; submit()
+      raises :class:`QueueFullError` when full (load-shedding beats queueing
+      past the point where every request times out anyway).
+    - per-request ``deadline`` (``time.monotonic()`` seconds): a request whose
+      deadline passed while queued is dropped at flush time — its waiter has
+      already timed out, so running it would spend device time on a response
+      nobody reads. Its future gets a ``TimeoutError``.
     """
 
-    def __init__(self, run_batch, batch_size: int, max_wait_ms: float = 5.0):
+    def __init__(self, run_batch, batch_size: int, max_wait_ms: float = 5.0,
+                 max_queue: Optional[int] = None):
         self._run = run_batch
         self.batch_size = int(batch_size)
         self.max_wait_s = float(max_wait_ms) / 1000.0
-        self._q: queue.Queue = queue.Queue()
+        self.max_queue = int(max_queue) if max_queue else None
+        self._q: queue.Queue = queue.Queue(maxsize=self.max_queue or 0)
         self.engine_batches = 0          # one per program execution
         self.requests_served = 0
+        self.rejected = 0                # submit() refusals (queue full)
+        self.expired = 0                 # dropped in-queue past their deadline
+        self._stats_lock = threading.Lock()
         self._closed = False
         self._worker = threading.Thread(target=self._loop, daemon=True,
                                         name="tpu-unet-microbatcher")
         self._worker.start()
 
-    def submit(self, image_u8: np.ndarray) -> Future:
+    def submit(self, image_u8: np.ndarray,
+               deadline: Optional[float] = None) -> Future:
         if self._closed:
             raise RuntimeError("MicroBatcher is closed")
         fut: Future = Future()
-        self._q.put((image_u8, fut))
+        try:
+            self._q.put_nowait((image_u8, fut, deadline))
+        except queue.Full:
+            with self._stats_lock:
+                self.rejected += 1
+            raise QueueFullError(
+                f"serving queue is full ({self.max_queue} waiting); "
+                "retry later") from None
         return fut
 
     def close(self) -> None:
@@ -124,16 +164,29 @@ class MicroBatcher:
             self._flush(batch)
 
     def _flush(self, batch) -> None:
-        images = np.stack([img for img, _ in batch])
+        now = time.monotonic()
+        live = [item for item in batch
+                if item[2] is None or now <= item[2]]
+        if len(live) < len(batch):
+            with self._stats_lock:
+                self.expired += len(batch) - len(live)
+            err = TimeoutError("request expired in the serving queue before "
+                               "reaching the engine (server overloaded)")
+            for _, fut, dl in batch:
+                if dl is not None and now > dl:
+                    fut.set_exception(err)
+            if not live:
+                return
+        images = np.stack([img for img, _, _ in live])
         try:
             results = self._run(images)
         except BaseException as e:  # noqa: BLE001 — propagate to every waiter
-            for _, fut in batch:
+            for _, fut, _ in live:
                 fut.set_exception(e)
             return
         self.engine_batches += 1
-        self.requests_served += len(batch)
-        for (_, fut), res in zip(batch, results):
+        self.requests_served += len(live)
+        for (_, fut, _), res in zip(live, results):
             fut.set_result(res)
 
 
@@ -143,7 +196,8 @@ class ServingService:
     def __init__(self, engine: Union[AnomalyScorer, SegmentationPredictor],
                  max_wait_ms: float = 5.0,
                  threshold: Optional[float] = None,
-                 request_timeout_s: float = 120.0):
+                 request_timeout_s: float = 120.0,
+                 max_queue: Optional[int] = None):
         self.engine = engine
         self.threshold = threshold
         self.request_timeout_s = request_timeout_s
@@ -156,14 +210,21 @@ class ServingService:
             if engine.has_heatmap:
                 self.heatmap_batcher = MicroBatcher(
                     lambda imgs: list(zip(*engine.heatmap_array(imgs))),
-                    engine.batch_size, max_wait_ms)
+                    engine.batch_size, max_wait_ms, max_queue=max_queue)
         elif isinstance(engine, SegmentationPredictor):
             self.kind = "segmentation_predictor"
             self.size_hw = tuple(engine.image_size_hw)
             run = lambda imgs: list(zip(*engine.predict_array(imgs)))  # noqa: E731
         else:
             raise TypeError(f"unsupported engine type {type(engine).__name__}")
-        self.batcher = MicroBatcher(run, engine.batch_size, max_wait_ms)
+        self.batcher = MicroBatcher(run, engine.batch_size, max_wait_ms,
+                                    max_queue=max_queue)
+
+    def _deadline(self) -> float:
+        """Queue-drop deadline = the waiter's own .result() timeout: past it
+        the requesting thread has already returned 504-equivalent, so the
+        batcher should not spend a device slot on the answer."""
+        return time.monotonic() + self.request_timeout_s
 
     # -- request handling ----------------------------------------------------
 
@@ -186,19 +247,19 @@ class ServingService:
     def _handle(self, path: str, body: bytes) -> dict:
         if path == "/v1/score" and self.kind == "anomaly_scorer":
             image = decode_image_bytes(body, self.size_hw)
-            score = float(self.batcher.submit(image)
+            score = float(self.batcher.submit(image, self._deadline())
                           .result(timeout=self.request_timeout_s))
             return self._score_resp(score)
         if path == "/v1/heatmap" and self.heatmap_batcher is not None:
             image = decode_image_bytes(body, self.size_hw)
-            score, heatmap = self.heatmap_batcher.submit(image).result(
-                timeout=self.request_timeout_s)
+            score, heatmap = self.heatmap_batcher.submit(
+                image, self._deadline()).result(timeout=self.request_timeout_s)
             resp = self._score_resp(float(score))
             resp["heatmap_png_base64"] = _png_b64(np.asarray(heatmap))
             return resp
         if path == "/v1/predict" and self.kind == "segmentation_predictor":
             image = decode_image_bytes(body, self.size_hw)
-            mask, conf = self.batcher.submit(image).result(
+            mask, conf = self.batcher.submit(image, self._deadline()).result(
                 timeout=self.request_timeout_s)
             nc = self.engine.num_classes or int(mask.max()) + 1
             shares = np.bincount(np.asarray(mask).ravel(), minlength=nc)
@@ -233,11 +294,16 @@ class ServingService:
                              else None),
             "quantize": getattr(self.engine, "quantize", None) or "none",
             "max_wait_ms": self.batcher.max_wait_s * 1000.0,
+            "max_queue": self.batcher.max_queue,
             "requests_served": self.batcher.requests_served,
             "engine_batches": self.batcher.engine_batches,
+            "requests_rejected": self.batcher.rejected,
+            "requests_expired": self.batcher.expired,
             "heatmap": self.heatmap_batcher is not None,
             **({"heatmap_requests_served": self.heatmap_batcher.requests_served,
-                "heatmap_engine_batches": self.heatmap_batcher.engine_batches}
+                "heatmap_engine_batches": self.heatmap_batcher.engine_batches,
+                "heatmap_requests_rejected": self.heatmap_batcher.rejected,
+                "heatmap_requests_expired": self.heatmap_batcher.expired}
                if self.heatmap_batcher is not None else {}),
         }
 
@@ -245,16 +311,19 @@ class ServingService:
         """Prometheus exposition text for GET /metrics (serve_metrics.py)."""
         programs = {"main": (self.batcher.engine_batches,
                              self.batcher.requests_served)}
+        queues = {"main": (self.batcher.rejected, self.batcher.expired)}
         if self.heatmap_batcher is not None:
             programs["heatmap"] = (self.heatmap_batcher.engine_batches,
                                    self.heatmap_batcher.requests_served)
+            queues["heatmap"] = (self.heatmap_batcher.rejected,
+                                 self.heatmap_batcher.expired)
         info = {
             "kind": self.kind,
             "quantize": getattr(self.engine, "quantize", None) or "none",
             "batch_size": str(self.engine.batch_size),
             "image_size_hw": "x".join(str(int(s)) for s in self.size_hw),
         }
-        return self.metrics.render(info, programs)
+        return self.metrics.render(info, programs, queues)
 
     def warmup(self) -> None:
         """Compile the serving program(s) before accepting traffic — every
@@ -280,11 +349,14 @@ def make_server(service: ServingService, host: str = "127.0.0.1",
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
-        def _send(self, code: int, payload: dict) -> None:
+        def _send(self, code: int, payload: dict,
+                  retry_after: Optional[int] = None) -> None:
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if retry_after is not None:
+                self.send_header("Retry-After", str(retry_after))
             self.end_headers()
             self.wfile.write(body)
 
@@ -315,6 +387,11 @@ def make_server(service: ServingService, host: str = "127.0.0.1",
                 self._send(200, service.handle(self.path, body))
             except ValueError as e:  # endpoint/engine mismatch
                 self._send(404, {"error": str(e)})
+            except QueueFullError as e:  # overload: shed load, ask to retry
+                self._send(503, {"error": str(e)}, retry_after=1)
+            except TimeoutError as e:  # expired in queue / result() timeout
+                self._send(503, {"error": f"{type(e).__name__}: {e}"},
+                           retry_after=1)
             except Exception as e:  # noqa: BLE001 — undecodable image etc.
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import math
 import threading
-from typing import Dict, List, Mapping, Sequence, Tuple
+from typing import Dict, List, Mapping, Optional, Sequence, Tuple
 
 DEFAULT_BUCKETS: Tuple[float, ...] = (
     0.001, 0.0025, 0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0,
@@ -91,13 +91,16 @@ class ServingMetrics:
         hist.observe(seconds)
 
     def render(self, info: Mapping[str, str],
-               programs: Mapping[str, Tuple[int, int]]) -> str:
+               programs: Mapping[str, Tuple[int, int]],
+               queues: Optional[Mapping[str, Tuple[int, int]]] = None) -> str:
         """Exposition text.
 
         ``info``: static labels for the tpu_unet_serving_info gauge (kind,
         quantize, ...). ``programs``: per compiled program name ->
         (engine_batches, requests_served) from its MicroBatcher; occupancy =
-        requests/batches.
+        requests/batches. ``queues``: per program name ->
+        (rejected, expired) admission-control counters — nonzero means the
+        daemon is shedding load (serve_http.py overload policy).
         """
         lines: List[str] = []
         lines.append("# HELP tpu_unet_serving_info Static engine/server labels.")
@@ -130,4 +133,15 @@ class ServingMetrics:
             lbl = _fmt_labels({"program": program})
             lines.append(f"tpu_unet_engine_batches_total{lbl} {batches}")
             lines.append(f"tpu_unet_engine_requests_total{lbl} {served}")
+        if queues:
+            lines.append("# HELP tpu_unet_queue_rejected_total Requests refused"
+                         " at admission (queue full; HTTP 503).")
+            lines.append("# TYPE tpu_unet_queue_rejected_total counter")
+            lines.append("# HELP tpu_unet_queue_expired_total Requests dropped"
+                         " in queue past their deadline (never ran).")
+            lines.append("# TYPE tpu_unet_queue_expired_total counter")
+            for program, (rejected, expired) in sorted(queues.items()):
+                lbl = _fmt_labels({"program": program})
+                lines.append(f"tpu_unet_queue_rejected_total{lbl} {rejected}")
+                lines.append(f"tpu_unet_queue_expired_total{lbl} {expired}")
         return "\n".join(lines) + "\n"
