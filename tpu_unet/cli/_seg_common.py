@@ -21,7 +21,7 @@ import numpy as np
 from tpu_unet.core.precision import get_policy
 from tpu_unet.data.loader import DataLoader
 from tpu_unet.models import build_model
-from tpu_unet.parallel import make_mesh, replicate, shard_batch
+from tpu_unet.parallel import make_mesh, replicate, shard_batch, shard_state
 from tpu_unet.train import (
     AugmentConfig,
     SegLossConfig,
@@ -144,7 +144,7 @@ def run_seg_training(args, workload: Workload):
                         base_features=getattr(args, "base_features", 64))
     tx = make_optimizer(args.optimizer, args.learning_rate, args.weight_decay)
     state = create_train_state(model, jax.random.key(args.seed), (1, h, w, 3), tx)
-    state = replicate(mesh, state)
+    state = shard_state(mesh, state, fsdp=getattr(args, "fsdp", False))
     total_params = num_params(state)
     logger.info(f"Total parameters: {total_params:,}")
 

@@ -66,6 +66,12 @@ def add_common_args(parser):
                              "--batch_size is the EFFECTIVE batch, scanned as "
                              "grad_accum sequential microbatches inside one XLA "
                              "program (peak activation memory of the microbatch)")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="Shard params + optimizer state over the 'data' mesh "
+                             "axis (ZeRO/weight-update sharding): ~Nx lower "
+                             "per-device state memory, identical numerics; grads "
+                             "reduce-scatter and weights all-gather just-in-time "
+                             "via GSPMD")
     parser.add_argument("--multihost", action="store_true",
                         help="Multi-host launch: argless jax.distributed.initialize() "
                              "(TPU pod autodetection; run the same command on every host)")

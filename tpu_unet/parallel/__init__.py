@@ -27,3 +27,13 @@ from tpu_unet.parallel.collectives import (  # noqa: E402
 )
 
 __all__ += ["all_gather_host_values", "broadcast_from_host0", "psum_scalar"]
+
+from tpu_unet.parallel.fsdp import (  # noqa: E402
+    fsdp_sharding,
+    per_device_state_bytes,
+    shard_state,
+    sharded_fraction,
+)
+
+__all__ += ["fsdp_sharding", "per_device_state_bytes", "shard_state",
+            "sharded_fraction"]

@@ -1,0 +1,134 @@
+"""FSDP / ZeRO-style sharding of parameters and optimizer state over 'data'.
+
+The reference is single-device and keeps one full copy of the model + Adam
+moments per process (/root/reference/src/train.py:118-131 builds the model and
+optimizer with no distribution of either). The rebuild's default multi-chip
+placement replicates that per chip (``parallel.mesh.replicate``): every device
+holds the full ~0.5 GB AnomalyUNet train state. That is the right default at
+this model size, but it caps the model a chip can train at (params + Adam
+moments + peak activations) <= HBM.
+
+This module is the scaling-book "weight-update sharding" recipe: shard every
+large state leaf (params, Adam mu/nu, anything shape-compatible) over the
+'data' mesh axis and let GSPMD insert the collectives —
+
+- forward/backward all-gather each weight shard just-in-time (and discard it
+  after use, so full weights never persist in HBM),
+- gradients reduce-scatter straight into the shard layout (replacing the
+  all-reduce of plain DP),
+- the Adam update runs per-shard (each device updates 1/N of the moments).
+
+Per-device state memory drops ~Nx for the cost of turning one grad all-reduce
+into reduce-scatter + all-gather — the same bytes on the wire (an all-reduce IS
+reduce-scatter + all-gather), so the step-time cost is near zero on ICI while
+the freed HBM buys bigger models, batches, or resolutions.
+
+Numerics are bit-comparable to replicated DP (the update is the same math,
+partitioned); tests/test_fsdp.py pins sharded == single-device to 1e-5 and the
+layout stability of the compiled step (state stays sharded across steps, so
+donation reuses the shard buffers in place).
+
+Leaf policy: shard the LARGEST dimension divisible by the axis size (ties go to
+the trailing dim — for conv HWIO kernels that picks C_out, keeping the gathered
+layout contiguous); leaves smaller than ``min_size`` elements stay replicated
+(BN scales/biases, scalars — sharding them would cost a collective per tiny
+tensor for no memory win). A leaf with no divisible dim stays replicated rather
+than erroring: odd-shaped heads degrade gracefully.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpu_unet.parallel.mesh import DATA_AXIS, replicate
+
+# Leaves below this many ELEMENTS stay replicated. 2**13 = 8192: the largest
+# BN vectors (C=1024) and all biases fall under it; every conv kernel from the
+# second block up (3*3*64*128 = 73k) clears it.
+DEFAULT_MIN_SIZE = 2 ** 13
+
+
+def leaf_partition_spec(shape, n_shards: int, axis: str = DATA_AXIS,
+                        min_size: int = DEFAULT_MIN_SIZE) -> P:
+    """PartitionSpec for one state leaf: largest n-divisible dim over ``axis``.
+
+    Returns the replicated spec for small leaves, scalars, and shapes with no
+    dimension divisible by ``n_shards``.
+    """
+    size = 1
+    for d in shape:
+        size *= d
+    if n_shards <= 1 or size < min_size:
+        return P()
+    best = -1
+    best_extent = 0
+    for i, d in enumerate(shape):
+        if d % n_shards == 0 and d >= best_extent:  # >=: ties go trailing
+            best, best_extent = i, d
+    if best < 0 or best_extent == 0:
+        return P()
+    spec: list = [None] * len(shape)
+    spec[best] = axis
+    return P(*spec)
+
+
+def fsdp_sharding(mesh: Mesh, tree, axis: str = DATA_AXIS,
+                  min_size: int = DEFAULT_MIN_SIZE):
+    """Pytree of NamedShardings mirroring ``tree`` under the FSDP leaf policy."""
+    n = mesh.shape[axis]
+
+    def one(x):
+        shape = getattr(x, "shape", ())
+        return NamedSharding(mesh, leaf_partition_spec(shape, n, axis, min_size))
+
+    return jax.tree_util.tree_map(one, tree)
+
+
+def shard_state(mesh: Mesh, state, fsdp: bool = False, axis: str = DATA_AXIS,
+                min_size: int = DEFAULT_MIN_SIZE):
+    """Place a train state on the mesh: replicated (default) or FSDP-sharded.
+
+    The single entry point the trainers use — ``fsdp=False`` (or a 1-wide axis)
+    is exactly ``parallel.mesh.replicate``, so the flag is safe to thread
+    through unconditionally.
+    """
+    if not fsdp or mesh.shape[axis] <= 1:
+        return replicate(mesh, state)
+    shardings = fsdp_sharding(mesh, state, axis, min_size)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), state, shardings)
+
+
+def sharded_fraction(tree) -> float:
+    """Fraction of ``tree``'s elements living on non-replicated leaves.
+
+    Diagnostic for logs/tests: with the default policy on the 31M-param UNet
+    this is > 0.99 (everything but BN vectors, biases, and counters shards).
+    """
+    total = 0
+    sharded = 0
+    for leaf in jax.tree_util.tree_leaves(tree):
+        n = getattr(leaf, "size", 0)
+        total += n
+        s = getattr(leaf, "sharding", None)
+        if s is not None and not s.is_fully_replicated:
+            sharded += n
+    return sharded / total if total else 0.0
+
+
+def per_device_state_bytes(tree) -> Optional[int]:
+    """Bytes of ``tree`` held by ONE device under its current shardings."""
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(tree):
+        s = getattr(leaf, "sharding", None)
+        if s is None:
+            return None
+        shard_shape = s.shard_shape(leaf.shape)
+        n = 1
+        for d in shard_shape:
+            n *= d
+        total += n * leaf.dtype.itemsize
+    return total
