@@ -129,7 +129,9 @@ def run_seg_training(args, workload: Workload):
     n_space = getattr(args, "n_space", 1) or 1
     if n_space > 1 and h % n_space:
         raise ValueError(f"--n_space {n_space} must divide the image height {h}")
-    mesh = make_mesh(n_data=getattr(args, "n_devices", None), n_space=n_space)
+    n_model = getattr(args, "n_model", 1) or 1
+    mesh = make_mesh(n_data=getattr(args, "n_devices", None), n_space=n_space,
+                     n_model=n_model)
     to_device = _to_device(mesh, spatial=n_space > 1)
     train_loader = DataLoader(train_ds, args.batch_size, shuffle=True, seed=args.seed,
                               drop_last=len(train_ds) >= args.batch_size,
@@ -144,7 +146,8 @@ def run_seg_training(args, workload: Workload):
                         base_features=getattr(args, "base_features", 64))
     tx = make_optimizer(args.optimizer, args.learning_rate, args.weight_decay)
     state = create_train_state(model, jax.random.key(args.seed), (1, h, w, 3), tx)
-    state = shard_state(mesh, state, fsdp=getattr(args, "fsdp", False))
+    state = shard_state(mesh, state, fsdp=getattr(args, "fsdp", False),
+                        tp=n_model > 1)
     total_params = num_params(state)
     logger.info(f"Total parameters: {total_params:,}")
 

@@ -72,6 +72,12 @@ def add_common_args(parser):
                              "per-device state memory, identical numerics; grads "
                              "reduce-scatter and weights all-gather just-in-time "
                              "via GSPMD")
+    parser.add_argument("--n_model", type=int, default=1,
+                        help="Tensor (model) parallelism: shard conv CHANNELS over "
+                             "this many chips per replica (Megatron column/row "
+                             "pattern on each DoubleConv; one all-reduce per "
+                             "block). Total devices = n_devices * n_space * "
+                             "n_model. For very wide models (--base_features 256+)")
     parser.add_argument("--multihost", action="store_true",
                         help="Multi-host launch: argless jax.distributed.initialize() "
                              "(TPU pod autodetection; run the same command on every host)")

@@ -132,6 +132,12 @@ def parse_args(argv=None):
                              "per-device state memory, identical numerics; grads "
                              "reduce-scatter and weights all-gather just-in-time "
                              "via GSPMD")
+    parser.add_argument("--n_model", type=int, default=1,
+                        help="Tensor (model) parallelism: shard conv CHANNELS over "
+                             "this many chips per replica (Megatron column/row "
+                             "pattern on each DoubleConv; one all-reduce per "
+                             "block). Total devices = n_devices * n_model. For "
+                             "very wide models (--base_features 256+)")
     parser.add_argument("--multihost", action="store_true",
                         help="Multi-host launch: argless jax.distributed.initialize() "
                              "(TPU pod autodetection; run the same command on every host)")
@@ -207,7 +213,7 @@ def main(argv=None):
     print(f"Train samples: {len(train_ds)}")
     print(f"Validation samples: {len(val_ds)}")
 
-    mesh = make_mesh(n_data=args.n_devices)
+    mesh = make_mesh(n_data=args.n_devices, n_model=args.n_model)
     to_device = lambda b: {k: (shard_batch(mesh, v) if hasattr(v, "shape") else v)
                            for k, v in b.items()}
     train_loader = DataLoader(train_ds, args.batch_size, shuffle=True, seed=args.seed,
@@ -224,7 +230,7 @@ def main(argv=None):
     tx = make_optimizer(args.optimizer, args.learning_rate, args.weight_decay)
     state = create_train_state(model, jax.random.key(args.seed),
                                (1, args.image_size, args.image_size, 3), tx)
-    state = shard_state(mesh, state, fsdp=args.fsdp)
+    state = shard_state(mesh, state, fsdp=args.fsdp, tp=args.n_model > 1)
     total_params = num_params(state)
     print(f"Total parameters: {total_params:,}")
 

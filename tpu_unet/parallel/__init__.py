@@ -1,5 +1,6 @@
 from tpu_unet.parallel.mesh import (
     DATA_AXIS,
+    MODEL_AXIS,
     SPACE_AXIS,
     batch_sharding,
     make_mesh,
@@ -11,6 +12,7 @@ from tpu_unet.parallel.mesh import (
 
 __all__ = [
     "DATA_AXIS",
+    "MODEL_AXIS",
     "SPACE_AXIS",
     "batch_sharding",
     "make_mesh",
@@ -37,3 +39,10 @@ from tpu_unet.parallel.fsdp import (  # noqa: E402
 
 __all__ += ["fsdp_sharding", "per_device_state_bytes", "shard_state",
             "sharded_fraction"]
+
+from tpu_unet.parallel.tensor import (  # noqa: E402
+    tp_leaf_spec,
+    tp_state_sharding,
+)
+
+__all__ += ["tp_leaf_spec", "tp_state_sharding"]

@@ -87,17 +87,24 @@ def fsdp_sharding(mesh: Mesh, tree, axis: str = DATA_AXIS,
     return jax.tree_util.tree_map(one, tree)
 
 
-def shard_state(mesh: Mesh, state, fsdp: bool = False, axis: str = DATA_AXIS,
-                min_size: int = DEFAULT_MIN_SIZE):
-    """Place a train state on the mesh: replicated (default) or FSDP-sharded.
+def shard_state(mesh: Mesh, state, fsdp: bool = False, tp: bool = False,
+                axis: str = DATA_AXIS, min_size: int = DEFAULT_MIN_SIZE):
+    """Place a train state on the mesh: replicated (default), FSDP-sharded,
+    tensor-parallel, or both (ZeRO + TP).
 
-    The single entry point the trainers use — ``fsdp=False`` (or a 1-wide axis)
-    is exactly ``parallel.mesh.replicate``, so the flag is safe to thread
-    through unconditionally.
+    The single entry point the trainers use — all flags off (or a 1-wide axis)
+    is exactly ``parallel.mesh.replicate``, so the flags are safe to thread
+    through unconditionally. ``tp=True`` requires a mesh built with
+    ``make_mesh(..., n_model=K)`` (see ``parallel/tensor.py``).
     """
-    if not fsdp or mesh.shape[axis] <= 1:
+    if tp:
+        from tpu_unet.parallel.tensor import tp_state_sharding
+
+        shardings = tp_state_sharding(mesh, state, fsdp=fsdp, min_size=min_size)
+    elif fsdp and mesh.shape[axis] > 1:
+        shardings = fsdp_sharding(mesh, state, axis, min_size)
+    else:
         return replicate(mesh, state)
-    shardings = fsdp_sharding(mesh, state, axis, min_size)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, s), state, shardings)
 

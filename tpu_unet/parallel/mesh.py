@@ -23,19 +23,28 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 SPACE_AXIS = "space"
+MODEL_AXIS = "model"
 
 
-def make_mesh(n_data: Optional[int] = None, n_space: int = 1,
+def make_mesh(n_data: Optional[int] = None, n_space: int = 1, n_model: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Build a ('data', 'space') mesh. Defaults to all devices on the data axis."""
+    """Build a ('data', 'space') mesh — plus a trailing 'model' axis when
+    ``n_model > 1`` (tensor parallelism, ``parallel/tensor.py``). Defaults to
+    all devices on the data axis; the 2-axis shape is kept when ``n_model == 1``
+    so existing meshes (and anything keyed on their axis names) are unchanged.
+    """
     if devices is None:
         devices = jax.devices()
     if n_data is None:
-        n_data = len(devices) // n_space
-    if n_data * n_space > len(devices):
-        raise ValueError(f"mesh {n_data}x{n_space} needs {n_data * n_space} devices, "
+        n_data = len(devices) // (n_space * n_model)
+    need = n_data * n_space * n_model
+    if need > len(devices):
+        raise ValueError(f"mesh {n_data}x{n_space}x{n_model} needs {need} devices, "
                          f"have {len(devices)}")
-    devs = np.asarray(devices[: n_data * n_space]).reshape(n_data, n_space)
+    if n_model > 1:
+        devs = np.asarray(devices[:need]).reshape(n_data, n_space, n_model)
+        return Mesh(devs, (DATA_AXIS, SPACE_AXIS, MODEL_AXIS))
+    devs = np.asarray(devices[:need]).reshape(n_data, n_space)
     return Mesh(devs, (DATA_AXIS, SPACE_AXIS))
 
 
