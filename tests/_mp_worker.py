@@ -175,6 +175,41 @@ def main():
     for shard in restored.opt_state["mu"].addressable_shards:
         np.testing.assert_array_equal(np.asarray(shard.data), (w2 * 0.5)[shard.index])
 
+    # 5b. The real placement entry points across processes: shard_state with
+    #     FSDP and TP+FSDP on a tiny true model state over the cross-process
+    #     mesh, then the async save -> swap -> restore roundtrip on the FSDP
+    #     layout (what a multi-host --fsdp training run actually writes/reads).
+    from tpu_unet.models import AnomalyUNet
+    from tpu_unet.parallel import shard_state
+    from tpu_unet.parallel.fsdp import sharded_fraction
+    from tpu_unet.train import create_train_state, make_optimizer
+
+    model = AnomalyUNet(base_features=4)
+    tx = make_optimizer("adam", 1e-3, 1e-4)
+    base = create_train_state(model, jax.random.key(0), (1, 16, 16, 3), tx)
+    fstate = shard_state(mesh, base, fsdp=True, min_size=0)
+    assert sharded_fraction(fstate.params) > 0.5, "FSDP placement inert cross-process"
+
+    mesh3 = make_mesh(n_data=2, n_space=1, n_model=4)
+    tstate = shard_state(mesh3, base, fsdp=True, tp=True, min_size=0)
+    assert sharded_fraction(tstate.params) > 0.5, "TP placement inert cross-process"
+
+    fpath = os.path.join(ckpt_root, "checkpoints_fsdp", "best_model")
+    with CheckpointWriter() as writer:
+        writer.save(fstate, epoch=1, loss=0.1, path=fpath)
+        writer.wait()
+    template = shard_state(mesh, jax.tree_util.tree_map(np.zeros_like, base),
+                           fsdp=True, min_size=0)
+    restored2, epoch2, _ = load_checkpoint(template, fpath)
+    assert epoch2 == 1
+    for a, b in zip(jax.tree_util.tree_leaves(base.params),
+                    jax.tree_util.tree_leaves(restored2.params)):
+        av = np.asarray(a)  # base is process-local (pre-placement)
+        for shard in b.addressable_shards:  # b spans processes
+            np.testing.assert_array_equal(np.asarray(shard.data), av[shard.index])
+    assert sharded_fraction(restored2.params) > 0.5, \
+        "restore did not adopt the FSDP template layout"
+
     # 6. synced_timestamp: identical on every process even when process entry
     #    skews across a second boundary (experiment dirs / checkpoint paths must
     #    match across hosts or the coordinated save targets different paths).
