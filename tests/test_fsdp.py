@@ -182,6 +182,35 @@ class TestNumericsAndLayout:
         assert np.isfinite(float(out["losses"]["total_loss"]))
         assert out["score"].shape == (8,)
 
+    def test_train_cli_fsdp_wiring(self, devices, tmp_path):
+        """--fsdp reaches the placement through the real trainer: one epoch on
+        synthetic data, checkpoint written, resume leg restores into the
+        sharded layout without error."""
+        import os
+
+        from tests.test_data import make_mvtec
+        from tpu_unet.cli.train_mvtec import main as train_main
+
+        root = make_mvtec(str(tmp_path / "mvtec"), n_train=8, n_test_good=2,
+                          n_broken=2, size=32)
+        exp = train_main([
+            "--data_root", root, "--category", "bottle", "--image_size", "32",
+            "--epochs", "1", "--batch_size", "8", "--val_freq", "1",
+            "--num_workers", "2", "--save_dir", str(tmp_path / "out"),
+            "--base_features", "4", "--precision", "f32",
+            "--n_devices", "8", "--fsdp",
+        ])
+        best = os.path.join(exp, "checkpoints", "best_model")
+        assert os.path.isdir(best)
+        exp2 = train_main([
+            "--data_root", root, "--category", "bottle", "--image_size", "32",
+            "--epochs", "2", "--batch_size", "8", "--val_freq", "2",
+            "--num_workers", "2", "--save_dir", str(tmp_path / "out2"),
+            "--base_features", "4", "--precision", "f32",
+            "--n_devices", "8", "--fsdp", "--resume", best,
+        ])
+        assert exp2 is not None
+
     def test_fsdp_with_grad_accum(self, devices):
         """--fsdp composes with --grad_accum: the (G, B/G, ...) scan runs on
         sharded params and matches the unsharded accumulated step."""

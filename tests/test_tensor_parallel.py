@@ -196,6 +196,24 @@ class TestNumerics:
         np.testing.assert_array_equal(cm1, cmt)
 
 
+class TestCLIWiring:
+    def test_seg_train_cli_3d_mesh(self, devices, tmp_path):
+        """--n_model reaches the placement through the real seg trainer on the
+        full 2x2x2 data x space x model mesh."""
+        from tests.test_data import make_gear
+        from tpu_unet.cli.train_gear import main as train_main
+
+        root = make_gear(str(tmp_path / "gear"), n_per_split=8, size=32)
+        out = train_main([
+            "--data_root", root, "--image_size", "32", "--epochs", "1",
+            "--batch_size", "8", "--val_freq", "1", "--num_workers", "2",
+            "--save_dir", str(tmp_path / "out"), "--base_features", "8",
+            "--precision", "f32", "--n_devices", "2", "--n_space", "2",
+            "--n_model", "2",
+        ])
+        assert out is not None
+
+
 class TestMesh3D:
     def test_three_axis_mesh(self, devices):
         mesh = make_mesh(n_data=2, n_space=2, n_model=2)
