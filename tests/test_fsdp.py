@@ -78,10 +78,11 @@ class TestPlacement:
         placed = shard_state(mesh, tree, fsdp=False)
         assert placed["w"].sharding.is_fully_replicated
 
-    def test_one_wide_axis_is_replicate(self, devices):
+    def test_one_wide_axis_is_replicate_with_warning(self, devices):
         mesh = make_mesh(n_data=1, n_space=8)
         tree = {"w": np.ones((8, 8192), np.float32)}
-        placed = shard_state(mesh, tree, fsdp=True)
+        with pytest.warns(UserWarning, match="1-wide"):
+            placed = shard_state(mesh, tree, fsdp=True)
         assert placed["w"].sharding.is_fully_replicated
 
     def test_state_shards_and_memory_drops(self, devices):

@@ -228,3 +228,16 @@ class TestMesh3D:
     def test_oversubscription_raises(self, devices):
         with pytest.raises(ValueError):
             make_mesh(n_data=4, n_space=2, n_model=2)
+
+    def test_defaulted_data_axis_oversubscription_raises(self, devices):
+        # n_model larger than the device count with n_data defaulted used to
+        # floor n_data to 0 and build an empty mesh that failed later with a
+        # cryptic XLA error; now it's a clear up-front ValueError.
+        with pytest.raises(ValueError, match="devices"):
+            make_mesh(n_model=16)
+
+    def test_nonpositive_axis_sizes_raise(self, devices):
+        for kw in ({"n_model": 0}, {"n_space": 0}, {"n_data": 0},
+                   {"n_model": -1}):
+            with pytest.raises(ValueError, match=">= 1"):
+                make_mesh(**kw)

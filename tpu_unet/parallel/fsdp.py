@@ -38,7 +38,7 @@ than erroring: odd-shaped heads degrade gracefully.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -100,10 +100,20 @@ def shard_state(mesh: Mesh, state, fsdp: bool = False, tp: bool = False,
     if tp:
         from tpu_unet.parallel.tensor import tp_state_sharding
 
-        shardings = tp_state_sharding(mesh, state, fsdp=fsdp, min_size=min_size)
+        shardings = tp_state_sharding(mesh, state, fsdp=fsdp, fsdp_axis=axis,
+                                      min_size=min_size)
     elif fsdp and mesh.shape[axis] > 1:
         shardings = fsdp_sharding(mesh, state, axis, min_size)
     else:
+        if fsdp:
+            # Requested but inert: a 1-wide shard axis can't split anything,
+            # so the promised memory saving silently wouldn't happen.
+            import warnings
+
+            warnings.warn(
+                f"--fsdp requested but the '{axis}' mesh axis is 1-wide "
+                f"(mesh {dict(mesh.shape)}); state stays fully replicated",
+                stacklevel=2)
         return replicate(mesh, state)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, s), state, shardings)

@@ -33,10 +33,18 @@ def make_mesh(n_data: Optional[int] = None, n_space: int = 1, n_model: int = 1,
     all devices on the data axis; the 2-axis shape is kept when ``n_model == 1``
     so existing meshes (and anything keyed on their axis names) are unchanged.
     """
+    if n_space < 1 or n_model < 1 or (n_data is not None and n_data < 1):
+        raise ValueError(
+            f"mesh axis sizes must be >= 1 (got data={n_data}, space={n_space}, "
+            f"model={n_model})")
     if devices is None:
         devices = jax.devices()
     if n_data is None:
         n_data = len(devices) // (n_space * n_model)
+        if n_data < 1:
+            raise ValueError(
+                f"mesh needs at least {n_space * n_model} devices for "
+                f"space={n_space} x model={n_model}, have {len(devices)}")
     need = n_data * n_space * n_model
     if need > len(devices):
         raise ValueError(f"mesh {n_data}x{n_space}x{n_model} needs {need} devices, "

@@ -39,7 +39,7 @@ steps at the usual f32 reorder tolerances, tests/test_tensor_parallel.py).
 
 from __future__ import annotations
 
-from typing import Any, List, Tuple
+from typing import List
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -98,40 +98,27 @@ def tp_leaf_spec(path, shape, n_model: int) -> P:
 
 
 def tp_state_sharding(mesh: Mesh, state, fsdp: bool = False,
+                      fsdp_axis: str = DATA_AXIS,
                       min_size: int = DEFAULT_MIN_SIZE):
     """Pytree of NamedShardings for a train state under tensor parallelism.
 
-    ``fsdp=True`` additionally applies the FSDP leaf policy over 'data' to
-    every leaf the TP rules leave replicated (ZeRO + TP composition); leaves
-    TP shards are left TP-only — double-sharding one tensor over both axes
-    buys little at these sizes and complicates the update layout.
+    ``fsdp=True`` additionally applies the FSDP leaf policy over ``fsdp_axis``
+    to every leaf the TP rules leave replicated (ZeRO + TP composition);
+    leaves TP shards are left TP-only — double-sharding one tensor over both
+    axes buys little at these sizes and complicates the update layout.
     """
     if MODEL_AXIS not in mesh.shape:
         raise ValueError(
             f"tensor parallelism needs a '{MODEL_AXIS}' mesh axis; build the "
             f"mesh with make_mesh(..., n_model=K) (got axes {mesh.axis_names})")
     n_model = mesh.shape[MODEL_AXIS]
-    n_data = mesh.shape.get(DATA_AXIS, 1)
+    n_fsdp = mesh.shape.get(fsdp_axis, 1)
 
     def one(path, x):
         shape = getattr(x, "shape", ())
         spec = tp_leaf_spec(path, shape, n_model)
         if fsdp and spec == P():
-            spec = leaf_partition_spec(shape, n_data, DATA_AXIS, min_size)
+            spec = leaf_partition_spec(shape, n_fsdp, fsdp_axis, min_size)
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(one, state)
-
-
-def tp_param_summary(tree, mesh: Mesh) -> Tuple[int, int]:
-    """(sharded_elements, total_elements) under the current placements —
-    diagnostic mirror of fsdp.sharded_fraction for logs/tests."""
-    total = 0
-    sharded = 0
-    for leaf in jax.tree_util.tree_leaves(tree):
-        n = getattr(leaf, "size", 0)
-        total += n
-        s = getattr(leaf, "sharding", None)
-        if s is not None and not s.is_fully_replicated:
-            sharded += n
-    return sharded, total
