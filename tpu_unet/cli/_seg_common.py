@@ -143,7 +143,8 @@ def run_seg_training(args, workload: Workload):
     model = build_model(args.model if args.model != "unet" else "unet",
                         n_channels=3, n_classes=num_classes, bilinear=args.bilinear,
                         dropout=args.dropout, policy=policy,
-                        base_features=getattr(args, "base_features", 64))
+                        base_features=getattr(args, "base_features", 64),
+                        deep_supervision=getattr(args, "deep_supervision", False))
     tx = make_optimizer(args.optimizer, args.learning_rate, args.weight_decay)
     state = create_train_state(model, jax.random.key(args.seed), (1, h, w, 3), tx)
     state = shard_state(mesh, state, fsdp=getattr(args, "fsdp", False),
@@ -289,7 +290,8 @@ def run_seg_evaluation(args, workload: Workload, split: str = "test"):
     policy = get_policy(getattr(args, "precision", "bf16"))
     model = build_model(args.model, n_channels=3, n_classes=num_classes,
                         bilinear=args.bilinear, dropout=args.dropout, policy=policy,
-                        base_features=getattr(args, "base_features", 64))
+                        base_features=getattr(args, "base_features", 64),
+                        deep_supervision=getattr(args, "deep_supervision", False))
     tx = make_optimizer("adam", 1e-3, 0.0)
     state = create_train_state(model, jax.random.key(0), (1, h, w, 3), tx)
     state = replicate(mesh, state)

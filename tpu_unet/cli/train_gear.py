@@ -17,9 +17,13 @@ from tpu_unet.train import AugmentConfig
 
 def add_common_args(parser):
     parser.add_argument("--model", type=str, default="seg_unet",
-                        choices=["unet", "seg_unet"], help="Model architecture")
+                        choices=["unet", "seg_unet", "unetpp"], help="Model architecture")
     parser.add_argument("--bilinear", action="store_true",
                         help="Use bilinear upsampling instead of transposed convolution")
+    parser.add_argument("--deep_supervision", action="store_true",
+                        help="UNet++ only: a 1x1 head on every nested top-row "
+                             "node; training averages per-head losses, "
+                             "inference averages head logits (arXiv:1912.05074)")
     parser.add_argument("--dropout", type=float, default=0.1,
                         help="Dropout rate for segmentation UNet")
     parser.add_argument("--epochs", type=int, default=50)

@@ -1,5 +1,6 @@
 from tpu_unet.models.blocks import DoubleConv, Down, Up, OutConv
 from tpu_unet.models.unet import UNet, SegmentationUNet, AnomalyUNet, build_model
+from tpu_unet.models.unetpp import UNetPlusPlus
 
 __all__ = [
     "DoubleConv",
@@ -10,4 +11,5 @@ __all__ = [
     "SegmentationUNet",
     "AnomalyUNet",
     "build_model",
+    "UNetPlusPlus",
 ]

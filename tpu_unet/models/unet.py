@@ -170,9 +170,18 @@ class AnomalyUNet(nn.Module):
 def build_model(name: str, *, n_channels: int = 3, n_classes: int = 1,
                 bilinear: bool = False, dropout: float = 0.1,
                 policy: Policy = DEFAULT_POLICY, sync_batch_stats: bool = False,
-                base_features: int = 64):
-    """Build a model by CLI name ('unet' | 'anomaly_unet' | 'seg_unet')."""
+                base_features: int = 64, deep_supervision: bool = False):
+    """Build a model by CLI name ('unet' | 'anomaly_unet' | 'seg_unet' |
+    'unetpp')."""
     name = name.lower()
+    if name in ("unetpp", "unet++", "nested_unet"):
+        from tpu_unet.models.unetpp import UNetPlusPlus
+
+        return UNetPlusPlus(n_channels=n_channels, n_classes=n_classes,
+                            bilinear=bilinear, dropout=dropout,
+                            deep_supervision=deep_supervision,
+                            policy=policy, sync_batch_stats=sync_batch_stats,
+                            base_features=base_features)
     if name == "unet":
         return UNet(n_channels=n_channels, n_classes=n_classes, bilinear=bilinear,
                     policy=policy, sync_batch_stats=sync_batch_stats,

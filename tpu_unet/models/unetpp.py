@@ -1,0 +1,124 @@
+"""UNet++ (nested UNet) for multi-class defect segmentation.
+
+An EXTENSION beyond the reference (which ships only the plain UNet family,
+/root/reference/src/model.py) — added because redesigned skip connections are
+the established upgrade for exactly these workloads (UNet++, Zhou et al.,
+arXiv:1912.05074, retrieved in PAPERS.md): nested dense skip pathways close
+the semantic gap between encoder and decoder features before fusion, which
+helps small-structure defect masks (Gear pitting, KolektorSDD cracks).
+
+Architecture: encoder nodes X[i][0] on the usual b*2^i channel ladder; nested
+decoder nodes X[i][j] = DoubleConv(concat(X[i][0..j-1], up(X[i+1][j-1]))),
+each at b*2^i channels. ``deep_supervision=True`` attaches a 1x1 head to every
+top-row node X[0][1..L] — training averages the per-head losses; inference
+averages the head LOGITS (the paper's "accurate mode"; its pruned "fast mode"
+is the final head only, exposed as ``heads=1..L`` at construction).
+
+TPU-first notes:
+- Reuses ``DoubleConv`` (NHWC, bf16 compute / f32 BN, MXU-ladder widths), so
+  the tensor-parallel path rules in parallel/tensor.py (conv1 C_out column /
+  conv2 C_in row / bn1 channel slices) apply to every nested node unchanged.
+- Upsampling between pyramid levels is the same ConvTranspose-k2s2 (or
+  align-corners bilinear) used by ``Up`` — all static shapes, one XLA program.
+- The dense grid holds more live activations than plain UNet; compose with
+  ``--grad_accum`` / ``--n_space`` when memory-bound (docs/SCALING.md).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tpu_unet.core.precision import Policy, DEFAULT_POLICY
+from tpu_unet.models.blocks import DoubleConv, OutConv
+from tpu_unet.ops.resize import upsample2x_bilinear_align_corners
+
+
+class UNetPlusPlus(nn.Module):
+    """Nested UNet (UNet++), depth 5 (4 down/up levels), NHWC."""
+
+    n_channels: int = 3
+    n_classes: int = 4
+    bilinear: bool = False
+    deep_supervision: bool = False
+    # Heads averaged at inference when deep_supervision (1..4; 4 = all top-row
+    # nodes = the paper's accurate mode; 1 = pruned fast mode, final head only).
+    heads: int = 4
+    dropout: float = 0.0
+    policy: Policy = DEFAULT_POLICY
+    sync_batch_stats: bool = False
+    base_features: int = 32  # paper default; 64 matches the UNet ladder
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False):
+        if not 1 <= self.heads <= 4:
+            raise ValueError(f"heads must be in 1..4, got {self.heads}")
+        b = self.base_features
+        kw = dict(policy=self.policy, sync_batch_stats=self.sync_batch_stats)
+        x = self.policy.cast_to_compute(x)
+
+        def up(t, features, name):
+            if self.bilinear:
+                return upsample2x_bilinear_align_corners(t)
+            return nn.ConvTranspose(
+                features, kernel_size=(2, 2), strides=(2, 2), padding="VALID",
+                dtype=self.policy.compute_dtype,
+                param_dtype=self.policy.param_dtype, name=name,
+            )(t)
+
+        # Encoder column X[i][0] at b * 2^i channels.
+        grid = {}
+        t = x
+        for i in range(5):
+            if i > 0:
+                t = nn.max_pool(t, window_shape=(2, 2), strides=(2, 2))
+            t = DoubleConv(b * 2 ** i, name=f"x{i}_0", **kw)(t, train=train)
+            grid[(i, 0)] = t
+
+        if self.dropout > 0:
+            # Channel dropout on the bottleneck, as SegmentationUNet does.
+            grid[(4, 0)] = nn.Dropout(
+                rate=self.dropout, broadcast_dims=(1, 2),
+                deterministic=not train, name="bottleneck_dropout",
+            )(grid[(4, 0)])
+
+        # Nested decoder: X[i][j] fuses the full dense row X[i][0..j-1] with
+        # the upsampled X[i+1][j-1].
+        for j in range(1, 5):
+            for i in range(0, 5 - j):
+                below = up(grid[(i + 1, j - 1)], b * 2 ** i, name=f"up{i}_{j}")
+                row = [grid[(i, k)] for k in range(j)]
+                cat = jnp.concatenate(
+                    [r.astype(below.dtype) for r in row] + [below], axis=-1)
+                grid[(i, j)] = DoubleConv(b * 2 ** i, name=f"x{i}_{j}",
+                                          **kw)(cat, train=train)
+
+        if not self.deep_supervision:
+            return OutConv(self.n_classes, policy=self.policy,
+                           name="outc")(grid[(0, 4)])
+
+        logits = tuple(
+            OutConv(self.n_classes, policy=self.policy, name=f"outc_{j}")(
+                grid[(0, j)])
+            for j in range(1, 5))
+        if train:
+            return logits  # per-head losses, averaged by the train step
+        used = logits[-self.heads:]
+        return sum(used) / len(used)
+
+
+def unetpp_param_count(n_classes: int = 4, base_features: int = 32,
+                       deep_supervision: bool = False) -> int:
+    """Reference param count for tests (computed once, pinned there)."""
+    import jax
+
+    from tpu_unet.train.state import create_train_state
+    import optax
+
+    model = UNetPlusPlus(n_classes=n_classes, base_features=base_features,
+                         deep_supervision=deep_supervision)
+    state = create_train_state(model, jax.random.key(0), (1, 32, 32, 3),
+                               optax.sgd(1e-2))
+    return sum(x.size for x in jax.tree_util.tree_leaves(state.params))

@@ -242,7 +242,17 @@ def make_seg_train_step(num_classes: int,
                 img, train=True, mutable=["batch_stats"],
                 rngs={"dropout": k_drop},
             )
-            losses = combined_segmentation_loss(logits, lbl, **loss_cfg.kwargs())
+            if isinstance(logits, (tuple, list)):
+                # Deep supervision (UNet++): one loss per head, averaged —
+                # every head gets equal gradient weight (arXiv:1912.05074);
+                # preds/CM report the deepest head.
+                per = [combined_segmentation_loss(l, lbl, **loss_cfg.kwargs())
+                       for l in logits]
+                losses = {k: sum(p[k] for p in per) / len(per) for k in per[0]}
+                logits = logits[-1]
+            else:
+                losses = combined_segmentation_loss(logits, lbl,
+                                                    **loss_cfg.kwargs())
             return losses["total_loss"], (losses, mut["batch_stats"], logits)
 
         grads, (losses, new_stats, logits) = jax.grad(loss_fn, has_aux=True)(params)
