@@ -191,6 +191,38 @@ class TestSharding:
         assert abs(run(False) - run(True)) < 1e-5
 
 
+class TestServing:
+    def test_predictor_serves_unetpp(self):
+        """SegmentationPredictor(model_name='unetpp') reproduces the eval
+        step's predictions (BN folding included), deep supervision heads and
+        all."""
+        from tpu_unet.serve import SegmentationPredictor
+
+        state = make_state(ds=True)
+        pred = SegmentationPredictor.from_variables(
+            state.params, state.batch_stats, num_classes=4,
+            image_size_hw=(32, 32), batch_size=4, precision="f32",
+            base_features=8, model_name="unetpp", deep_supervision=True)
+        img, lbl = seg_batch(seed=9)
+        masks, conf = pred.predict_array(img)
+        assert masks.shape == (4, 32, 32) and masks.dtype == np.uint8
+        assert np.isfinite(np.asarray(conf)).all()
+        _, ref_preds, _ = make_seg_eval_step(num_classes=4)(state, img, lbl)
+        agree = float((np.asarray(masks) == np.asarray(ref_preds)).mean())
+        assert agree > 0.99, agree  # fold_bn reorders f32 math; ties may flip
+
+    def test_int8_rejected_for_unetpp(self):
+        from tpu_unet.serve import SegmentationPredictor
+
+        state = make_state()
+        with pytest.raises(ValueError, match="seg_unet"):
+            SegmentationPredictor.from_variables(
+                state.params, state.batch_stats, num_classes=4,
+                image_size_hw=(32, 32), batch_size=4, quantize="int8",
+                base_features=8, model_name="unetpp",
+                calib_images=np.zeros((4, 32, 32, 3), np.uint8))
+
+
 class TestCLI:
     def test_train_then_eval_cli(self, devices, tmp_path):
         from tests.test_data import make_gear

@@ -57,6 +57,14 @@ def parse_args(argv=None):
     p.add_argument("--qparams", type=str, default=None,
                    help="Quantized-params .npz: loaded if it exists (skips "
                         "calibration), else written after calibrating")
+    p.add_argument("--model", type=str, default="seg_unet",
+                   choices=["seg_unet", "unetpp"],
+                   help="Architecture the checkpoint was trained with "
+                        "(unetpp serves in bf16/f32; int8 is seg_unet-only)")
+    p.add_argument("--deep_supervision", action="store_true",
+                   help="unetpp only: the checkpoint was trained with "
+                        "--deep_supervision (rebuilds the same head params; "
+                        "serving averages the head logits)")
     p.add_argument("--base_features", type=int, default=64)
     p.add_argument("--bilinear", action="store_true")
     p.add_argument("--n_devices", type=int, default=None,
@@ -102,6 +110,7 @@ def main(argv=None):
     predictor = SegmentationPredictor.from_checkpoint(
         args.checkpoint, num_classes=args.num_classes, image_size_hw=size_hw,
         batch_size=args.batch_size, precision=args.precision,
+        model_name=args.model, deep_supervision=args.deep_supervision,
         quantize=quantize,
         calib_images=calib_images, base_features=args.base_features,
         bilinear=args.bilinear, n_devices=args.n_devices, n_space=args.n_space,

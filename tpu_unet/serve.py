@@ -595,9 +595,17 @@ class SegmentationPredictor:
                        n_space: int = 1,
                        qparams: Optional[dict] = None,
                        calib_percentile: Optional[float] = None,
-                       bucket_sizes: Optional[Sequence[int]] = None) -> "SegmentationPredictor":
+                       bucket_sizes: Optional[Sequence[int]] = None,
+                       model_name: str = "seg_unet",
+                       deep_supervision: bool = False) -> "SegmentationPredictor":
         if quantize not in (None, "none", "int8"):
             raise ValueError(f"unsupported quantize mode {quantize!r}")
+        if quantize == "int8" and model_name != "seg_unet":
+            # The int8 path is a hand-written quantized forward per
+            # architecture (ops/quantize.py); only seg_unet has one.
+            raise ValueError(
+                f"int8 quantization is implemented for 'seg_unet' only, not "
+                f"{model_name!r}; serve it in bf16/f32 instead")
         # Validate the bucket ladder BEFORE any expensive calibration work
         # (semantics: AnomalyScorer.from_variables bucket_sizes docstring).
         _normalize_buckets(bucket_sizes, batch_size,
@@ -638,9 +646,10 @@ class SegmentationPredictor:
                        quantize="int8", bucket_sizes=bucket_sizes)
 
         policy = get_policy(precision)
-        model = build_model("seg_unet", n_classes=num_classes, bilinear=bilinear,
+        model = build_model(model_name, n_classes=num_classes, bilinear=bilinear,
                             dropout=dropout, policy=policy,
-                            base_features=base_features)
+                            base_features=base_features,
+                            deep_supervision=deep_supervision)
         if fold_bn:
             params, batch_stats = fold_batchnorm(params, batch_stats)
         variables = {"params": params, "batch_stats": batch_stats}
@@ -664,14 +673,17 @@ class SegmentationPredictor:
                         n_space: int = 1,
                         qparams: Optional[dict] = None,
                         calib_percentile: Optional[float] = None,
-                        bucket_sizes: Optional[Sequence[int]] = None) -> "SegmentationPredictor":
+                        bucket_sizes: Optional[Sequence[int]] = None,
+                        model_name: str = "seg_unet",
+                        deep_supervision: bool = False) -> "SegmentationPredictor":
         from tpu_unet.train.checkpoint import load_params
         from tpu_unet.train.optim import make_optimizer
         from tpu_unet.train.state import create_train_state
 
-        model = build_model("seg_unet", n_classes=num_classes, bilinear=bilinear,
+        model = build_model(model_name, n_classes=num_classes, bilinear=bilinear,
                             dropout=dropout, policy=get_policy(precision),
-                            base_features=base_features)
+                            base_features=base_features,
+                            deep_supervision=deep_supervision)
         h, w = image_size_hw
         state = create_train_state(model, jax.random.key(0), (1, h, w, 3),
                                    make_optimizer("adam", 1e-3, 0.0))
@@ -685,7 +697,9 @@ class SegmentationPredictor:
                                   dropout=dropout, n_devices=n_devices,
                                   n_space=n_space, qparams=qparams,
                                   calib_percentile=calib_percentile,
-                                  bucket_sizes=bucket_sizes)
+                                  bucket_sizes=bucket_sizes,
+                                  model_name=model_name,
+                                  deep_supervision=deep_supervision)
 
     def predict_array(self, images_u8: np.ndarray):
         """(N,H,W,3) uint8 -> (masks (N,H,W) uint8, mean_confidence (N,) f32)."""
