@@ -164,3 +164,20 @@ def test_bench_rotation_smoke(monkeypatch, capsys):
     out = capsys.readouterr().out
     for mode in ("per_batch_shear", "per_sample_shear", "per_sample"):
         assert mode in out and "ms/call" in out
+
+
+def test_bench_unetpp_smoke(monkeypatch, capsys):
+    """UNet++ seg-train bench runs both models at tiny shapes and prints the
+    JSON line with throughput per variant (hermetic: CPU, in-process)."""
+    import bench_unetpp
+
+    monkeypatch.setattr(sys, "argv", [
+        "bench_unetpp.py", "--image_size", "32", "--batch", "2",
+        "--base_features", "4", "--steps", "2", "--warmup", "1",
+        "--deep_supervision"])
+    bench_unetpp.main()
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(out)
+    assert set(rec["results"]) == {"unetpp_b4", "unetpp_b4_ds", "seg_unet_b4"}
+    for v in rec["results"].values():
+        assert v["images_per_sec_per_chip"] > 0 and v["params"] > 0
