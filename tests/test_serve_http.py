@@ -265,6 +265,16 @@ def test_daemon_cli_flag_validation(tmp_path):
     with pytest.raises(SystemExit, match="exactly one"):
         args, parser = parse_args([])
         build_service(args, parser)
+    # --model/--deep_supervision are seg-engine knobs; silently ignoring them
+    # on an anomaly daemon would serve the wrong architecture's checkpoint.
+    with pytest.raises(SystemExit, match="--task seg"):
+        args, parser = parse_args(["--checkpoint", "nope", "--task", "anomaly",
+                                   "--model", "unetpp"])
+        build_service(args, parser)
+    with pytest.raises(SystemExit, match="--task seg"):
+        args, parser = parse_args(["--checkpoint", "nope", "--task", "anomaly",
+                                   "--deep_supervision"])
+        build_service(args, parser)
 
 
 def test_daemon_sigterm_graceful_shutdown():

@@ -61,6 +61,13 @@ def parse_args(argv=None):
     p.add_argument("--image_height", type=int, default=512, help="seg only")
     p.add_argument("--image_width", type=int, default=512, help="seg only")
     p.add_argument("--num_classes", type=int, default=4, help="seg only")
+    p.add_argument("--model", type=str, default="seg_unet",
+                   choices=["seg_unet", "unetpp"],
+                   help="seg only: architecture the checkpoint was trained "
+                        "with (unetpp serves bf16/f32; int8 is seg_unet-only)")
+    p.add_argument("--deep_supervision", action="store_true",
+                   help="seg unetpp only: checkpoint was trained with "
+                        "--deep_supervision (rebuilds the same head params)")
     p.add_argument("--batch_size", type=int, default=8,
                    help="Max micro-batch (the compiled program's batch); "
                         "smaller = lower tail latency, larger = more "
@@ -100,6 +107,10 @@ def build_service(args, parser):
             raise SystemExit("--task anomaly|seg is required with --checkpoint")
         if args.heatmap and args.task != "anomaly":
             raise SystemExit("--heatmap only applies to --task anomaly")
+        if args.task != "seg" and (args.model != "seg_unet"
+                                   or args.deep_supervision):
+            raise SystemExit("--model/--deep_supervision only apply to "
+                             "--task seg")
         buckets = parse_bucket_sizes(args, args.batch_size)
         if args.task == "anomaly":
             size_hw = (args.image_size, args.image_size)
@@ -123,7 +134,9 @@ def build_service(args, parser):
                 precision=args.precision, quantize=quantize,
                 calib_images=calib_images, base_features=args.base_features,
                 bilinear=args.bilinear, qparams=qparams_tree,
-                calib_percentile=args.calib_percentile, bucket_sizes=buckets)
+                calib_percentile=args.calib_percentile, bucket_sizes=buckets,
+                model_name=args.model,
+                deep_supervision=args.deep_supervision)
         maybe_save_qparams(args, engine, qparams_tree)
     if args.max_queue < 0:
         raise SystemExit("--max_queue must be >= 0 (0 = unbounded)")
