@@ -173,8 +173,8 @@ def test_bench_unetpp_smoke(monkeypatch, capsys):
 
     monkeypatch.setattr(sys, "argv", [
         "bench_unetpp.py", "--image_size", "32", "--batch", "2",
-        "--base_features", "4", "--steps", "2", "--warmup", "1",
-        "--deep_supervision"])
+        "--base_features", "4", "--steps", "2", "--warmup", "0",
+        "--deep_supervision"])  # warmup 0: clamped to 1, must not crash
     bench_unetpp.main()
     out = capsys.readouterr().out.strip().splitlines()[-1]
     rec = json.loads(out)

@@ -73,6 +73,42 @@ class TestModel:
         assert out4.shape == out1.shape == (2, 32, 32, 4)
         assert not np.allclose(np.asarray(out4), np.asarray(out1))
 
+    def test_pruned_heads_ignore_deeper_columns(self):
+        """heads=k uses the SHALLOWEST k heads (paper's pruned fast mode), so
+        the output must not depend on deeper-column params — that independence
+        is also what lets XLA DCE the deep columns from the serving program."""
+        state = make_state(ds=True)
+        x = np.random.default_rng(3).uniform(size=(2, 32, 32, 3)).astype(np.float32)
+
+        def run(heads, params):
+            model = UNetPlusPlus(n_classes=4, base_features=8,
+                                 deep_supervision=True, heads=heads)
+            return np.asarray(model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, train=False))
+
+        import flax
+        mangled = flax.core.unfreeze(jax.tree_util.tree_map(lambda p: p,
+                                                            state.params))
+        for name in ("x0_4", "outc_4", "x1_3", "up0_4"):
+            mangled[name] = jax.tree_util.tree_map(lambda p: p + 7.0,
+                                                   mangled[name])
+        np.testing.assert_array_equal(run(1, state.params), run(1, mangled))
+        assert not np.allclose(run(4, state.params), run(4, mangled))
+
+    def test_non_divisible_image_size(self):
+        """Sizes not divisible by 16 trace fine: the nested level-ups pad to
+        the dense row's extent (36 -> 18/9/4/2; up(4)=8 vs row 9 pads)."""
+        model = UNetPlusPlus(n_classes=4, base_features=8)
+        x = np.zeros((1, 36, 36, 3), np.float32)
+        variables = model.init(jax.random.key(0), x, train=False)
+        out = model.apply(variables, x, train=False)
+        assert out.shape == (1, 36, 36, 4)
+
+    def test_deep_supervision_rejected_for_plain_unet(self):
+        with pytest.raises(ValueError, match="unetpp"):
+            build_model("seg_unet", n_classes=4, deep_supervision=True)
+
     def test_heads_validation(self):
         model = UNetPlusPlus(base_features=8, deep_supervision=True, heads=5)
         with pytest.raises(ValueError, match="heads"):
@@ -170,7 +206,9 @@ class TestSharding:
         node = sh.params["x1_2"]  # a nested decoder node
         assert node["conv1"]["kernel"].spec == P(None, None, None, "model")
         assert node["conv2"]["kernel"].spec == P(None, None, "model", None)
-        assert sh.params["up1_2"]["kernel"].spec == P()  # 'up{i}_{j}' name, not 'up'
+        # Nested level-ups ('up{i}_{j}') column-shard like blocks.Up's 'up'.
+        assert sh.params["up1_2"]["kernel"].spec == P(None, None, None, "model")
+        assert sh.params["up1_2"]["bias"].spec == P("model")
 
     def test_tp_step_matches_single_device(self, devices):
         img, lbl = seg_batch(n=8, seed=5)

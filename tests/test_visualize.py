@@ -113,6 +113,30 @@ def test_visualize_seg_gear(tmp_path):
     assert "class_distribution.png" in files
 
 
+def test_visualize_seg_unetpp_deep_supervision(tmp_path):
+    """--model unetpp --deep_supervision must rebuild the multi-head params
+    before restore — a plain build would have one 'outc' vs the checkpoint's
+    outc_1..outc_4 and crash (or restore garbage heads)."""
+    from tpu_unet.cli.visualize_seg import main
+    from tpu_unet.models import UNetPlusPlus
+
+    root = make_gear(os.path.join(tmp_path, "data"), n_per_split=3, size=32)
+    tx = make_optimizer("adam", 1e-3, 0.0)
+    state = create_train_state(
+        UNetPlusPlus(n_classes=4, base_features=4, deep_supervision=True),
+        jax.random.key(0), (1, 32, 32, 3), tx)
+    ckpt = os.path.join(tmp_path, "exp", "checkpoints", "best_model")
+    save_checkpoint(state, 0, 1.0, ckpt)
+
+    out = main([
+        "--dataset", "gear", "--data_root", root, "--image_size", "32",
+        "--checkpoint", ckpt, "--batch_size", "4", "--num_workers", "2",
+        "--max_samples", "1", "--base_features", "4", "--precision", "f32",
+        "--model", "unetpp", "--deep_supervision", "--n_devices", "2",
+    ])
+    assert out is not None and "predictions_grid.png" in os.listdir(out)
+
+
 def test_demo_cli(tmp_path, monkeypatch):
     from tpu_unet.cli.demo import main
 

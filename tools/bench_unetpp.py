@@ -96,8 +96,9 @@ def main():
         nparams = num_params(st)
         compiled = step.lower(st, images, labels, jax.random.key(0)).compile()
         fl, by = _cost(compiled)
-        r = None
-        for i in range(args.warmup):
+        # >=1 warmup step: the scalar fetch below must have a step to force
+        # (and --warmup 0 would otherwise dereference r=None), bench_accum rule.
+        for i in range(max(1, args.warmup)):
             r = compiled(st, images, labels, jax.random.key(i))
             st = r[0]
         float(r[1]["total_loss"])  # fetch a scalar: forces the chain (CLAUDE.md)

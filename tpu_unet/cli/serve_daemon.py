@@ -99,7 +99,7 @@ def build_service(args, parser):
                      "num_classes", "batch_size", "precision", "quantize",
                      "calib_dir", "calib_samples", "calib_percentile",
                      "qparams", "base_features", "bilinear", "heatmap",
-                     "bucket_sizes"))
+                     "bucket_sizes", "model", "deep_supervision"))
     if args.artifact:
         engine = load_artifact_engine(args)
     else:

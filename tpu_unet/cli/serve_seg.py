@@ -93,7 +93,8 @@ def main(argv=None):
         baked_flags=("num_classes", "image_height", "image_width",
                      "batch_size", "precision", "quantize", "calib_dir",
                      "calib_samples", "calib_percentile", "qparams",
-                     "base_features", "bilinear", "bucket_sizes"))
+                     "base_features", "bilinear", "bucket_sizes",
+                     "model", "deep_supervision"))
 
     paths = list_images(args.input_dir)
     if not paths:

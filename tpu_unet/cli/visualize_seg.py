@@ -111,7 +111,8 @@ def main(argv=None):
     policy = get_policy(args.precision)
     model = build_model(args.model, n_channels=3, n_classes=num_classes,
                         bilinear=args.bilinear, dropout=args.dropout, policy=policy,
-                        base_features=args.base_features)
+                        base_features=args.base_features,
+                        deep_supervision=args.deep_supervision)
     tx = make_optimizer("adam", 1e-3, 0.0)
     state = create_train_state(model, jax.random.key(0), (1, h, w, 3), tx)
     state = replicate(mesh, state)

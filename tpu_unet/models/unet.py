@@ -174,6 +174,12 @@ def build_model(name: str, *, n_channels: int = 3, n_classes: int = 1,
     """Build a model by CLI name ('unet' | 'anomaly_unet' | 'seg_unet' |
     'unetpp')."""
     name = name.lower()
+    if deep_supervision and name not in ("unetpp", "unet++", "nested_unet"):
+        # Silently training a plain UNet while the user believes deep
+        # supervision is on would only surface (if ever) as a param-structure
+        # mismatch at serve/eval time — reject at construction instead.
+        raise ValueError(
+            f"deep_supervision is only supported by --model unetpp, got {name!r}")
     if name in ("unetpp", "unet++", "nested_unet"):
         from tpu_unet.models.unetpp import UNetPlusPlus
 

@@ -11,8 +11,10 @@ Architecture: encoder nodes X[i][0] on the usual b*2^i channel ladder; nested
 decoder nodes X[i][j] = DoubleConv(concat(X[i][0..j-1], up(X[i+1][j-1]))),
 each at b*2^i channels. ``deep_supervision=True`` attaches a 1x1 head to every
 top-row node X[0][1..L] — training averages the per-head losses; inference
-averages the head LOGITS (the paper's "accurate mode"; its pruned "fast mode"
-is the final head only, exposed as ``heads=1..L`` at construction).
+averages the head LOGITS (the paper's "accurate mode"). ``heads=k`` averages
+the SHALLOWEST k heads X[0][1..k] (the paper's pruned "fast mode": columns
+deeper than k feed nothing, so XLA dead-code-eliminates them from the compiled
+eval/serving program — heads=1 is the pruned L1 branch at genuinely L1 cost).
 
 TPU-first notes:
 - Reuses ``DoubleConv`` (NHWC, bf16 compute / f32 BN, MXU-ladder widths), so
@@ -25,8 +27,6 @@ TPU-first notes:
 """
 
 from __future__ import annotations
-
-from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -44,7 +44,8 @@ class UNetPlusPlus(nn.Module):
     bilinear: bool = False
     deep_supervision: bool = False
     # Heads averaged at inference when deep_supervision (1..4; 4 = all top-row
-    # nodes = the paper's accurate mode; 1 = pruned fast mode, final head only).
+    # nodes = the paper's accurate mode; k<4 = pruned fast mode, shallowest k
+    # heads only — the unused deeper columns are DCE'd from the compiled program).
     heads: int = 4
     dropout: float = 0.0
     policy: Policy = DEFAULT_POLICY
@@ -90,6 +91,15 @@ class UNetPlusPlus(nn.Module):
             for i in range(0, 5 - j):
                 below = up(grid[(i + 1, j - 1)], b * 2 ** i, name=f"up{i}_{j}")
                 row = [grid[(i, k)] for k in range(j)]
+                # Pad the level-up to the row's spatial extent (static; zero for
+                # the /16-divisible sizes the workloads use) — odd encoder rows
+                # halve to floor(H/2), so 2*floor(H/2) can be one short. Same
+                # diff//2 split as blocks.Up.
+                dh = row[0].shape[1] - below.shape[1]
+                dw = row[0].shape[2] - below.shape[2]
+                if dh or dw:
+                    below = jnp.pad(below, ((0, 0), (dh // 2, dh - dh // 2),
+                                            (dw // 2, dw - dw // 2), (0, 0)))
                 cat = jnp.concatenate(
                     [r.astype(below.dtype) for r in row] + [below], axis=-1)
                 grid[(i, j)] = DoubleConv(b * 2 ** i, name=f"x{i}_{j}",
@@ -105,7 +115,9 @@ class UNetPlusPlus(nn.Module):
             for j in range(1, 5))
         if train:
             return logits  # per-head losses, averaged by the train step
-        used = logits[-self.heads:]
+        # Shallowest k heads: the paper's pruned mode. Deeper columns then feed
+        # nothing, so XLA DCEs their convs out of the compiled eval program.
+        used = logits[:self.heads]
         return sum(used) / len(used)
 
 

@@ -39,6 +39,7 @@ steps at the usual f32 reorder tolerances, tests/test_tensor_parallel.py).
 
 from __future__ import annotations
 
+import re
 from typing import List
 
 import jax
@@ -46,6 +47,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpu_unet.parallel.mesh import DATA_AXIS, MODEL_AXIS
 from tpu_unet.parallel.fsdp import DEFAULT_MIN_SIZE, leaf_partition_spec
+
+# Level-up ConvTranspose module names: 'up' (blocks.Up) and 'up{i}_{j}'
+# (models/unetpp.py nested grid). Anchored so e.g. an 'upsample' module
+# would NOT match.
+_UP_NAME = re.compile(r"up(\d+_\d+)?")
 
 
 def _path_names(path) -> List[str]:
@@ -88,8 +94,9 @@ def tp_leaf_spec(path, shape, n_model: int) -> P:
         # column-sharded slice.
         if len(shape) == 1 and shape[0] % n_model == 0:
             return P(MODEL_AXIS)
-    elif parent == "up":
-        # ConvTranspose between blocks: column-shard its output channels.
+    elif _UP_NAME.fullmatch(parent):
+        # ConvTranspose between pyramid levels ('up' in Up blocks, 'up{i}_{j}'
+        # in the UNet++ nested grid): column-shard its output channels.
         if leaf == "kernel" and len(shape) == 4 and shape[3] % n_model == 0:
             return P(None, None, None, MODEL_AXIS)
         if leaf == "bias" and len(shape) == 1 and shape[0] % n_model == 0:
