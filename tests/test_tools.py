@@ -181,3 +181,68 @@ def test_bench_unetpp_smoke(monkeypatch, capsys):
     assert set(rec["results"]) == {"unetpp_b4", "unetpp_b4_ds", "seg_unet_b4"}
     for v in rec["results"].values():
         assert v["images_per_sec_per_chip"] > 0 and v["params"] > 0
+
+
+def test_perf_tables_generate_and_apply(tmp_path, capsys):
+    """tools/perf_tables.py: parses both bench formats, renders the table,
+    and rewrites the marked doc block idempotently (VERDICT r3 #2)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import perf_tables
+
+    bench = {
+        "metric": "m", "value": 215.2,
+        "infer_images_per_sec_per_chip": 333.1,
+        "baseline_configs": {
+            "1_unet_focal_256_b16": {"images_per_sec_per_chip": 331.5,
+                                     "mfu": 0.476, "hfu": 0.478,
+                                     "hbm_bw_fraction": 0.714},
+            "5_sweep_per_category": "note",
+            "gear_512_b8": {"images_per_sec_per_chip": 82.0, "mfu": 0.477},
+        },
+    }
+    # Raw stdout form (with log noise) and the driver wrapper form.
+    raw = tmp_path / "bench_raw.json"
+    raw.write_text("WARNING: noise\n" + json.dumps(bench) + "\n")
+    wrapped = tmp_path / "BENCH_r99.json"
+    wrapped.write_text(json.dumps({"n": 99, "parsed": bench}))
+    for p in (raw, wrapped):
+        parsed = perf_tables.load_bench(str(p))
+        assert parsed["value"] == 215.2
+
+    table = perf_tables.render_baseline_table(bench, "bench_raw.json")
+    assert "| 1. UNet + focal, 256² b16 | 331.5 | 0.476 | 0.478 | 0.714 |" in table
+    assert "| 5. 15-category sweep | note |" in table
+    assert "82.0" in table and "215.2" in table
+
+    doc = tmp_path / "doc.md"
+    doc.write_text("before\n" + perf_tables._BEGIN + "\nstale\n"
+                   + perf_tables._END + "\nafter\n")
+    assert perf_tables.apply_to_doc(str(doc), table) is True
+    text = doc.read_text()
+    assert "stale" not in text and "331.5" in text
+    assert text.startswith("before\n") and text.endswith("after\n")
+    # Idempotent: a second apply reports no change.
+    assert perf_tables.apply_to_doc(str(doc), table) is False
+    # Missing markers is a hard error, not a silent no-op.
+    bare = tmp_path / "bare.md"
+    bare.write_text("no markers")
+    with pytest.raises(SystemExit, match="markers"):
+        perf_tables.apply_to_doc(str(bare), table)
+
+
+def test_perf_tables_repo_docs_current():
+    """The committed docs' generated block matches the committed bench
+    artifact — catches hand-edits and stale regeneration at test time."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import perf_tables
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    bench_path = os.path.join(repo, "BENCH_LOCAL.json")
+    doc_path = os.path.join(repo, "docs", "ARCHITECTURE.md")
+    bench = perf_tables.load_bench(bench_path)
+    table = perf_tables.render_baseline_table(bench, "BENCH_LOCAL.json")
+    block = f"{perf_tables._BEGIN}\n{table}\n{perf_tables._END}"
+    with open(doc_path) as f:
+        assert block in f.read(), (
+            "docs/ARCHITECTURE.md BASELINE table is stale; run "
+            "python tools/perf_tables.py --bench BENCH_LOCAL.json --apply")

@@ -74,7 +74,7 @@ class TestModel:
         assert not np.allclose(np.asarray(out4), np.asarray(out1))
 
     def test_pruned_heads_ignore_deeper_columns(self):
-        """heads=k uses the SHALLOWEST k heads (paper's pruned fast mode), so
+        """heads=k<4 is the single head X[0][k] (paper's pruned fast mode), so
         the output must not depend on deeper-column params — that independence
         is also what lets XLA DCE the deep columns from the serving program."""
         state = make_state(ds=True)
@@ -95,6 +95,16 @@ class TestModel:
                                                    mangled[name])
         np.testing.assert_array_equal(run(1, state.params), run(1, mangled))
         assert not np.allclose(run(4, state.params), run(4, mangled))
+        # heads=2 (pruned L2): independent of every column-3/4 param, and a
+        # DIFFERENT output from heads=1 (it is X[0][2], not an average with
+        # X[0][1] — the paper's mode selection).
+        mangled2 = flax.core.unfreeze(jax.tree_util.tree_map(lambda p: p,
+                                                             mangled))
+        for name in ("x0_3", "outc_3", "x2_2", "up0_3", "up1_2"):
+            mangled2[name] = jax.tree_util.tree_map(lambda p: p + 7.0,
+                                                    mangled2[name])
+        np.testing.assert_array_equal(run(2, state.params), run(2, mangled2))
+        assert not np.allclose(run(2, state.params), run(1, state.params))
 
     def test_non_divisible_image_size(self):
         """Sizes not divisible by 16 trace fine: the nested level-ups pad to
@@ -249,16 +259,24 @@ class TestServing:
         agree = float((np.asarray(masks) == np.asarray(ref_preds)).mean())
         assert agree > 0.99, agree  # fold_bn reorders f32 math; ties may flip
 
-    def test_int8_rejected_for_unetpp(self):
+    def test_int8_unetpp_serves(self):
+        """--model unetpp --quantize int8 builds and predicts (the r3
+        rejection is gone; ops/quantize.py walks the nested grid now). The
+        numeric-agreement bar lives in tests/test_quantize.py."""
         from tpu_unet.serve import SegmentationPredictor
 
         state = make_state()
-        with pytest.raises(ValueError, match="seg_unet"):
-            SegmentationPredictor.from_variables(
-                state.params, state.batch_stats, num_classes=4,
-                image_size_hw=(32, 32), batch_size=4, quantize="int8",
-                base_features=8, model_name="unetpp",
-                calib_images=np.zeros((4, 32, 32, 3), np.uint8))
+        rng = np.random.default_rng(0)
+        pred = SegmentationPredictor.from_variables(
+            state.params, state.batch_stats, num_classes=4,
+            image_size_hw=(32, 32), batch_size=4, quantize="int8",
+            base_features=8, model_name="unetpp",
+            calib_images=rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8))
+        masks, conf = pred.predict_array(
+            rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8))
+        assert masks.shape == (4, 32, 32) and masks.dtype == np.uint8
+        assert np.isfinite(np.asarray(conf)).all()
+        assert pred.quantize == "int8"
 
 
 class TestCLI:

@@ -64,7 +64,7 @@ def parse_args(argv=None):
     p.add_argument("--model", type=str, default="seg_unet",
                    choices=["seg_unet", "unetpp"],
                    help="seg only: architecture the checkpoint was trained "
-                        "with (unetpp serves bf16/f32; int8 is seg_unet-only)")
+                        "with (both serve in bf16/f32 or int8)")
     p.add_argument("--deep_supervision", action="store_true",
                    help="seg unetpp only: checkpoint was trained with "
                         "--deep_supervision (rebuilds the same head params)")

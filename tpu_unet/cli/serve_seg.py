@@ -60,7 +60,7 @@ def parse_args(argv=None):
     p.add_argument("--model", type=str, default="seg_unet",
                    choices=["seg_unet", "unetpp"],
                    help="Architecture the checkpoint was trained with "
-                        "(unetpp serves in bf16/f32; int8 is seg_unet-only)")
+                        "(both serve in bf16/f32 or int8)")
     p.add_argument("--deep_supervision", action="store_true",
                    help="unetpp only: the checkpoint was trained with "
                         "--deep_supervision (rebuilds the same head params; "

@@ -11,10 +11,11 @@ Architecture: encoder nodes X[i][0] on the usual b*2^i channel ladder; nested
 decoder nodes X[i][j] = DoubleConv(concat(X[i][0..j-1], up(X[i+1][j-1]))),
 each at b*2^i channels. ``deep_supervision=True`` attaches a 1x1 head to every
 top-row node X[0][1..L] — training averages the per-head losses; inference
-averages the head LOGITS (the paper's "accurate mode"). ``heads=k`` averages
-the SHALLOWEST k heads X[0][1..k] (the paper's pruned "fast mode": columns
-deeper than k feed nothing, so XLA dead-code-eliminates them from the compiled
-eval/serving program — heads=1 is the pruned L1 branch at genuinely L1 cost).
+with ``heads=4`` averages the head LOGITS (the paper's "accurate mode") while
+``heads=k<4`` returns the single head X[0][k] (the paper's pruned "fast mode"
+at level k, arXiv:1912.05074 §V): columns deeper than k feed nothing, so XLA
+dead-code-eliminates them from the compiled eval/serving program — heads=1 is
+the pruned L1 branch at genuinely L1 cost.
 
 TPU-first notes:
 - Reuses ``DoubleConv`` (NHWC, bf16 compute / f32 BN, MXU-ladder widths), so
@@ -43,9 +44,10 @@ class UNetPlusPlus(nn.Module):
     n_classes: int = 4
     bilinear: bool = False
     deep_supervision: bool = False
-    # Heads averaged at inference when deep_supervision (1..4; 4 = all top-row
-    # nodes = the paper's accurate mode; k<4 = pruned fast mode, shallowest k
-    # heads only — the unused deeper columns are DCE'd from the compiled program).
+    # Inference head selection when deep_supervision (1..4): 4 = average all
+    # top-row head logits (the paper's accurate mode); k<4 = the single head
+    # X[0][k] (pruned fast mode) — unused deeper columns are DCE'd from the
+    # compiled program.
     heads: int = 4
     dropout: float = 0.0
     policy: Policy = DEFAULT_POLICY
@@ -115,10 +117,12 @@ class UNetPlusPlus(nn.Module):
             for j in range(1, 5))
         if train:
             return logits  # per-head losses, averaged by the train step
-        # Shallowest k heads: the paper's pruned mode. Deeper columns then feed
+        if self.heads == 4:
+            return sum(logits) / 4  # accurate mode: average all head logits
+        # Pruned fast mode at level k: the single head X[0][k] (the paper's
+        # mode selection, arXiv:1912.05074 §V) — columns deeper than k feed
         # nothing, so XLA DCEs their convs out of the compiled eval program.
-        used = logits[:self.heads]
-        return sum(used) / len(used)
+        return logits[self.heads - 1]
 
 
 def unetpp_param_count(n_classes: int = 4, base_features: int = 32,

@@ -45,6 +45,7 @@ Usage:
 
 from __future__ import annotations
 
+import re
 from typing import Any, Dict, Iterable, Optional, Tuple
 
 import jax
@@ -56,7 +57,9 @@ from tpu_unet.ops.augment import eval_transform
 _EPS = 1e-5  # BatchNorm eps (torch default; models/blocks.py)
 
 # Architecture tables: (decoder module, up-block name prefix, head module,
-# head activation). Mirrors models/unet.py.
+# head activation). Mirrors models/unet.py. UNet++ is grid-structured rather
+# than ladder-structured, so it has its own walker (_run_unetpp) instead of a
+# table row; _KNOWN_ARCHS is the full supported set.
 _ARCH_HEADS = {
     "unet": (("decoder", "up", "outc", "logits"),),
     "seg_unet": (("decoder", "up", "outc", "logits"),),
@@ -65,6 +68,12 @@ _ARCH_HEADS = {
         ("decoder_seg", "up_seg", "outc_seg", "sigmoid"),
     ),
 }
+_KNOWN_ARCHS = frozenset(_ARCH_HEADS) | {"unetpp"}
+
+# ConvTranspose param-leaf names: 'up' inside an Up block (unet family) or the
+# top-level 'up{i}_{j}' level-up convs of the UNet++ nested grid.
+_UP_LEAF = re.compile(r"^up(\d+_\d+)?$")
+_GRID_NODE = re.compile(r"^x(\d+)_(\d+)$")  # UNet++ DoubleConv node names
 
 
 # ---------------------------------------------------------------------------
@@ -176,6 +185,17 @@ class _CalibExec:
         y = _pad_to(y, skip)
         return self.double_conv(jnp.concatenate([skip, y], axis=-1), f"{path}/conv")
 
+    def fuse(self, below, row, path):
+        """UNet++ node X[i][j]: level-up conv on `below`, concat with the dense
+        row X[i][0..j-1], DoubleConv. `path` is the node name 'x{i}_{j}'; its
+        ConvTranspose params live at top-level 'up{i}_{j}' (models/unetpp.py)."""
+        leaf = _get(self.p, "up" + path[1:])
+        y = jax.lax.conv_transpose(below, leaf["kernel"], (2, 2), "VALID",
+                                   dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = self._tag(f"{path}/up", y + leaf["bias"])
+        y = _pad_to(y, row[0])
+        return self.double_conv(jnp.concatenate(list(row) + [y], axis=-1), path)
+
     def head(self, x, path, activation):
         leaf = _get(self.p, f"{path}/conv")
         c, kk = leaf["kernel"].shape[2], leaf["kernel"].shape[3]
@@ -237,6 +257,22 @@ class _QuantExec:
         cat = jnp.concatenate([q_skip, q_up], axis=-1)
         return self.double_conv((cat, s_cat), f"{path}/conv")
 
+    def fuse(self, below_xs, row_xs, path):
+        """UNet++ node X[i][j] in int8: the level-up ConvTranspose epilogue
+        quantizes straight to the node's shared concat scale; every dense-row
+        operand requants int8->int8 to that scale (one cheap pass each)."""
+        x, s_in = below_xs
+        leaf = _get(self.layers, "up" + path[1:])
+        acc = jax.lax.conv_transpose(x, leaf["kernel"], (2, 2), "VALID",
+                                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                                     preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * (s_in * leaf["w_scale"]) + leaf["bias"]
+        s_cat = self.scales[f"{path}/cat"]
+        q_up = _pad_to(self._requant(y, s_cat), row_xs[0][0])
+        parts = [self._requant(r.astype(jnp.float32) * s_r, s_cat)
+                 for r, s_r in row_xs] + [q_up]
+        return self.double_conv((jnp.concatenate(parts, axis=-1), s_cat), path)
+
     def head(self, xs, path, activation):
         x, s_in = xs
         leaf = _get(self.layers, f"{path}/conv")
@@ -258,8 +294,11 @@ def _pad_to(x, ref):
     return x
 
 
-def _run(exc, x, arch: str):
+def _run(exc, x, arch: str, *, deep_supervision: bool = False, heads: int = 4):
     """Drive one executor through the UNet-family graph (models/unet.py)."""
+    if arch == "unetpp":
+        return _run_unetpp(exc, x, deep_supervision=deep_supervision,
+                           heads=heads)
     x = exc.input(x)
     x1 = exc.double_conv(x, "encoder/inc")
     x2 = exc.double_conv(exc.maxpool(x1), "encoder/down1/conv")
@@ -275,6 +314,41 @@ def _run(exc, x, arch: str):
     return outs[0] if len(outs) == 1 else tuple(outs)
 
 
+def _run_unetpp(exc, x, *, deep_supervision: bool = False, heads: int = 4):
+    """Drive one executor through the UNet++ nested grid (models/unetpp.py).
+
+    Computes exactly the nodes the requested output needs: X[i][j] with
+    i + j <= max column, where the max column is 4 (non-deep-supervision
+    output X[0][4]) or ``heads`` (deep supervision's pruned fast mode) — the
+    explicit form of the DCE the float model gets from XLA. Deep supervision
+    matches UNetPlusPlus.__call__ eval mode: heads=4 averages all head
+    LOGITS (accurate mode); heads=k<4 returns the single head X[0][k]
+    (the paper's pruned fast mode).
+    """
+    if not 1 <= heads <= 4:
+        raise ValueError(f"heads must be in 1..4, got {heads}")
+    max_j = heads if deep_supervision else 4
+    x = exc.input(x)
+    grid = {}
+    t = x
+    for i in range(max_j + 1):  # encoder column X[i][0]
+        if i > 0:
+            t = exc.maxpool(t)
+        t = exc.double_conv(t, f"x{i}_0")
+        grid[(i, 0)] = t
+    for j in range(1, max_j + 1):
+        for i in range(0, max_j - j + 1):
+            grid[(i, j)] = exc.fuse(grid[(i + 1, j - 1)],
+                                    [grid[(i, k)] for k in range(j)],
+                                    f"x{i}_{j}")
+    if not deep_supervision:
+        return exc.head(grid[(0, 4)], "outc", "logits")
+    if heads < 4:  # pruned fast mode: the single head X[0][k]
+        return exc.head(grid[(0, heads)], f"outc_{heads}", "logits")
+    outs = [exc.head(grid[(0, j)], f"outc_{j}", "logits") for j in range(1, 5)]
+    return sum(outs) / len(outs)
+
+
 # ---------------------------------------------------------------------------
 # Calibration + quantization
 # ---------------------------------------------------------------------------
@@ -282,19 +356,24 @@ def _run(exc, x, arch: str):
 def calibrate_absmax(arch: str, fparams: Dict[str, Any],
                      batches: Iterable[np.ndarray],
                      max_batches: int = 8,
-                     percentile: Optional[float] = None) -> Dict[str, float]:
+                     percentile: Optional[float] = None,
+                     deep_supervision: bool = False,
+                     heads: int = 4) -> Dict[str, float]:
     """Per-tensor activation ranges over calibration batches of uint8 images.
 
     Default: abs-max (conservative, no clipping). ``percentile`` (e.g. 99.9)
     instead takes that percentile of |activation| per batch — robust to rare
     outliers, which otherwise inflate a tensor's scale and waste int8 levels on
     values that almost never occur. Batches are combined with max either way.
+    ``deep_supervision``/``heads`` only apply to arch='unetpp' (tags must cover
+    at least the nodes the quantized forward will execute).
     """
 
     @jax.jit
     def one(fp, images_u8):
         exc = _CalibExec(fp, percentile=percentile)
-        _run(exc, eval_transform(images_u8), arch)
+        _run(exc, eval_transform(images_u8), arch,
+             deep_supervision=deep_supervision, heads=heads)
         return exc.absmax
 
     absmax: Dict[str, float] = {}
@@ -317,21 +396,33 @@ def _quant_per_channel(kernel, axes) -> Tuple[jnp.ndarray, jnp.ndarray]:
 def quantize_model(arch: str, fparams: Dict[str, Any],
                    absmax: Dict[str, float]) -> Dict[str, Any]:
     """Build the int8 parameter tree consumed by make_quantized_forward."""
-    if arch not in _ARCH_HEADS:
+    if arch not in _KNOWN_ARCHS:
         raise ValueError(f"unknown arch {arch!r}")
-    for dec, up, _, _ in _ARCH_HEADS[arch]:
-        if "up" not in fparams.get(dec, {}).get(f"{up}1", {}):
+    if arch == "unetpp":
+        if "up0_1" not in fparams:
             raise ValueError(
                 "int8 quantization supports the transposed-conv decoder only "
-                f"(bilinear=False); {dec}/{up}1 has no ConvTranspose params")
+                "(bilinear=False); the UNet++ tree has no up0_1 ConvTranspose "
+                "params")
+    else:
+        for dec, up, _, _ in _ARCH_HEADS[arch]:
+            if "up" not in fparams.get(dec, {}).get(f"{up}1", {}):
+                raise ValueError(
+                    "int8 quantization supports the transposed-conv decoder only "
+                    f"(bilinear=False); {dec}/{up}1 has no ConvTranspose params")
 
     scales = {tag: jnp.float32(max(v, 1e-12) / 127.0) for tag, v in absmax.items()
               if not tag.endswith("/up")}
     for tag, v in absmax.items():  # shared concat scales
         if tag.endswith("/up"):
             path = tag[:-3]
-            skip_tag = _skip_relu_tag(arch, path)
-            s_cat = max(max(v, absmax[skip_tag]), 1e-12) / 127.0
+            m = _GRID_NODE.match(path)
+            if m:  # UNet++ node: the concat fuses the whole dense row + the up
+                i, j = int(m.group(1)), int(m.group(2))
+                operands = [absmax[f"x{i}_{k}/relu2"] for k in range(j)] + [v]
+            else:
+                operands = [absmax[_skip_relu_tag(arch, path)], v]
+            s_cat = max(max(operands), 1e-12) / 127.0
             scales[f"{path}/cat"] = jnp.float32(s_cat)
 
     def walk(p, path=""):
@@ -340,7 +431,7 @@ def quantize_model(arch: str, fparams: Dict[str, Any],
             sub = f"{path}/{name}" if path else name
             if isinstance(child, dict) and "kernel" in child:
                 k = child["kernel"]
-                if name == "up":  # ConvTranspose k2s2 (int8 lax.conv_transpose)
+                if _UP_LEAF.match(name):  # ConvTranspose k2s2 (int8 lax.conv_transpose)
                     if k.shape[:2] != (2, 2):
                         raise ValueError(
                             "int8 quantization supports the transposed-conv decoder "
@@ -372,17 +463,21 @@ def _skip_relu_tag(arch: str, up_path: str) -> str:
     return f"encoder/down{4 - i}/conv/relu2"
 
 
-def make_quantized_forward(arch: str):
+def make_quantized_forward(arch: str, *, deep_supervision: bool = False,
+                           heads: int = 4):
     """Jittable ``fwd(qparams, images_u8) -> model outputs`` (f32 heads).
 
-    Output structure matches the float model: ``(reconstruction, anomaly_map)``
-    for 'anomaly_unet', logits for 'unet'/'seg_unet'.
+    Output structure matches the float model's EVAL mode: ``(reconstruction,
+    anomaly_map)`` for 'anomaly_unet', logits for 'unet'/'seg_unet'/'unetpp'
+    (deep supervision: heads=4 averages all head logits, heads=k<4 returns the
+    single pruned head X[0][k], as UNetPlusPlus.__call__ does at inference).
     """
-    if arch not in _ARCH_HEADS:
+    if arch not in _KNOWN_ARCHS:
         raise ValueError(f"unknown arch {arch!r}")
 
     def fwd(qparams, images_u8):
-        return _run(_QuantExec(qparams), eval_transform(images_u8), arch)
+        return _run(_QuantExec(qparams), eval_transform(images_u8), arch,
+                    deep_supervision=deep_supervision, heads=heads)
 
     return fwd
 
@@ -405,11 +500,14 @@ def chunk_calibration(images: np.ndarray, chunk: int = 16):
 def quantize_from_train_state(arch: str, params, batch_stats,
                               calib_batches: Iterable[np.ndarray],
                               max_batches: int = 8,
-                              percentile: Optional[float] = None) -> Dict[str, Any]:
+                              percentile: Optional[float] = None,
+                              deep_supervision: bool = False,
+                              heads: int = 4) -> Dict[str, Any]:
     """One-call PTQ: fold BN, calibrate activation scales, quantize weights."""
     fparams = full_fold(params, batch_stats)
     absmax = calibrate_absmax(arch, fparams, calib_batches,
-                              max_batches=max_batches, percentile=percentile)
+                              max_batches=max_batches, percentile=percentile,
+                              deep_supervision=deep_supervision, heads=heads)
     return quantize_model(arch, fparams, absmax)
 
 

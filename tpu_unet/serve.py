@@ -600,12 +600,10 @@ class SegmentationPredictor:
                        deep_supervision: bool = False) -> "SegmentationPredictor":
         if quantize not in (None, "none", "int8"):
             raise ValueError(f"unsupported quantize mode {quantize!r}")
-        if quantize == "int8" and model_name != "seg_unet":
-            # The int8 path is a hand-written quantized forward per
-            # architecture (ops/quantize.py); only seg_unet has one.
+        if quantize == "int8" and model_name not in ("seg_unet", "unetpp"):
             raise ValueError(
-                f"int8 quantization is implemented for 'seg_unet' only, not "
-                f"{model_name!r}; serve it in bf16/f32 instead")
+                f"int8 quantization is implemented for 'seg_unet' and "
+                f"'unetpp', not {model_name!r}; serve it in bf16/f32 instead")
         # Validate the bucket ladder BEFORE any expensive calibration work
         # (semantics: AnomalyScorer.from_variables bucket_sizes docstring).
         _normalize_buckets(bucket_sizes, batch_size,
@@ -631,10 +629,12 @@ class SegmentationPredictor:
                     raise ValueError("int8 quantization needs calib_images "
                                      "or a precomputed qparams tree")
                 qparams = quantize_from_train_state(
-                    "seg_unet", params, batch_stats,
+                    model_name, params, batch_stats,
                     chunk_calibration(calib_images, 8),
-                    percentile=calib_percentile)
-            fwd = make_quantized_forward("seg_unet")
+                    percentile=calib_percentile,
+                    deep_supervision=deep_supervision)
+            fwd = make_quantized_forward(model_name,
+                                         deep_supervision=deep_supervision)
 
             def predict_fn(qp, images_u8):
                 logits = fwd(qp, images_u8)
