@@ -102,6 +102,7 @@ class TestColorJitter:
                            saturation=0, hue=0)
         np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
 
+    @pytest.mark.slow
     def test_random_order_matches_manual_permutation(self):
         """random_order=True applies the ops in the drawn permutation exactly."""
         import jax

@@ -1,5 +1,6 @@
 """Checkpoint save/load/resume semantics (Orbax-backed)."""
 
+import pytest
 import os
 
 import jax
@@ -23,6 +24,7 @@ def make_state(seed=0):
     return create_train_state(model, jax.random.key(seed), (1, 32, 32, 3), tx)
 
 
+@pytest.mark.slow
 def test_save_load_roundtrip(tmp_path):
     state = make_state(0)
     path = os.path.join(tmp_path, "checkpoints", "best_model")
@@ -40,6 +42,7 @@ def test_save_load_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_optimizer_state_roundtrip(tmp_path):
     # Take a step so Adam moments are non-trivial, then round-trip them.
     from tests.test_train_steps import FAST_AUG, anomaly_batch  # reuse helpers
@@ -80,6 +83,7 @@ def test_find_best_checkpoint(tmp_path):
     assert find_best_checkpoint(os.path.join(exp, "nope")) is None
 
 
+@pytest.mark.slow
 def test_async_writer_roundtrip(tmp_path):
     """CheckpointWriter: async saves (incl. same-path overwrite) flush on close
     and load back bitwise; sync mode delegates to save_checkpoint."""

@@ -11,6 +11,9 @@ import pytest
 
 from tests.test_data import make_mvtec
 
+# Whole-file slow tier: e2e/CLI/multiprocess tests (see pyproject markers).
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def mvtec_root(tmp_path_factory):

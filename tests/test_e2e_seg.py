@@ -8,6 +8,9 @@ import pytest
 
 from tests.test_data import make_gear, make_kolektorsdd
 
+# Whole-file slow tier: e2e/CLI/multiprocess tests (see pyproject markers).
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def gear_root(tmp_path_factory):

@@ -1,5 +1,6 @@
 """BatchNorm folding: folded params must reproduce eval-mode forward numerics."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,6 +9,7 @@ from tpu_unet.models import UNet
 from tpu_unet.ops.fold_bn import fold_batchnorm
 
 
+@pytest.mark.slow
 def test_folded_forward_matches_eval():
     model = UNet(n_classes=2, base_features=4)
     x = jax.random.normal(jax.random.key(1), (2, 32, 32, 3))

@@ -29,6 +29,9 @@ from tpu_unet.train import (
     make_optimizer,
 )
 
+# Whole-file slow tier: multi-device numerics / PTQ sweeps (see pyproject markers).
+pytestmark = pytest.mark.slow
+
 FAST_AUG = AugmentConfig(degrees=0.0, p_flip=0.0, brightness=0.0, contrast=0.0,
                          saturation=0.0, hue=0.0)
 
@@ -183,6 +186,7 @@ class TestNumericsAndLayout:
         assert np.isfinite(float(out["losses"]["total_loss"]))
         assert out["score"].shape == (8,)
 
+    @pytest.mark.slow
     def test_train_cli_fsdp_wiring(self, devices, tmp_path):
         """--fsdp reaches the placement through the real trainer: one epoch on
         synthetic data, checkpoint written, resume leg restores into the

@@ -31,6 +31,9 @@ from tpu_unet.train import (
     make_seg_train_step,
 )
 
+# Whole-file slow tier: multi-device numerics / PTQ sweeps (see pyproject markers).
+pytestmark = pytest.mark.slow
+
 AUG = AugmentConfig(degrees=0.0)  # rotation-free: cheap and exact on CPU
 
 
@@ -80,6 +83,7 @@ def _anomaly_eager_accum(state, images_u8, masks, key, G, loss_cfg):
 
 
 class TestAnomalyGradAccum:
+    @pytest.mark.slow
     def test_matches_eager_loop(self):
         model = AnomalyUNet(base_features=4)
         tx = make_optimizer("sgd", 1e-2, 0.0)
@@ -149,6 +153,7 @@ class TestAnomalyGradAccum:
 
 
 class TestSegGradAccum:
+    @pytest.mark.slow
     def test_matches_eager_loop_with_cm(self):
         model = SegmentationUNet(n_classes=3, base_features=4, dropout=0.0)
         tx = make_optimizer("sgd", 1e-2, 0.0)
@@ -244,6 +249,7 @@ class TestGradAccumSharded:
         p8 = jax.tree_util.tree_leaves(state8.params)[0]
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-5)
 
+    @pytest.mark.slow
     def test_spatial_mesh_matches_unsharded(self, devices):
         """Accumulation under H ('space') sharding — the seg CLIs allow
         --n_space with --grad_accum, so the (G, B/G, H, W) reshape must

@@ -35,6 +35,7 @@ def _images(n, seed=0):
     return rng.integers(0, 256, (n, 32, 32, 3), dtype=np.uint8)
 
 
+@pytest.mark.slow
 def test_heatmap_matches_eval_step(variables):
     params, bstats, state = variables
     scorer = AnomalyScorer.from_variables(params, bstats, image_size=32,
@@ -97,6 +98,7 @@ def test_heatmap_paths_skip_policy(variables, tmp_path):
     np.testing.assert_allclose(scores[[0, 2, 3]], ref_scores, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_int8_heatmap_smoke(variables):
     params, bstats, _ = variables
     scorer = AnomalyScorer.from_variables(

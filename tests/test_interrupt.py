@@ -18,6 +18,9 @@ import pytest
 
 from tests.test_data import make_kolektorsdd, make_mvtec
 
+# Whole-file slow tier: e2e/CLI/multiprocess tests (see pyproject markers).
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

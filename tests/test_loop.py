@@ -1,5 +1,6 @@
 """Epoch-driver unit tests with stub step functions (no model compiles)."""
 
+import pytest
 import numpy as np
 
 from tpu_unet.metrics.binary import calculate_metrics
@@ -68,6 +69,7 @@ def test_validate_anomaly_epoch_semantics():
     assert abs(out["pixel_metrics"]["pixel_f1_@0.7"] - 1.0) < 1e-9
 
 
+@pytest.mark.slow
 def test_padded_anomaly_eval_loss_equals_exact():
     """A zero-padded batch with a valid mask yields the exact-batch loss scalars
     (VERDICT r1 weak #7: eval losses previously included padded rows)."""
@@ -95,6 +97,7 @@ def test_padded_anomaly_eval_loss_equals_exact():
         assert abs(float(exact["losses"][name]) - float(padded["losses"][name])) < 1e-5, name
 
 
+@pytest.mark.slow
 def test_padded_seg_eval_loss_equals_exact():
     import jax
 

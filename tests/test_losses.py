@@ -90,6 +90,7 @@ class TestAnomalyLosses:
 
 
 class TestSSIM:
+    @pytest.mark.slow
     def test_banded_matches_depthwise_oracle(self):
         """The separable banded-matmul SSIM must match the 2-D depthwise-conv
         formulation (values, per-image means, and gradients), incl. non-square."""
@@ -280,6 +281,7 @@ class TestSlicedCombinedLossEquivalence:
             np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                        rtol=1e-4, atol=1e-6)
 
+    @pytest.mark.slow
     def test_randomized_sweep_including_out_of_range_labels(self):
         """Seeded fuzz: random C/shape/weights/ignore_index draws, with some
         labels OUTSIDE [0, C) (neither path should diverge on them — both treat

@@ -23,10 +23,12 @@ def init_model(model, shape=(1, 64, 64, 3), train=False):
 
 
 class TestParamCounts:
+    @pytest.mark.slow
     def test_unet_transposed(self):
         v = init_model(UNet(n_channels=3, n_classes=1, bilinear=False))
         assert n_params(v["params"]) == 31_037_633
 
+    @pytest.mark.slow
     def test_segmentation_unet(self):
         v = init_model(SegmentationUNet(n_channels=3, n_classes=4, dropout=0.1))
         assert n_params(v["params"]) == 31_037_828
@@ -111,6 +113,7 @@ class TestTrainMode:
 
 
 class TestPolicy:
+    @pytest.mark.slow
     def test_bf16_policy_param_dtype_stays_f32(self):
         m = UNet(n_classes=1, policy=BF16_POLICY)
         v = init_model(m)

@@ -2,12 +2,16 @@
 -> serve on synthetic MVTec data, via the actual bash script (the reference's L6
 orchestration layer, /root/reference/run_pipeline.sh)."""
 
+import pytest
 import json
 import os
 import shutil
 import subprocess
 
 from tests.test_data import make_kolektorsdd, make_mvtec
+
+# Whole-file slow tier: e2e/CLI/multiprocess tests (see pyproject markers).
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -21,6 +21,9 @@ from tpu_unet.ops.quantize import (calibrate_absmax, full_fold,
                                    make_quantized_forward, quantize_model,
                                    quantize_from_train_state)
 
+# Whole-file slow tier: multi-device numerics / PTQ sweeps (see pyproject markers).
+pytestmark = pytest.mark.slow
+
 
 def _warmed_variables(model, key=0, shape=(2, 32, 32, 3), steps=3, **apply_kw):
     """Init + a few train-mode passes so BN stats are non-trivial."""
@@ -79,6 +82,7 @@ def test_quantized_tracks_float(arch, model):
     assert float(err.mean()) <= 0.03 * spread, (err.mean(), spread)
 
 
+@pytest.mark.slow
 def test_quantized_preserves_anomaly_auroc():
     """Train a tiny AnomalyUNet to reconstruct flat images, then check the int8
     path ranks anomalous (noisy) images above normal ones identically."""
@@ -228,6 +232,7 @@ def _envelope_check(ref, out):
     assert float(err.mean()) <= 0.03 * spread, (err.mean(), spread)
 
 
+@pytest.mark.slow
 def test_quantized_unetpp_tracks_float():
     model = _unetpp()
     v = _warmed_variables(model, key=11)
@@ -240,6 +245,7 @@ def test_quantized_unetpp_tracks_float():
     _envelope_check(ref, fwd(qparams, images))
 
 
+@pytest.mark.slow
 def test_quantized_unetpp_deep_supervision_and_pruned_heads():
     """DS eval (heads=4 logit average) tracks float; a pruned heads=2 forward
     runs off the same heads=4 calibration (its tags are a superset) and tracks
@@ -273,6 +279,7 @@ def test_quantized_unetpp_bilinear_rejected():
         quantize_model("unetpp", fparams, {})
 
 
+@pytest.mark.slow
 def test_seg_predictor_unetpp_int8_matches_bf16():
     """serve.SegmentationPredictor --model unetpp --quantize int8: preds match
     the bf16 engine within the seg_unet int8 tolerance (VERDICT r3 #4 done

@@ -1,5 +1,6 @@
 """3-shear matmul rotation: geometry, numerics vs gather rotation, mask safety."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -114,6 +115,7 @@ def test_paired_augment_per_sample_shear_mode():
     assert set(np.unique(np.asarray(out_mask))) <= {0, 1, 2, 3}
 
 
+@pytest.mark.slow
 def test_per_sample_shear_row_blocking_boundary():
     """Row-blocked static band narrowing is exact (skipped taps have weight 0
     for every angle within the bound): many small blocks over an h that is NOT

@@ -63,6 +63,7 @@ def test_scorer_matches_eval_step(trained):
     np.testing.assert_allclose(scores, ref, rtol=2e-3, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_scorer_int8_tracks_float(trained):
     from tpu_unet.serve import AnomalyScorer
 
@@ -87,6 +88,7 @@ def test_scorer_int8_tracks_float(trained):
                                       base_features=4)
 
 
+@pytest.mark.slow
 def test_scorer_multichip_matches_single(trained):
     """DP serving: batches sharded over a 4-device 'data' mesh reproduce the
     single-device scores (bf16 and int8)."""
@@ -331,6 +333,7 @@ def test_serve_cli_skip_decode_error_json(trained, tmp_path):
     assert saved["scores"]["corrupt.png"] is None
 
 
+@pytest.mark.slow
 def test_seg_cli_quantized(tmp_path):
     """Gear train -> test CLI with --quantize int8 (the seg quantized path)."""
     from tests.test_data import make_gear
@@ -515,6 +518,7 @@ def test_serve_cli_qparams_cache(trained, tmp_path):
         assert abs(first["scores"][k] - second["scores"][k]) < 1e-7
 
 
+@pytest.mark.slow
 def test_ksdd_cli_quantized(tmp_path):
     """KolektorSDD train -> test CLI with --quantize int8 (elongated shapes)."""
     from tests.test_data import make_kolektorsdd
@@ -542,6 +546,7 @@ def test_ksdd_cli_quantized(tmp_path):
     assert 0.0 <= summary["overall_metrics"]["pixel_accuracy"] <= 1.0
 
 
+@pytest.mark.slow
 def test_test_cli_quantized(trained, tmp_path):
     from tpu_unet.cli.test_mvtec import main as test_main
 

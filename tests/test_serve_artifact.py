@@ -39,6 +39,7 @@ def test_anomaly_artifact_roundtrip(tmp_path):
     assert os.path.getsize(tmp_path / "art" / "program.jaxexport") > 1000
 
 
+@pytest.mark.slow
 def test_seg_artifact_roundtrip_nonsquare(tmp_path):
     params, bstats = _variables(
         SegmentationUNet(n_classes=3, base_features=4, dropout=0.0), (32, 16))

@@ -7,6 +7,7 @@ BatchNorm (models' ``sync_batch_stats=True``), and a manual ``psum`` gradient
 all-reduce — and verifies it reproduces the GSPMD/global-batch numerics exactly.
 """
 
+import pytest
 import functools
 
 import jax
@@ -22,6 +23,7 @@ from tpu_unet.parallel import make_mesh, replicate
 from tpu_unet.train import create_train_state, make_optimizer
 
 
+@pytest.mark.slow
 def test_shardmap_syncbn_matches_global_batch(devices):
     mesh = make_mesh(n_data=8)
     n_classes = 3

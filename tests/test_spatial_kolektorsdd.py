@@ -8,6 +8,7 @@ single-device numerics — XLA inserts conv halo exchanges at every UNet depth
 (1024 -> 64 rows at the bottleneck, i.e. 8 rows per shard).
 """
 
+import pytest
 import jax
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -41,6 +42,7 @@ def _run_step(mesh_spec, images, labels, key):
             [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)])
 
 
+@pytest.mark.slow
 def test_h_sharded_train_step_matches_unsharded_at_1024x512(devices):
     rng = np.random.default_rng(0)
     images = rng.integers(0, 256, (2, 1024, 512, 3), dtype=np.uint8)

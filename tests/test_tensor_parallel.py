@@ -25,6 +25,9 @@ from tpu_unet.train import (
     make_seg_train_step,
 )
 
+# Whole-file slow tier: multi-device numerics / PTQ sweeps (see pyproject markers).
+pytestmark = pytest.mark.slow
+
 FAST_AUG = AugmentConfig(degrees=0.0, p_flip=0.0, brightness=0.0, contrast=0.0,
                          saturation=0.0, hue=0.0)
 
@@ -133,6 +136,7 @@ class TestNumerics:
             losses.append(float(ld["total_loss"]))
         return losses, state
 
+    @pytest.mark.slow
     def test_tp_sgd_matches_single_device(self, devices):
         img, msk = anomaly_batch(seed=3)
         l1, s1 = self._run(img, msk)
@@ -197,6 +201,7 @@ class TestNumerics:
 
 
 class TestCLIWiring:
+    @pytest.mark.slow
     def test_seg_train_cli_3d_mesh(self, devices, tmp_path):
         """--n_model reaches the placement through the real seg trainer on the
         full 2x2x2 data x space x model mesh."""

@@ -111,6 +111,7 @@ def test_make_report(tmp_path):
     assert "final train loss <b>0.2</b>" in html_text
 
 
+@pytest.mark.slow
 def test_bench_daemon_smoke(capsys):
     """Daemon benchmark sweeps concurrency levels against the micro-batcher
     and prints one JSON line each (hermetic: CPU, in-process service)."""
@@ -129,6 +130,7 @@ def test_bench_daemon_smoke(capsys):
         assert 1.0 <= rec["mean_batch_occupancy"] <= rec["batch_size"]
 
 
+@pytest.mark.slow
 def test_bench_accum_smoke(monkeypatch, capsys):
     """Accumulation A/B runs both tasks at tiny shapes and prints an img/s +
     temp-memory line per (batch, accum) pair (hermetic: CPU, in-process)."""
@@ -166,6 +168,7 @@ def test_bench_rotation_smoke(monkeypatch, capsys):
         assert mode in out and "ms/call" in out
 
 
+@pytest.mark.slow
 def test_bench_unetpp_smoke(monkeypatch, capsys):
     """UNet++ seg-train bench runs both models at tiny shapes and prints the
     JSON line with throughput per variant (hermetic: CPU, in-process)."""

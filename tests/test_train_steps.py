@@ -130,6 +130,7 @@ class TestSegSteps:
         assert int(np.asarray(cm).sum()) == 4 * 32 * 32
 
 
+@pytest.mark.slow
 class TestShardedExecution:
     def test_anomaly_train_step_on_8_device_mesh(self, devices):
         mesh = make_mesh(n_data=8)

@@ -151,6 +151,7 @@ class TestTraining:
         assert losses[-1] < losses[0]
         assert cm.shape == (4, 4) and int(np.asarray(cm).sum()) == 4 * 32 * 32
 
+    @pytest.mark.slow
     def test_deep_supervision_loss_is_head_average(self):
         """The step's loss must equal the mean of per-head losses computed
         manually from the same forward."""
@@ -183,6 +184,7 @@ class TestTraining:
         assert np.isfinite(float(losses["total_loss"]))
 
 
+@pytest.mark.slow
 class TestSharding:
     def test_dp_matches_single_device(self, devices):
         img, lbl = seg_batch(n=8, seed=4)
@@ -259,6 +261,7 @@ class TestServing:
         agree = float((np.asarray(masks) == np.asarray(ref_preds)).mean())
         assert agree > 0.99, agree  # fold_bn reorders f32 math; ties may flip
 
+    @pytest.mark.slow
     def test_int8_unetpp_serves(self):
         """--model unetpp --quantize int8 builds and predicts (the r3
         rejection is gone; ops/quantize.py walks the nested grid now). The
@@ -280,6 +283,7 @@ class TestServing:
 
 
 class TestCLI:
+    @pytest.mark.slow
     def test_train_then_eval_cli(self, devices, tmp_path):
         from tests.test_data import make_gear
         from tpu_unet.cli.test_gear import main as test_main

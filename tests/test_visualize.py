@@ -145,6 +145,7 @@ def test_demo_cli(tmp_path, monkeypatch):
     assert os.path.exists("demo.png")
 
 
+@pytest.mark.slow
 def test_dryrun_multichip(devices):
     import __graft_entry__ as g
 
