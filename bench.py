@@ -384,6 +384,9 @@ def main():
     del kst, kimgs, klbls
 
     # Config 5 note + Gear (the third workload, same seg step at 512² b8).
+    # End-to-end 15-category proof: tools/sweep15_synthetic_result.json
+    # (cli/sweep_mvtec over a synthetic 15-category tree; shape pinned in
+    # tests/test_e2e_mvtec.py::test_sweep15_committed_artifact_shape).
     configs["5_sweep_per_category"] = "config 2's step per category (sweep CLI)"
     seg4 = SegmentationUNet(n_classes=4, policy=BF16_POLICY)
 

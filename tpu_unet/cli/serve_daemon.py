@@ -68,6 +68,10 @@ def parse_args(argv=None):
     p.add_argument("--deep_supervision", action="store_true",
                    help="seg unetpp only: checkpoint was trained with "
                         "--deep_supervision (rebuilds the same head params)")
+    p.add_argument("--heads", type=int, default=4,
+                   help="seg unetpp deep-supervision inference mode: 4 = "
+                        "averaged accurate mode; k<4 = pruned fast mode "
+                        "(single head X[0][k]; deeper columns DCE'd)")
     p.add_argument("--batch_size", type=int, default=8,
                    help="Max micro-batch (the compiled program's batch); "
                         "smaller = lower tail latency, larger = more "
@@ -99,7 +103,7 @@ def build_service(args, parser):
                      "num_classes", "batch_size", "precision", "quantize",
                      "calib_dir", "calib_samples", "calib_percentile",
                      "qparams", "base_features", "bilinear", "heatmap",
-                     "bucket_sizes", "model", "deep_supervision"))
+                     "bucket_sizes", "model", "deep_supervision", "heads"))
     if args.artifact:
         engine = load_artifact_engine(args)
     else:
@@ -108,9 +112,10 @@ def build_service(args, parser):
         if args.heatmap and args.task != "anomaly":
             raise SystemExit("--heatmap only applies to --task anomaly")
         if args.task != "seg" and (args.model != "seg_unet"
-                                   or args.deep_supervision):
-            raise SystemExit("--model/--deep_supervision only apply to "
-                             "--task seg")
+                                   or args.deep_supervision
+                                   or args.heads != 4):
+            raise SystemExit("--model/--deep_supervision/--heads only apply "
+                             "to --task seg")
         buckets = parse_bucket_sizes(args, args.batch_size)
         if args.task == "anomaly":
             size_hw = (args.image_size, args.image_size)
@@ -136,7 +141,8 @@ def build_service(args, parser):
                 bilinear=args.bilinear, qparams=qparams_tree,
                 calib_percentile=args.calib_percentile, bucket_sizes=buckets,
                 model_name=args.model,
-                deep_supervision=args.deep_supervision)
+                deep_supervision=args.deep_supervision,
+                heads=args.heads)
         maybe_save_qparams(args, engine, qparams_tree)
     if args.max_queue < 0:
         raise SystemExit("--max_queue must be >= 0 (0 = unbounded)")

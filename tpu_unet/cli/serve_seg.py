@@ -65,6 +65,12 @@ def parse_args(argv=None):
                    help="unetpp only: the checkpoint was trained with "
                         "--deep_supervision (rebuilds the same head params; "
                         "serving averages the head logits)")
+    p.add_argument("--heads", type=int, default=4,
+                   help="unetpp deep-supervision inference mode: 4 = averaged "
+                        "accurate mode (default); k<4 = the paper's pruned "
+                        "fast mode, serving the single head X[0][k] — XLA "
+                        "DCEs the deeper columns, trading accuracy for "
+                        "per-image cost")
     p.add_argument("--base_features", type=int, default=64)
     p.add_argument("--bilinear", action="store_true")
     p.add_argument("--n_devices", type=int, default=None,
@@ -94,7 +100,7 @@ def main(argv=None):
                      "batch_size", "precision", "quantize", "calib_dir",
                      "calib_samples", "calib_percentile", "qparams",
                      "base_features", "bilinear", "bucket_sizes",
-                     "model", "deep_supervision"))
+                     "model", "deep_supervision", "heads"))
 
     paths = list_images(args.input_dir)
     if not paths:
@@ -112,7 +118,7 @@ def main(argv=None):
         args.checkpoint, num_classes=args.num_classes, image_size_hw=size_hw,
         batch_size=args.batch_size, precision=args.precision,
         model_name=args.model, deep_supervision=args.deep_supervision,
-        quantize=quantize,
+        heads=args.heads, quantize=quantize,
         calib_images=calib_images, base_features=args.base_features,
         bilinear=args.bilinear, n_devices=args.n_devices, n_space=args.n_space,
         qparams=qparams_tree, calib_percentile=args.calib_percentile,

@@ -170,22 +170,31 @@ class AnomalyUNet(nn.Module):
 def build_model(name: str, *, n_channels: int = 3, n_classes: int = 1,
                 bilinear: bool = False, dropout: float = 0.1,
                 policy: Policy = DEFAULT_POLICY, sync_batch_stats: bool = False,
-                base_features: int = 64, deep_supervision: bool = False):
+                base_features: int = 64, deep_supervision: bool = False,
+                heads: int = 4):
     """Build a model by CLI name ('unet' | 'anomaly_unet' | 'seg_unet' |
-    'unetpp')."""
+    'unetpp'). ``heads`` selects the UNet++ deep-supervision inference mode
+    (4 = averaged accurate mode; k<4 = the pruned fast-mode head X[0][k],
+    whose unused deeper columns XLA DCEs out of the compiled program)."""
     name = name.lower()
-    if deep_supervision and name not in ("unetpp", "unet++", "nested_unet"):
+    is_unetpp = name in ("unetpp", "unet++", "nested_unet")
+    if deep_supervision and not is_unetpp:
         # Silently training a plain UNet while the user believes deep
         # supervision is on would only surface (if ever) as a param-structure
         # mismatch at serve/eval time — reject at construction instead.
         raise ValueError(
             f"deep_supervision is only supported by --model unetpp, got {name!r}")
-    if name in ("unetpp", "unet++", "nested_unet"):
+    if heads != 4 and not (is_unetpp and deep_supervision):
+        raise ValueError(
+            "heads selects a UNet++ deep-supervision inference head; it "
+            f"requires --model unetpp with deep_supervision (got model={name!r}, "
+            f"deep_supervision={deep_supervision})")
+    if is_unetpp:
         from tpu_unet.models.unetpp import UNetPlusPlus
 
         return UNetPlusPlus(n_channels=n_channels, n_classes=n_classes,
                             bilinear=bilinear, dropout=dropout,
-                            deep_supervision=deep_supervision,
+                            deep_supervision=deep_supervision, heads=heads,
                             policy=policy, sync_batch_stats=sync_batch_stats,
                             base_features=base_features)
     if name == "unet":

@@ -597,13 +597,24 @@ class SegmentationPredictor:
                        calib_percentile: Optional[float] = None,
                        bucket_sizes: Optional[Sequence[int]] = None,
                        model_name: str = "seg_unet",
-                       deep_supervision: bool = False) -> "SegmentationPredictor":
+                       deep_supervision: bool = False,
+                       heads: int = 4) -> "SegmentationPredictor":
+        """``heads`` (unetpp deep-supervision checkpoints only): 4 serves the
+        averaged accurate mode; k<4 serves the paper's pruned fast mode — the
+        single head X[0][k], whose deeper columns XLA DCEs from the compiled
+        program, trading accuracy for per-image cost (heads=1 is ~the L1
+        sub-UNet)."""
         if quantize not in (None, "none", "int8"):
             raise ValueError(f"unsupported quantize mode {quantize!r}")
         if quantize == "int8" and model_name not in ("seg_unet", "unetpp"):
             raise ValueError(
                 f"int8 quantization is implemented for 'seg_unet' and "
                 f"'unetpp', not {model_name!r}; serve it in bf16/f32 instead")
+        if heads != 4 and not (model_name == "unetpp" and deep_supervision):
+            raise ValueError(
+                "heads selects a UNet++ deep-supervision inference head; it "
+                f"requires model_name='unetpp' with deep_supervision (got "
+                f"{model_name!r}, deep_supervision={deep_supervision})")
         # Validate the bucket ladder BEFORE any expensive calibration work
         # (semantics: AnomalyScorer.from_variables bucket_sizes docstring).
         _normalize_buckets(bucket_sizes, batch_size,
@@ -634,7 +645,8 @@ class SegmentationPredictor:
                     percentile=calib_percentile,
                     deep_supervision=deep_supervision)
             fwd = make_quantized_forward(model_name,
-                                         deep_supervision=deep_supervision)
+                                         deep_supervision=deep_supervision,
+                                         heads=heads)
 
             def predict_fn(qp, images_u8):
                 logits = fwd(qp, images_u8)
@@ -649,7 +661,7 @@ class SegmentationPredictor:
         model = build_model(model_name, n_classes=num_classes, bilinear=bilinear,
                             dropout=dropout, policy=policy,
                             base_features=base_features,
-                            deep_supervision=deep_supervision)
+                            deep_supervision=deep_supervision, heads=heads)
         if fold_bn:
             params, batch_stats = fold_batchnorm(params, batch_stats)
         variables = {"params": params, "batch_stats": batch_stats}
@@ -675,11 +687,24 @@ class SegmentationPredictor:
                         calib_percentile: Optional[float] = None,
                         bucket_sizes: Optional[Sequence[int]] = None,
                         model_name: str = "seg_unet",
-                        deep_supervision: bool = False) -> "SegmentationPredictor":
+                        deep_supervision: bool = False,
+                        heads: int = 4) -> "SegmentationPredictor":
         from tpu_unet.train.checkpoint import load_params
         from tpu_unet.train.optim import make_optimizer
         from tpu_unet.train.state import create_train_state
 
+        if heads != 4 and not (model_name == "unetpp" and deep_supervision):
+            # Fail before the checkpoint load (the same rule from_variables
+            # enforces; a mismatched template would otherwise error first with
+            # an opaque restore-tree message).
+            raise ValueError(
+                "heads selects a UNet++ deep-supervision inference head; it "
+                f"requires model_name='unetpp' with deep_supervision (got "
+                f"{model_name!r}, deep_supervision={deep_supervision})")
+        # The restore TEMPLATE always inits the full model (heads=4): a pruned
+        # init would trace only the shallow columns and create a partial param
+        # tree that no longer matches the checkpoint. Pruning applies at
+        # serving time only (from_variables builds the heads=k apply).
         model = build_model(model_name, n_classes=num_classes, bilinear=bilinear,
                             dropout=dropout, policy=get_policy(precision),
                             base_features=base_features,
@@ -699,7 +724,8 @@ class SegmentationPredictor:
                                   calib_percentile=calib_percentile,
                                   bucket_sizes=bucket_sizes,
                                   model_name=model_name,
-                                  deep_supervision=deep_supervision)
+                                  deep_supervision=deep_supervision,
+                                  heads=heads)
 
     def predict_array(self, images_u8: np.ndarray):
         """(N,H,W,3) uint8 -> (masks (N,H,W) uint8, mean_confidence (N,) f32)."""
