@@ -357,3 +357,26 @@ class TestCLI:
             "--output_dir", str(tmp_path / "eval"),
         ])
         assert result is not None
+        # Pruned fast-mode eval (--heads 2): the paper's mode-selection
+        # workflow — evaluate each pruned level against the accurate mode.
+        # Restore must survive the full-template/pruned-apply split, and the
+        # pruned metrics must differ from the 4-head average's.
+        pruned = test_main([
+            "--data_root", root, "--image_size", "32", "--batch_size", "8",
+            "--num_workers", "2", "--checkpoint", best, "--base_features", "8",
+            "--precision", "f32", "--model", "unetpp", "--deep_supervision",
+            "--heads", "2", "--output_dir", str(tmp_path / "eval_h2"),
+        ])
+        assert pruned is not None
+        assert (pruned["overall_metrics"]["mean_iou"]
+                != result["overall_metrics"]["mean_iou"])
+        # int8 PTQ through the TEST CLI (the eval-path counterpart of the
+        # serving engines' unetpp int8).
+        q = test_main([
+            "--data_root", root, "--image_size", "32", "--batch_size", "8",
+            "--num_workers", "2", "--checkpoint", best, "--base_features", "8",
+            "--precision", "f32", "--model", "unetpp", "--deep_supervision",
+            "--quantize", "int8", "--output_dir", str(tmp_path / "eval_q"),
+        ])
+        assert q is not None
+        assert np.isfinite(q["overall_metrics"]["mean_iou"])

@@ -303,22 +303,44 @@ def run_seg_evaluation(args, workload: Workload, split: str = "test"):
         state = state.replace(params=folded, batch_stats=stats)
         print("BatchNorm folded into conv weights for inference")
 
+    # Pruned fast-mode eval (UNet++ deep-supervision checkpoints, --heads k<4):
+    # the restore TEMPLATE above inits the full model; rebind only the eval
+    # apply to the pruned head X[0][k] (build_model validates the combination).
+    heads = getattr(args, "heads", 4) or 4
+    if heads != 4:
+        pruned = build_model(args.model, n_channels=3, n_classes=num_classes,
+                             bilinear=args.bilinear, dropout=args.dropout,
+                             policy=policy,
+                             base_features=getattr(args, "base_features", 64),
+                             deep_supervision=getattr(args, "deep_supervision",
+                                                      False),
+                             heads=heads)
+        state = state.replace(apply_fn=pruned.apply)
+        print(f"Pruned fast mode: evaluating head X[0][{heads}] only")
+
     class_weights = parse_class_weights(getattr(args, "class_weights", None), num_classes)
     loss_cfg = SegLossConfig(class_weights=class_weights)
     if getattr(args, "quantize", "none") == "int8":
-        if args.model not in ("seg_unet", "segmentation_unet") or args.bilinear:
+        arch = "unetpp" if args.model in ("unetpp", "unet++", "nested_unet") \
+            else "seg_unet"
+        if args.model not in ("seg_unet", "segmentation_unet", "unetpp",
+                              "unet++", "nested_unet") or args.bilinear:
             raise SystemExit("--quantize int8 supports the transposed-conv "
-                             "seg_unet only")
+                             "seg_unet and unetpp only")
         from tpu_unet.ops.quantize import (chunk_calibration,
                                            make_quantized_seg_eval_step,
                                            quantize_from_train_state)
+        ds_flag = getattr(args, "deep_supervision", False)
         n_calib = min(len(train_ds), getattr(args, "calib_samples", 32))
         calib_imgs = np.stack([train_ds.load(i)["image"] for i in range(n_calib)])
         qparams = quantize_from_train_state(
-            "seg_unet", state.params, state.batch_stats,
+            arch, state.params, state.batch_stats,
             chunk_calibration(calib_imgs, 8),
-            percentile=getattr(args, "calib_percentile", None))
-        qstep = make_quantized_seg_eval_step(num_classes, loss_cfg)
+            percentile=getattr(args, "calib_percentile", None),
+            deep_supervision=ds_flag)
+        qstep = make_quantized_seg_eval_step(num_classes, loss_cfg, arch=arch,
+                                             deep_supervision=ds_flag,
+                                             heads=heads)
         eval_step = lambda _state, images, labels, valid=None: qstep(
             qparams, images, labels, valid)
         print(f"int8 quantized inference (calibrated on {n_calib} train images)")

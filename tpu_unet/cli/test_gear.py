@@ -25,6 +25,12 @@ def parse_args(argv=None):
     parser.add_argument("--deep_supervision", action="store_true",
                         help="UNet++ only: rebuild the deep-supervision heads "
                              "(must match how the checkpoint was trained)")
+    parser.add_argument("--heads", type=int, default=4,
+                        help="UNet++ deep-supervision inference mode: 4 = "
+                             "averaged accurate mode; k<4 = the paper's "
+                             "pruned fast mode (single head X[0][k]; "
+                             "deeper columns DCE'd) — evaluate each k to "
+                             "choose the accuracy/cost point")
     parser.add_argument("--dropout", type=float, default=0.1)
     parser.add_argument("--checkpoint", type=str, required=True)
     parser.add_argument("--split", type=str, default="test",

@@ -43,6 +43,12 @@ def parse_args(argv=None):
     parser.add_argument("--deep_supervision", action="store_true",
                         help="UNet++ only: rebuild the deep-supervision heads "
                              "(must match how the checkpoint was trained)")
+    parser.add_argument("--heads", type=int, default=4,
+                        help="UNet++ deep-supervision inference mode: 4 = "
+                             "averaged accurate mode; k<4 = the paper's "
+                             "pruned fast mode (single head X[0][k]; "
+                             "deeper columns DCE'd) — evaluate each k to "
+                             "choose the accuracy/cost point")
     parser.add_argument("--dropout", type=float, default=0.1)
     parser.add_argument("--checkpoint", type=str, required=True)
     parser.add_argument("--batch_size", type=int, default=4)
@@ -117,6 +123,15 @@ def main(argv=None):
     state = create_train_state(model, jax.random.key(0), (1, h, w, 3), tx)
     state = replicate(mesh, state)
     state = load_params(state, args.checkpoint)
+    if args.heads != 4:
+        # Pruned fast mode: restore used the FULL template above; only the
+        # inference forward prunes to head X[0][k] (build_model validates).
+        model = build_model(args.model, n_channels=3, n_classes=num_classes,
+                            bilinear=args.bilinear, dropout=args.dropout,
+                            policy=policy, base_features=args.base_features,
+                            deep_supervision=args.deep_supervision,
+                            heads=args.heads)
+        print(f"Pruned fast mode: visualizing head X[0][{args.heads}]")
 
     @jax.jit
     def infer(images_u8):

@@ -582,12 +582,17 @@ def make_quantized_anomaly_eval_step(loss_cfg=None):
     return jax.jit(step)
 
 
-def make_quantized_seg_eval_step(num_classes: int, loss_cfg=None):
+def make_quantized_seg_eval_step(num_classes: int, loss_cfg=None,
+                                 arch: str = "seg_unet",
+                                 deep_supervision: bool = False,
+                                 heads: int = 4):
     """Quantized drop-in for train.steps.make_seg_eval_step.
 
     Returns jitted ``step(qparams, images_u8, labels, valid=None) ->
     (loss_dict, preds, cm)`` — same contract as the float step, so
     validate_seg_epoch and the test CLIs run unchanged on int8 inference.
+    ``arch``/``deep_supervision``/``heads`` select the quantized forward
+    (seg_unet or unetpp; see make_quantized_forward).
     """
     from tpu_unet.losses.segmentation import combined_segmentation_loss
     from tpu_unet.metrics.confusion import confusion_matrix_batch
@@ -595,7 +600,8 @@ def make_quantized_seg_eval_step(num_classes: int, loss_cfg=None):
     from tpu_unet.train.steps import SegLossConfig
 
     cfg = loss_cfg if loss_cfg is not None else SegLossConfig()
-    fwd = make_quantized_forward("seg_unet")
+    fwd = make_quantized_forward(arch, deep_supervision=deep_supervision,
+                                 heads=heads)
 
     def step(qparams, images_u8, labels, valid=None):
         labels = labels.astype(jnp.int32)  # masks ship as uint8
