@@ -99,3 +99,32 @@ def test_load_errors(tmp_path):
                                                    "kind": "anomaly_scorer"}))
     with pytest.raises(FileNotFoundError, match="program.jaxexport"):
         load_artifact(str(partial))
+
+
+@pytest.mark.slow
+def test_unetpp_pruned_artifact_roundtrip(tmp_path):
+    """A heads=2 (pruned fast mode) UNet++ deep-supervision engine exports
+    and reloads serving the SAME pruned program — the artifact captures the
+    DCE'd compiled forward, checkpoint-/model-code-free."""
+    from tpu_unet.models.unetpp import UNetPlusPlus
+
+    params, bstats = _variables(
+        UNetPlusPlus(n_classes=4, base_features=4, deep_supervision=True),
+        (32, 32))
+    pred = SegmentationPredictor.from_variables(
+        params, bstats, num_classes=4, image_size_hw=(32, 32), batch_size=2,
+        base_features=4, model_name="unetpp", deep_supervision=True, heads=2)
+    export_artifact(pred, str(tmp_path / "art"))
+    art = load_artifact(str(tmp_path / "art"))
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 256, (3, 32, 32, 3), dtype=np.uint8)
+    masks_ref, confs_ref = pred.predict_array(imgs)
+    masks, confs = art.predict_array(imgs)
+    np.testing.assert_array_equal(masks, masks_ref)
+    np.testing.assert_allclose(confs, confs_ref, atol=1e-6)
+    # And the pruned program differs from the accurate mode's output.
+    pred4 = SegmentationPredictor.from_variables(
+        params, bstats, num_classes=4, image_size_hw=(32, 32), batch_size=2,
+        base_features=4, model_name="unetpp", deep_supervision=True)
+    masks4, _ = pred4.predict_array(imgs)
+    assert not np.array_equal(masks4, masks)

@@ -31,6 +31,9 @@ def main(argv=None):
     p.add_argument("--quick", action="store_true",
                    help="fewer timed batches (5 instead of 10)")
     p.add_argument("--skip_seg", action="store_true")
+    p.add_argument("--unetpp", action="store_true",
+                   help="also bench the UNet++ deep-supervision heads ladder "
+                        "(accurate heads=4 vs pruned 3/2/1) at 512² b16 bf16")
     p.add_argument("--latency", action="store_true",
                    help="also measure batch-1 online-serving latency "
                         "(p50/p95 ms per request) for every config")
@@ -98,6 +101,29 @@ def main(argv=None):
                     out[f"seg_{name}_b1_{mode}_latency"] = p1.latency_ms(n_lat)
                     print(f"seg {name} b1 {mode} latency: "
                           f"{out[f'seg_{name}_b1_{mode}_latency']}", flush=True)
+
+    if args.unetpp:
+        # UNet++ deep-supervision serving ladder: accurate mode (heads=4) vs
+        # the paper's pruned fast modes (heads k<4 = single head X[0][k]; XLA
+        # DCEs the deeper columns). Measured r4 (v5e-1, b32 512² b16 bf16):
+        # heads=4 111 img/s, 3: 126, 2: 184, 1: 485.
+        from tpu_unet.models import build_model
+
+        umodel = build_model("unetpp", n_classes=4, base_features=32,
+                             deep_supervision=True, policy=BF16_POLICY)
+        uv = umodel.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            np.zeros((1, 512, 512, 3), np.float32), train=False)
+        for k in (4, 3, 2, 1):
+            pred = SegmentationPredictor.from_variables(
+                uv["params"], uv["batch_stats"], num_classes=4,
+                image_size_hw=(512, 512), batch_size=16, base_features=32,
+                model_name="unetpp", deep_supervision=True, heads=k)
+            out[f"unetpp_ds_512_b16_bf16_heads{k}"] = round(
+                pred.throughput(n_batches), 1)
+            print(f"unetpp ds 512 b16 heads={k}: "
+                  f"{out[f'unetpp_ds_512_b16_bf16_heads{k}']} img/s", flush=True)
+            del pred
 
     out["unit"] = "images/sec (single device)"
     print(json.dumps(out))
