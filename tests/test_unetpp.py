@@ -297,6 +297,24 @@ class TestServing:
         f1, f2, f4 = (compiled_flops(k) for k in (1, 2, 4))
         assert f1 < f2 < f4, (f1, f2, f4)
 
+    def test_heads_zero_rejected_not_coerced(self):
+        """--heads 0 must fail loudly, not silently coerce to accurate mode
+        (a `getattr(..., 4) or 4` once rewrote falsy 0 to 4 — review r4)."""
+        from tests.test_data import make_gear
+        from tpu_unet.cli.test_gear import main as test_main
+
+        import tempfile
+        with tempfile.TemporaryDirectory() as td:
+            root = make_gear(os.path.join(td, "gear"), n_per_split=4, size=32)
+            with pytest.raises(ValueError, match="heads"):
+                test_main([
+                    "--data_root", root, "--image_size", "32",
+                    "--batch_size", "4", "--checkpoint", os.path.join(td, "x"),
+                    "--base_features", "8", "--model", "unetpp",
+                    "--deep_supervision", "--heads", "0",
+                    "--output_dir", os.path.join(td, "eval"),
+                ])
+
     def test_heads_flag_validation(self):
         """heads=k<4 is rejected everywhere it would be silently meaningless:
         non-unetpp models and unetpp without deep supervision."""

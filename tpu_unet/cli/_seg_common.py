@@ -288,10 +288,17 @@ def run_seg_evaluation(args, workload: Workload, split: str = "test"):
                         num_workers=args.num_workers,
                         transform=_to_device(mesh, spatial=n_space > 1))
     policy = get_policy(getattr(args, "precision", "bf16"))
+    # --heads k<4 prunes the UNet++ deep-supervision eval to the single head
+    # X[0][k]; heads only selects the return value, so init/restore still
+    # build the full param tree the checkpoint expects (build_model validates
+    # the model/deep_supervision combination; 0 or >4 fails at trace).
+    heads = getattr(args, "heads", None)
+    heads = 4 if heads is None else heads
     model = build_model(args.model, n_channels=3, n_classes=num_classes,
                         bilinear=args.bilinear, dropout=args.dropout, policy=policy,
                         base_features=getattr(args, "base_features", 64),
-                        deep_supervision=getattr(args, "deep_supervision", False))
+                        deep_supervision=getattr(args, "deep_supervision", False),
+                        heads=heads)
     tx = make_optimizer("adam", 1e-3, 0.0)
     state = create_train_state(model, jax.random.key(0), (1, h, w, 3), tx)
     state = replicate(mesh, state)
@@ -303,19 +310,7 @@ def run_seg_evaluation(args, workload: Workload, split: str = "test"):
         state = state.replace(params=folded, batch_stats=stats)
         print("BatchNorm folded into conv weights for inference")
 
-    # Pruned fast-mode eval (UNet++ deep-supervision checkpoints, --heads k<4):
-    # the restore TEMPLATE above inits the full model; rebind only the eval
-    # apply to the pruned head X[0][k] (build_model validates the combination).
-    heads = getattr(args, "heads", 4) or 4
     if heads != 4:
-        pruned = build_model(args.model, n_channels=3, n_classes=num_classes,
-                             bilinear=args.bilinear, dropout=args.dropout,
-                             policy=policy,
-                             base_features=getattr(args, "base_features", 64),
-                             deep_supervision=getattr(args, "deep_supervision",
-                                                      False),
-                             heads=heads)
-        state = state.replace(apply_fn=pruned.apply)
         print(f"Pruned fast mode: evaluating head X[0][{heads}] only")
 
     class_weights = parse_class_weights(getattr(args, "class_weights", None), num_classes)

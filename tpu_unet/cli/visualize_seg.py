@@ -115,22 +115,17 @@ def main(argv=None):
                         num_workers=args.num_workers, transform=to_device)
 
     policy = get_policy(args.precision)
+    # heads only selects the eval return value (the full param tree inits and
+    # restores regardless), so the pruned model IS the restore template.
     model = build_model(args.model, n_channels=3, n_classes=num_classes,
                         bilinear=args.bilinear, dropout=args.dropout, policy=policy,
                         base_features=args.base_features,
-                        deep_supervision=args.deep_supervision)
+                        deep_supervision=args.deep_supervision, heads=args.heads)
     tx = make_optimizer("adam", 1e-3, 0.0)
     state = create_train_state(model, jax.random.key(0), (1, h, w, 3), tx)
     state = replicate(mesh, state)
     state = load_params(state, args.checkpoint)
     if args.heads != 4:
-        # Pruned fast mode: restore used the FULL template above; only the
-        # inference forward prunes to head X[0][k] (build_model validates).
-        model = build_model(args.model, n_channels=3, n_classes=num_classes,
-                            bilinear=args.bilinear, dropout=args.dropout,
-                            policy=policy, base_features=args.base_features,
-                            deep_supervision=args.deep_supervision,
-                            heads=args.heads)
         print(f"Pruned fast mode: visualizing head X[0][{args.heads}]")
 
     @jax.jit

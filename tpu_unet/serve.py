@@ -639,6 +639,10 @@ class SegmentationPredictor:
                 if calib_images is None:
                     raise ValueError("int8 quantization needs calib_images "
                                      "or a precomputed qparams tree")
+                # Calibrate the FULL grid (heads=4) on purpose: the resulting
+                # qparams cover every pruned level, so a saved --qparams .npz
+                # serves any --heads without recalibrating. Only the quantized
+                # FORWARD below prunes.
                 qparams = quantize_from_train_state(
                     model_name, params, batch_stats,
                     chunk_calibration(calib_images, 8),
@@ -701,14 +705,13 @@ class SegmentationPredictor:
                 "heads selects a UNet++ deep-supervision inference head; it "
                 f"requires model_name='unetpp' with deep_supervision (got "
                 f"{model_name!r}, deep_supervision={deep_supervision})")
-        # The restore TEMPLATE always inits the full model (heads=4): a pruned
-        # init would trace only the shallow columns and create a partial param
-        # tree that no longer matches the checkpoint. Pruning applies at
-        # serving time only (from_variables builds the heads=k apply).
+        # heads only selects the eval-time return value — UNetPlusPlus builds
+        # every grid node/head param unconditionally, so a heads=k init still
+        # produces the full tree the checkpoint expects.
         model = build_model(model_name, n_classes=num_classes, bilinear=bilinear,
                             dropout=dropout, policy=get_policy(precision),
                             base_features=base_features,
-                            deep_supervision=deep_supervision)
+                            deep_supervision=deep_supervision, heads=heads)
         h, w = image_size_hw
         state = create_train_state(model, jax.random.key(0), (1, h, w, 3),
                                    make_optimizer("adam", 1e-3, 0.0))
