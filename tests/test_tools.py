@@ -249,3 +249,23 @@ def test_perf_tables_repo_docs_current():
         assert block in f.read(), (
             "docs/ARCHITECTURE.md BASELINE table is stale; run "
             "python tools/perf_tables.py --bench BENCH_LOCAL.json --apply")
+
+
+@pytest.mark.slow
+def test_unetpp_mode_selection_smoke(tmp_path, capsys):
+    """tools/unetpp_mode_selection.py --synthetic: the paper's mode-selection
+    workflow (train DS once -> evaluate every pruned level) runs end-to-end
+    and the compiled-FLOPs ladder strictly decreases with pruning."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import unetpp_mode_selection
+
+    out = unetpp_mode_selection.main([
+        "--synthetic", "--epochs", "1", "--serving_batches", "0",
+        "--out", os.path.join(tmp_path, "r.json")])
+    r = out["results"]
+    assert set(r) == {"heads1", "heads2", "heads3", "heads4"}
+    assert (r["heads1"]["fwd_gflops"] < r["heads2"]["fwd_gflops"]
+            < r["heads3"]["fwd_gflops"] < r["heads4"]["fwd_gflops"])
+    for row in r.values():
+        assert 0.0 <= row["mean_iou"] <= 1.0
+    assert os.path.exists(os.path.join(tmp_path, "r.json"))
