@@ -275,6 +275,44 @@ def test_daemon_cli_flag_validation(tmp_path):
         args, parser = parse_args(["--checkpoint", "nope", "--task", "anomaly",
                                    "--deep_supervision"])
         build_service(args, parser)
+    with pytest.raises(SystemExit, match="--task seg"):
+        args, parser = parse_args(["--checkpoint", "nope", "--task", "anomaly",
+                                   "--heads", "2"])
+        build_service(args, parser)
+
+
+@pytest.mark.slow
+def test_daemon_serves_pruned_unetpp(tmp_path):
+    """A seg daemon built on a UNet++ deep-supervision checkpoint with
+    --heads 1 serves the pruned program end-to-end (engine construction +
+    one /v1/segment-equivalent predict through the service batcher)."""
+    import jax
+
+    from tpu_unet.cli.serve_daemon import build_service, parse_args
+    from tpu_unet.models.unetpp import UNetPlusPlus
+    from tpu_unet.train import create_train_state, make_optimizer
+    from tpu_unet.train.checkpoint import save_checkpoint
+
+    model = UNetPlusPlus(n_classes=4, base_features=4, deep_supervision=True)
+    state = create_train_state(model, jax.random.key(0), (1, 32, 32, 3),
+                               make_optimizer("adam", 1e-3, 0.0))
+    ckpt = os.path.join(tmp_path, "ckpt", "best_model")
+    save_checkpoint(state, 0, 1.0, ckpt)
+    args, parser = parse_args([
+        "--checkpoint", ckpt, "--task", "seg", "--model", "unetpp",
+        "--deep_supervision", "--heads", "1", "--num_classes", "4",
+        "--image_height", "32", "--image_width", "32", "--batch_size", "2",
+        "--base_features", "4", "--precision", "f32"])
+    service = build_service(args, parser)
+    try:
+        assert service.kind == "segmentation_predictor"
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        mask, conf = service.batcher.submit(img).result(timeout=600)
+        assert np.asarray(mask).shape == (32, 32)
+        assert np.isfinite(float(conf))
+    finally:
+        service.close()
 
 
 def test_daemon_sigterm_graceful_shutdown():
