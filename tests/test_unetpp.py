@@ -152,6 +152,70 @@ class TestTraining:
         assert cm.shape == (4, 4) and int(np.asarray(cm).sum()) == 4 * 32 * 32
 
     @pytest.mark.slow
+    def test_deep_supervision_grad_accum_matches_eager(self):
+        """UNet++ deep supervision under grad_accum=2: the scanned microbatch
+        program (tuple logits -> per-head losses averaged, CM from the deepest
+        head) matches the eager two-microbatch oracle."""
+        from tpu_unet.losses.segmentation import combined_segmentation_loss
+        from tpu_unet.metrics.confusion import confusion_matrix_batch
+        from tpu_unet.ops.augment import train_transform
+        from tpu_unet.ops.seg_head import sliced_argmax
+        from tpu_unet.train import SegLossConfig
+        import jax.numpy as jnp
+
+        cfg = SegLossConfig()
+        G = 2
+        img, lbl = seg_batch(n=4, seed=21)
+        key = jax.random.key(31)
+        state0 = make_state(ds=True, opt="sgd", lr=1e-2)
+        step = make_seg_train_step(4, cfg, FAST_AUG, donate_state=False,
+                                   grad_accum=G)
+        state_a, ld_a, cm_a = step(state0, img, lbl, key)
+
+        state = make_state(ds=True, opt="sgd", lr=1e-2)
+        n = img.shape[0] // G
+        keys = jax.random.split(key, G)
+        stats = state.batch_stats
+        gsum = jax.tree.map(jnp.zeros_like, state.params)
+        cm_sum = np.zeros((4, 4))
+        loss_hist = []
+        for g in range(G):
+            k_aug, k_drop = jax.random.split(keys[g])
+            im, lb = train_transform(
+                img[g * n:(g + 1) * n],
+                lbl[g * n:(g + 1) * n, ..., None].astype(jnp.int32),
+                k_aug, **FAST_AUG.kwargs())
+            lb = lb[..., 0]
+
+            def loss_fn(params, stats=stats, im=im, lb=lb, k_drop=k_drop):
+                heads, mut = state.apply_fn(
+                    {"params": params, "batch_stats": stats}, im, train=True,
+                    mutable=["batch_stats"], rngs={"dropout": k_drop})
+                per = [combined_segmentation_loss(h, lb, **cfg.kwargs())
+                       for h in heads]
+                losses = {k: sum(p[k] for p in per) / len(per) for k in per[0]}
+                return losses["total_loss"], (losses, mut["batch_stats"],
+                                              heads[-1])
+
+            grads, (losses, stats, deepest) = jax.grad(
+                loss_fn, has_aux=True)(state.params)
+            gsum = jax.tree.map(jnp.add, gsum, grads)
+            loss_hist.append(losses)
+            cm_sum += np.asarray(confusion_matrix_batch(
+                sliced_argmax(deepest), lb.astype(jnp.int32), 4, None))
+        state_b = state.apply_gradients(
+            grads=jax.tree.map(lambda g: g / G, gsum))
+
+        np.testing.assert_allclose(np.asarray(cm_a), cm_sum)
+        for k in loss_hist[0]:
+            mean = float(np.mean([float(d[k]) for d in loss_hist]))
+            assert abs(float(ld_a[k]) - mean) < 5e-6 * max(1.0, abs(mean)), k
+        for pa, pb in zip(jax.tree_util.tree_leaves(state_a.params),
+                          jax.tree_util.tree_leaves(state_b.params)):
+            np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                       atol=2e-6, rtol=2e-5)
+
+    @pytest.mark.slow
     def test_deep_supervision_loss_is_head_average(self):
         """The step's loss must equal the mean of per-head losses computed
         manually from the same forward."""
