@@ -9,7 +9,9 @@ set -euo pipefail
 DATASET="${DATASET:-mvtec}"            # mvtec | gear | kolektorsdd
 DATA_ROOT="${DATA_ROOT:-datasets/mvtec_anomaly_detection}"
 CATEGORY="${CATEGORY:-bottle}"         # (mvtec only)
-MODEL="${MODEL:-anomaly_unet}"         # mvtec: unet|anomaly_unet ; seg: unet|seg_unet
+MODEL="${MODEL:-anomaly_unet}"         # mvtec: unet|anomaly_unet ; seg: unet|seg_unet|unetpp
+DEEP_SUPERVISION="${DEEP_SUPERVISION:-0}"  # seg unetpp: train/test/visualize with DS heads
+HEADS="${HEADS:-4}"                    # seg unetpp DS eval/viz: 4=accurate, k<4=pruned X[0][k]
 IMAGE_SIZE="${IMAGE_SIZE:-256}"
 EPOCHS="${EPOCHS:-100}"
 BATCH_SIZE="${BATCH_SIZE:-16}"
@@ -74,6 +76,21 @@ case "$DATASET" in
   *) echo "Unknown DATASET: $DATASET"; exit 1 ;;
 esac
 
+# UNet++ deep-supervision knobs ride every stage that rebuilds the model; the
+# pruned --heads selection applies to eval/visualize only (training always
+# optimizes all heads).
+DS_ARGS=()
+HEADS_ARGS=()
+if [[ "$DEEP_SUPERVISION" == "1" ]]; then
+  DS_ARGS=(--deep_supervision)
+fi
+if [[ "$HEADS" != "4" ]]; then
+  HEADS_ARGS=(--heads "$HEADS")
+fi
+if [[ "$DATASET" != "mvtec" && ${#DS_ARGS[@]} -gt 0 ]]; then
+  TRAIN_ARGS+=("${DS_ARGS[@]}")
+fi
+
 if [[ "$SKIP_TRAIN" != "1" ]]; then
   echo "=== [1/$STAGES] Training ==="
   # shellcheck disable=SC2086
@@ -109,14 +126,16 @@ case "$DATASET" in
     python -m "$TEST_MOD" --data_root "$DATA_ROOT" --model "$MODEL" \
       --image_size "$IMAGE_SIZE" --batch_size "$BATCH_SIZE" \
       --checkpoint "$BEST" --output_dir "$TEST_DIR/gear" --precision "$PRECISION" \
-      --save_predictions $EXTRA_TEST_ARGS
+      --save_predictions ${DS_ARGS[@]+"${DS_ARGS[@]}"} \
+      ${HEADS_ARGS[@]+"${HEADS_ARGS[@]}"} $EXTRA_TEST_ARGS
     ;;
   kolektorsdd)
     # shellcheck disable=SC2086
     python -m "$TEST_MOD" --data_root "$DATA_ROOT" --model "$MODEL" \
       --batch_size "$BATCH_SIZE" --checkpoint "$BEST" \
       --output_dir "$TEST_DIR/kolektorsdd" --precision "$PRECISION" \
-      --save_predictions $EXTRA_TEST_ARGS
+      --save_predictions ${DS_ARGS[@]+"${DS_ARGS[@]}"} \
+      ${HEADS_ARGS[@]+"${HEADS_ARGS[@]}"} $EXTRA_TEST_ARGS
     ;;
 esac
 
@@ -133,13 +152,16 @@ case "$DATASET" in
     # shellcheck disable=SC2086
     python -m tpu_unet.cli.visualize_seg --dataset gear --data_root "$DATA_ROOT" \
       --model "$MODEL" --image_size "$IMAGE_SIZE" --checkpoint "$BEST" \
-      --output_dir "$VIS_DIR" --precision "$PRECISION" $EXTRA_VIS_ARGS
+      --output_dir "$VIS_DIR" --precision "$PRECISION" \
+      ${DS_ARGS[@]+"${DS_ARGS[@]}"} ${HEADS_ARGS[@]+"${HEADS_ARGS[@]}"} \
+      $EXTRA_VIS_ARGS
     ;;
   kolektorsdd)
     # shellcheck disable=SC2086
     python -m tpu_unet.cli.visualize_seg --dataset kolektorsdd --data_root "$DATA_ROOT" \
       --model "$MODEL" --checkpoint "$BEST" --output_dir "$VIS_DIR" \
-      --precision "$PRECISION" $EXTRA_VIS_ARGS
+      --precision "$PRECISION" ${DS_ARGS[@]+"${DS_ARGS[@]}"} \
+      ${HEADS_ARGS[@]+"${HEADS_ARGS[@]}"} $EXTRA_VIS_ARGS
     ;;
 esac
 
