@@ -92,6 +92,38 @@ def test_microbatcher_rejects_after_close():
         b.submit(np.zeros((2, 2, 3), np.uint8))
 
 
+def test_microbatcher_close_fails_stranded_futures():
+    """A request queued BEHIND the close sentinel (submit racing close) must
+    get its future failed, not hang its waiter forever."""
+    import queue as _queue
+
+    b = MicroBatcher(lambda imgs: list(np.zeros(len(imgs))), 2, 0)
+    # Simulate the race deterministically: park the worker on a long batch,
+    # then enqueue the sentinel followed by a stranded item.
+    release = threading.Event()
+
+    def slow_run(imgs):
+        release.wait(timeout=30)
+        return list(np.zeros(len(imgs)))
+
+    b._run = slow_run
+    first = b.submit(np.zeros((2, 2, 3), np.uint8))  # occupies the worker
+    time.sleep(0.05)
+    b._q.put(None)  # close sentinel enters the queue...
+    stranded: "_queue.Queue" = b._q
+    fut = type(first)()  # a bare Future queued behind the sentinel
+    stranded.put((np.zeros((2, 2, 3), np.uint8), fut, None))
+    b._closed = True
+    release.set()
+    b._worker.join(timeout=30)
+    # close() drains the stranded item and fails its future.
+    b._closed = False  # let close() run its drain path
+    b.close()
+    with pytest.raises(RuntimeError, match="closed before"):
+        fut.result(timeout=5)
+    assert float(first.result(timeout=5)) == 0.0
+
+
 # -- HTTP daemon over live engines --------------------------------------------
 
 class _Daemon:

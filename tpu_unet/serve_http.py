@@ -139,6 +139,18 @@ class MicroBatcher:
             self._closed = True
             self._q.put(None)  # sentinel
             self._worker.join(timeout=30)
+            # A submit() that raced close() may have queued behind the
+            # sentinel; the worker never sees those items, so fail their
+            # futures instead of leaving the waiters hanging forever.
+            while True:
+                try:
+                    item = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not None:
+                    item[1].set_exception(
+                        RuntimeError("MicroBatcher closed before this "
+                                     "request reached the engine"))
 
     def _loop(self) -> None:
         while True:
