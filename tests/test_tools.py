@@ -269,3 +269,30 @@ def test_unetpp_mode_selection_smoke(tmp_path, capsys):
     for row in r.values():
         assert 0.0 <= row["mean_iou"] <= 1.0
     assert os.path.exists(os.path.join(tmp_path, "r.json"))
+
+
+def test_crossstack_parity_committed_artifacts():
+    """Both committed cross-stack training-parity artifacts (anomaly r3,
+    seg r4: tools/crossstack_parity{,_seg}.py run against the ACTUAL
+    reference torch trainers) record that the two stacks learn the task
+    and agree within the harness tolerances."""
+    repo = os.path.join(os.path.dirname(__file__), "..")
+
+    with open(os.path.join(repo, "tools", "crossstack_parity_result.json")) as f:
+        anomaly = json.load(f)
+    assert anomaly["reference_torch"]["image_auroc"] >= 0.9
+    assert anomaly["tpu_unet"]["image_auroc"] >= 0.9
+    assert anomaly["auroc_diff"] <= 0.05
+    ref_hist = anomaly["reference_torch"]["loss_history"]
+    our_hist = anomaly["tpu_unet"]["loss_history"]
+    assert ref_hist[-1] < ref_hist[0] and our_hist[-1] < our_hist[0]
+
+    with open(os.path.join(repo, "tools",
+                           "crossstack_parity_seg_result.json")) as f:
+        seg = json.load(f)
+    chance = 0.25  # 4-class mIoU of a random predictor on the synthetic task
+    assert seg["reference"]["val_miou"] > 2 * chance
+    assert seg["tpu_unet"]["val_miou"] > 2 * chance
+    assert seg["miou_diff"] < 0.15
+    assert seg["reference"]["loss_history"][-1] < seg["reference"]["loss_history"][0]
+    assert seg["tpu_unet"]["loss_history"][-1] < seg["tpu_unet"]["loss_history"][0]
