@@ -316,12 +316,17 @@ def run_seg_evaluation(args, workload: Workload, split: str = "test"):
     class_weights = parse_class_weights(getattr(args, "class_weights", None), num_classes)
     loss_cfg = SegLossConfig(class_weights=class_weights)
     if getattr(args, "quantize", "none") == "int8":
-        arch = "unetpp" if args.model in ("unetpp", "unet++", "nested_unet") \
-            else "seg_unet"
+        if args.model in ("unetpp", "unet++", "nested_unet"):
+            arch = "unetpp"
+        elif args.model in ("attn_unet", "attention_unet", "attunet"):
+            arch = "attn_unet"
+        else:
+            arch = "seg_unet"
         if args.model not in ("seg_unet", "segmentation_unet", "unetpp",
-                              "unet++", "nested_unet") or args.bilinear:
+                              "unet++", "nested_unet", "attn_unet",
+                              "attention_unet", "attunet") or args.bilinear:
             raise SystemExit("--quantize int8 supports the transposed-conv "
-                             "seg_unet and unetpp only")
+                             "seg_unet, attn_unet and unetpp only")
         from tpu_unet.ops.quantize import (chunk_calibration,
                                            make_quantized_seg_eval_step,
                                            quantize_from_train_state)

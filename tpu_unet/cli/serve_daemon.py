@@ -62,7 +62,7 @@ def parse_args(argv=None):
     p.add_argument("--image_width", type=int, default=512, help="seg only")
     p.add_argument("--num_classes", type=int, default=4, help="seg only")
     p.add_argument("--model", type=str, default="seg_unet",
-                   choices=["seg_unet", "unetpp"],
+                   choices=["seg_unet", "unetpp", "attn_unet"],
                    help="seg only: architecture the checkpoint was trained "
                         "with (both serve in bf16/f32 or int8)")
     p.add_argument("--deep_supervision", action="store_true",

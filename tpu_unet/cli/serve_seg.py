@@ -58,7 +58,7 @@ def parse_args(argv=None):
                    help="Quantized-params .npz: loaded if it exists (skips "
                         "calibration), else written after calibrating")
     p.add_argument("--model", type=str, default="seg_unet",
-                   choices=["seg_unet", "unetpp"],
+                   choices=["seg_unet", "unetpp", "attn_unet"],
                    help="Architecture the checkpoint was trained with "
                         "(both serve in bf16/f32 or int8)")
     p.add_argument("--deep_supervision", action="store_true",

@@ -20,7 +20,7 @@ def parse_args(argv=None):
     parser.add_argument("--data_root", type=str, default="datasets/Gear")
     parser.add_argument("--image_size", type=int, default=512)
     parser.add_argument("--model", type=str, default="seg_unet",
-                        choices=["unet", "seg_unet", "unetpp"])
+                        choices=["unet", "seg_unet", "unetpp", "attn_unet"])
     parser.add_argument("--bilinear", action="store_true")
     parser.add_argument("--deep_supervision", action="store_true",
                         help="UNet++ only: rebuild the deep-supervision heads "

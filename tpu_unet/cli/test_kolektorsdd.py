@@ -21,7 +21,7 @@ def parse_args(argv=None):
     parser.add_argument("--train_split", type=float, default=0.7)
     parser.add_argument("--val_split", type=float, default=0.15)
     parser.add_argument("--model", type=str, default="seg_unet",
-                        choices=["unet", "seg_unet", "unetpp"])
+                        choices=["unet", "seg_unet", "unetpp", "attn_unet"])
     parser.add_argument("--bilinear", action="store_true")
     parser.add_argument("--deep_supervision", action="store_true",
                         help="UNet++ only: rebuild the deep-supervision heads "

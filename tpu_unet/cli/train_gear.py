@@ -17,7 +17,7 @@ from tpu_unet.train import AugmentConfig
 
 def add_common_args(parser):
     parser.add_argument("--model", type=str, default="seg_unet",
-                        choices=["unet", "seg_unet", "unetpp"], help="Model architecture")
+                        choices=["unet", "seg_unet", "unetpp", "attn_unet"], help="Model architecture")
     parser.add_argument("--bilinear", action="store_true",
                         help="Use bilinear upsampling instead of transposed convolution")
     parser.add_argument("--deep_supervision", action="store_true",

@@ -92,6 +92,11 @@ class Up(nn.Module):
     ``in_features`` is the channel count of the low-resolution input; the transposed
     conv halves it (so concat with the skip restores ``in_features`` total channels),
     mirroring /root/reference/src/model.py:40-66.
+
+    ``attention=True`` gates the skip through an additive attention gate
+    (models/attention.py, arXiv:1804.03999) before the concat; the gating
+    signal is the upsampled-and-padded decoder tensor, so the gate needs no
+    resampling of its own.
     """
 
     in_features: int
@@ -99,6 +104,7 @@ class Up(nn.Module):
     bilinear: bool = False
     policy: Policy = DEFAULT_POLICY
     sync_batch_stats: bool = False
+    attention: bool = False
 
     @nn.compact
     def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, *, train: bool) -> jnp.ndarray:
@@ -134,6 +140,16 @@ class Up(nn.Module):
         dw = x2.shape[2] - x1.shape[2]
         if dh or dw:
             x1 = jnp.pad(x1, ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)))
+
+        if self.attention:
+            from tpu_unet.models.attention import AttentionGate
+
+            x2 = AttentionGate(
+                f_int=max(1, x2.shape[-1] // 2),  # paper: F_int = F_l / 2
+                policy=self.policy,
+                sync_batch_stats=self.sync_batch_stats,
+                name="att",
+            )(x1, x2, train=train)
 
         x = jnp.concatenate([x2.astype(x1.dtype), x1], axis=-1)
         return conv(x, train=train)

@@ -47,18 +47,24 @@ class _Encoder(nn.Module):
 
 
 class _Decoder(nn.Module):
-    """4-stage skip-connected decoder ending at 64 channels (no head)."""
+    """4-stage skip-connected decoder ending at 64 channels (no head).
+
+    ``attention=True`` gates each skip through an attention gate inside the
+    Up blocks (models/attention.py)."""
 
     policy: Policy = DEFAULT_POLICY
     bilinear: bool = False
     sync_batch_stats: bool = False
     prefix: str = "up"
     base_features: int = 64
+    attention: bool = False
 
     @nn.compact
     def __call__(self, skips, *, train: bool):
         x1, x2, x3, x4, x5 = skips
-        kw = dict(policy=self.policy, bilinear=self.bilinear, sync_batch_stats=self.sync_batch_stats)
+        kw = dict(policy=self.policy, bilinear=self.bilinear,
+                  sync_batch_stats=self.sync_batch_stats,
+                  attention=self.attention)
         b = self.base_features
         factor = 2 if self.bilinear else 1
         x = Up(16 * b, 8 * b // factor, name=f"{self.prefix}1", **kw)(x5, x4, train=train)
@@ -173,9 +179,10 @@ def build_model(name: str, *, n_channels: int = 3, n_classes: int = 1,
                 base_features: int = 64, deep_supervision: bool = False,
                 heads: int = 4):
     """Build a model by CLI name ('unet' | 'anomaly_unet' | 'seg_unet' |
-    'unetpp'). ``heads`` selects the UNet++ deep-supervision inference mode
-    (4 = averaged accurate mode; k<4 = the pruned fast-mode head X[0][k],
-    whose unused deeper columns XLA DCEs out of the compiled program)."""
+    'unetpp' | 'attn_unet'). ``heads`` selects the UNet++ deep-supervision
+    inference mode (4 = averaged accurate mode; k<4 = the pruned fast-mode
+    head X[0][k], whose unused deeper columns XLA DCEs out of the compiled
+    program)."""
     name = name.lower()
     is_unetpp = name in ("unetpp", "unet++", "nested_unet")
     if deep_supervision and not is_unetpp:
@@ -210,4 +217,11 @@ def build_model(name: str, *, n_channels: int = 3, n_classes: int = 1,
                                 bilinear=bilinear, dropout=dropout,
                                 policy=policy, sync_batch_stats=sync_batch_stats,
                                 base_features=base_features)
+    if name in ("attn_unet", "attention_unet", "attunet"):
+        from tpu_unet.models.attention import AttentionUNet
+
+        return AttentionUNet(n_channels=n_channels, n_classes=n_classes,
+                             bilinear=bilinear, dropout=dropout,
+                             policy=policy, sync_batch_stats=sync_batch_stats,
+                             base_features=base_features)
     raise ValueError(f"Unknown model: {name!r}")

@@ -27,6 +27,10 @@ epilogue — one pass per layer, no extra HBM trips):
   epilogue quantizes straight to the shared scale).
 - **Heads (1x1 conv + sigmoid/logits)**: int8 matmul with an f32 epilogue; outputs
   stay f32 so scores/metrics are exact-path.
+- **Attention gates** (arch 'attn_unet', models/attention.py): run in FLOAT on
+  dequantized operands — the 1x1 projections are <1% of the FLOPs and the
+  sigmoid needs float anyway; the gated skip then quantizes straight to the
+  concat scale (which is calibrated on the gated tensor).
 
 Accuracy: weights round-trip at per-channel 8-bit; activation error is bounded by
 per-tensor abs-max/127 per layer. Tested against the float model in
@@ -63,12 +67,19 @@ _EPS = 1e-5  # BatchNorm eps (torch default; models/blocks.py)
 _ARCH_HEADS = {
     "unet": (("decoder", "up", "outc", "logits"),),
     "seg_unet": (("decoder", "up", "outc", "logits"),),
+    "attn_unet": (("decoder", "up", "outc", "logits"),),
     "anomaly_unet": (
         ("decoder_recon", "up_recon", "outc_recon", "sigmoid"),
         ("decoder_seg", "up_seg", "outc_seg", "sigmoid"),
     ),
 }
 _KNOWN_ARCHS = frozenset(_ARCH_HEADS) | {"unetpp"}
+# Architectures whose Up blocks gate the skip through an attention gate
+# (models/attention.py). The gate's 1x1 projections are <1% of the FLOPs and
+# its sigmoid/multiply need float anyway, so the quantized forward runs the
+# whole gate in float on dequantized operands (mixed-precision PTQ: only the
+# heavy 3x3/transposed convs and heads are int8) — see _gate_float.
+_GATED_ARCHS = frozenset({"attn_unet"})
 
 # ConvTranspose param-leaf names: 'up' inside an Up block (unet family) or the
 # top-level 'up{i}_{j}' level-up convs of the UNet++ nested grid.
@@ -176,13 +187,16 @@ class _CalibExec:
         return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
                                      (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
 
-    def up_block(self, x, skip, path):
+    def up_block(self, x, skip, path, gated: bool = False):
         leaf = _get(self.p, f"{path}/up")
         y = jax.lax.conv_transpose(x, leaf["kernel"], (2, 2), "VALID",
                                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
         y = y + leaf["bias"]
         y = self._tag(f"{path}/up", y)
         y = _pad_to(y, skip)
+        if gated:
+            skip = self._tag(f"{path}/att/out",
+                             _gate_float(self.p, y, skip, f"{path}/att"))
         return self.double_conv(jnp.concatenate([skip, y], axis=-1), f"{path}/conv")
 
     def fuse(self, below, row, path):
@@ -240,7 +254,7 @@ class _QuantExec:
                                   (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
         return q, s  # max commutes with the (monotone) quantization: scale unchanged
 
-    def up_block(self, xs, skips, path):
+    def up_block(self, xs, skips, path, gated: bool = False):
         x, s_in = xs
         skip, s_skip = skips
         leaf = _get(self.layers, f"{path}/up")
@@ -253,7 +267,16 @@ class _QuantExec:
         s_cat = self.scales[f"{path}/cat"]
         q_up = self._requant(y, s_cat)
         q_up = _pad_to(q_up, skip)
-        q_skip = self._requant(skip.astype(jnp.float32) * s_skip, s_cat)
+        if gated:
+            # Attention gate in float on dequantized operands (its layers were
+            # kept f32 by quantize_model); the gated skip quantizes straight to
+            # the concat scale, which was calibrated on the GATED tensor.
+            gated_skip = _gate_float(self.layers, _pad_to(y, skip),
+                                     skip.astype(jnp.float32) * s_skip,
+                                     f"{path}/att")
+            q_skip = self._requant(gated_skip, s_cat)
+        else:
+            q_skip = self._requant(skip.astype(jnp.float32) * s_skip, s_cat)
         cat = jnp.concatenate([q_skip, q_up], axis=-1)
         return self.double_conv((cat, s_cat), f"{path}/conv")
 
@@ -294,11 +317,27 @@ def _pad_to(x, ref):
     return x
 
 
+def _gate_float(p, g, x, path):
+    """models/attention.py::AttentionGate in folded-float form.
+
+    ``p`` holds folded float {kernel, bias} leaves for the gate's layers
+    (full_fold baked the three BNs in): x * sigmoid(psi(relu(W_g g + W_x x))).
+    Used by BOTH executors — the int8 path runs the gate in float on
+    dequantized operands (see _GATED_ARCHS).
+    """
+    conv = _CalibExec._conv
+    a = jax.nn.relu(conv(g, _get(p, f"{path}/g/conv1"), (1, 1))
+                    + conv(x, _get(p, f"{path}/x/conv1"), (1, 1)))
+    a = conv(a, _get(p, f"{path}/conv2"), (1, 1))
+    return x * jax.nn.sigmoid(a)
+
+
 def _run(exc, x, arch: str, *, deep_supervision: bool = False, heads: int = 4):
     """Drive one executor through the UNet-family graph (models/unet.py)."""
     if arch == "unetpp":
         return _run_unetpp(exc, x, deep_supervision=deep_supervision,
                            heads=heads)
+    gated = arch in _GATED_ARCHS
     x = exc.input(x)
     x1 = exc.double_conv(x, "encoder/inc")
     x2 = exc.double_conv(exc.maxpool(x1), "encoder/down1/conv")
@@ -309,7 +348,7 @@ def _run(exc, x, arch: str, *, deep_supervision: bool = False, heads: int = 4):
     for dec, up, outc, act in _ARCH_HEADS[arch]:
         y = x5
         for i, skip in enumerate((x4, x3, x2, x1), 1):
-            y = exc.up_block(y, skip, f"{dec}/{up}{i}")
+            y = exc.up_block(y, skip, f"{dec}/{up}{i}", gated=gated)
         outs.append(exc.head(y, outc, act))
     return outs[0] if len(outs) == 1 else tuple(outs)
 
@@ -420,6 +459,9 @@ def quantize_model(arch: str, fparams: Dict[str, Any],
             if m:  # UNet++ node: the concat fuses the whole dense row + the up
                 i, j = int(m.group(1)), int(m.group(2))
                 operands = [absmax[f"x{i}_{k}/relu2"] for k in range(j)] + [v]
+            elif f"{path}/att/out" in absmax:
+                # Gated arch: the concat's skip operand is the GATED tensor.
+                operands = [absmax[f"{path}/att/out"], v]
             else:
                 operands = [absmax[_skip_relu_tag(arch, path)], v]
             s_cat = max(max(operands), 1e-12) / 127.0
@@ -429,7 +471,13 @@ def quantize_model(arch: str, fparams: Dict[str, Any],
         out = {}
         for name, child in p.items():
             sub = f"{path}/{name}" if path else name
-            if isinstance(child, dict) and "kernel" in child:
+            if name == "att":
+                # Attention-gate subtree: kept in folded FLOAT form — the
+                # quantized forward runs the gate on dequantized operands
+                # (_gate_float); quantizing its tiny 1x1 projections saves
+                # nothing and the sigmoid needs float regardless.
+                out[name] = child
+            elif isinstance(child, dict) and "kernel" in child:
                 k = child["kernel"]
                 if _UP_LEAF.match(name):  # ConvTranspose k2s2 (int8 lax.conv_transpose)
                     if k.shape[:2] != (2, 2):

@@ -606,10 +606,12 @@ class SegmentationPredictor:
         sub-UNet)."""
         if quantize not in (None, "none", "int8"):
             raise ValueError(f"unsupported quantize mode {quantize!r}")
-        if quantize == "int8" and model_name not in ("seg_unet", "unetpp"):
+        if quantize == "int8" and model_name not in ("seg_unet", "unetpp",
+                                                     "attn_unet"):
             raise ValueError(
-                f"int8 quantization is implemented for 'seg_unet' and "
-                f"'unetpp', not {model_name!r}; serve it in bf16/f32 instead")
+                f"int8 quantization is implemented for 'seg_unet', 'unetpp' "
+                f"and 'attn_unet', not {model_name!r}; serve it in bf16/f32 "
+                f"instead")
         if heads != 4 and not (model_name == "unetpp" and deep_supervision):
             raise ValueError(
                 "heads selects a UNet++ deep-supervision inference head; it "
