@@ -27,9 +27,10 @@ FAST_AUG = AugmentConfig(degrees=0.0, p_flip=0.0, brightness=0.0, contrast=0.0,
 
 # Pinned at base_features=64, 4 classes (the CLI default config): the plain
 # SegmentationUNet is 31,037,828 there, and the four gates add their 1x1
-# projections on top — recorded once from the implementation and pinned so
-# the gate wiring can't drift silently.
-EXPECTED_PARAMS_B64 = 31_388_396
+# projections on top (W_g reads the WIDE pre-upsample decoder tensor — the
+# coarse gate, arXiv:1804.03999 §3.1) — recorded once from the implementation
+# and pinned so the gate wiring can't drift silently.
+EXPECTED_PARAMS_B64 = 31_562_476
 
 
 def seg_batch(n=4, seed=0):
@@ -99,6 +100,15 @@ class TestModel:
             jax.random.key(0))
         assert n_params(v["params"]) == 31_037_828
         assert "att" not in v["params"]["decoder"]["up1"]
+
+    def test_non_divisible_size_traces(self):
+        """Odd extents: W_x's stride-2 output crops to the coarse grid (ceil
+        vs floor) and alpha resizes to the skip's exact extent."""
+        state = make_state()
+        out = state.apply_fn({"params": state.params,
+                              "batch_stats": state.batch_stats},
+                             np.zeros((1, 36, 36, 3), np.float32), train=False)
+        assert out.shape == (1, 36, 36, 4)
 
     def test_bilinear_mode(self):
         state = make_state(bilinear=True)

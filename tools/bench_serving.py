@@ -34,6 +34,9 @@ def main(argv=None):
     p.add_argument("--unetpp", action="store_true",
                    help="also bench the UNet++ deep-supervision heads ladder "
                         "(accurate heads=4 vs pruned 3/2/1) at 512² b16 bf16")
+    p.add_argument("--attn", action="store_true",
+                   help="also bench Attention U-Net serving (bf16 + int8) "
+                        "at 512² b16 next to the seg_unet figures")
     p.add_argument("--latency", action="store_true",
                    help="also measure batch-1 online-serving latency "
                         "(p50/p95 ms per request) for every config")
@@ -101,6 +104,29 @@ def main(argv=None):
                     out[f"seg_{name}_b1_{mode}_latency"] = p1.latency_ms(n_lat)
                     print(f"seg {name} b1 {mode} latency: "
                           f"{out[f'seg_{name}_b1_{mode}_latency']}", flush=True)
+
+    if args.attn:
+        # Attention U-Net serving (models/attention.py): the gated skips add
+        # three 1x1+BN layers per decoder stage; int8 runs the gate in float
+        # (ops/quantize.py _gate_float) so this measures the mixed-precision
+        # engine against plain bf16 at the Gear serving geometry.
+        from tpu_unet.models import build_model
+
+        amodel = build_model("attn_unet", n_classes=4, policy=BF16_POLICY)
+        av = amodel.init(jax.random.key(0),
+                         np.zeros((1, 512, 512, 3), np.float32), train=False)
+        acalib = rng.integers(0, 256, (8, 512, 512, 3), dtype=np.uint8)
+        for mode, kw in [("bf16", {}),
+                         ("int8", {"quantize": "int8", "calib_images": acalib})]:
+            pred = SegmentationPredictor.from_variables(
+                av["params"], av["batch_stats"], num_classes=4,
+                image_size_hw=(512, 512), batch_size=16,
+                model_name="attn_unet", **kw)
+            out[f"attn_unet_512_b16_{mode}"] = round(
+                pred.throughput(n_batches), 1)
+            print(f"attn_unet 512 b16 {mode}: "
+                  f"{out[f'attn_unet_512_b16_{mode}']} img/s", flush=True)
+            del pred
 
     if args.unetpp:
         # UNet++ deep-supervision serving ladder: accurate mode (heads=4) vs

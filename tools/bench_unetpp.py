@@ -1,5 +1,6 @@
 #!/usr/bin/env python3
-"""UNet++ vs SegmentationUNet seg-train throughput on the real chip.
+"""Seg-family (UNet++ / Attention U-Net / SegmentationUNet) train throughput
+on the real chip.
 
 Same methodology as bench.py's BASELINE configs (lower+compile the donated-state
 jitted seg train step on device-resident synthetic data, warmup, timed steps,
@@ -47,7 +48,7 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--num_classes", type=int, default=4)
     ap.add_argument("--models", nargs="+", default=["unetpp", "seg_unet"],
-                    choices=["unetpp", "seg_unet"])
+                    choices=["unetpp", "seg_unet", "attn_unet"])
     ap.add_argument("--base_features", type=int, default=None,
                     help="Override width (default: 32 for unetpp = paper, "
                          "64 for seg_unet = reference)")

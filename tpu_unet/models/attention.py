@@ -3,21 +3,26 @@
 Beyond-reference architecture option for the defect-segmentation workloads
 (the reference, /root/reference/src/model.py, has only the plain-skip UNet
 family). Implements Oktay et al., "Attention U-Net: Learning Where to Look
-for the Pancreas" (arXiv:1804.03999 §3): before each decoder concat, the
+for the Pancreas" (arXiv:1804.03999 §3.1): before each decoder concat, the
 skip tensor x is reweighted by a learned per-pixel gate
 
     alpha = sigmoid( psi( relu( W_g g + W_x x ) ) ),   x_gated = x * alpha
 
 where g is the decoder feature for that stage. All three projections are
 1x1 convs; W_g/W_x map to an intermediate width F_int (= skip channels / 2,
-the paper's convention) and psi maps to one channel. We gate at the SKIP's
-resolution — g is the already-upsampled decoder tensor produced inside
-``blocks.Up`` (after its pad-to-skip), so every projection is stride-1 and
-the gate adds no resampling of its own. The paper's original formulation
-strides W_x by 2 to meet g at the coarse resolution and bilinearly resamples
-alpha back up; at these feature widths the two are equivalent attention
-mechanisms, and the stride-1 form keeps the whole gate fusable into the
-surrounding concat/DoubleConv XLA program with no extra resize op.
+the paper's convention) and psi maps to one channel.
+
+The gate is computed at the COARSE resolution — the paper's published
+formulation: g is the decoder tensor BEFORE its upsample (wide channels,
+half the spatial extent), W_x strides by 2 to meet it, psi runs at the
+coarse grid, and the 1-channel attention map alpha is bilinearly resized
+back to the skip's extent. This is also the measured-right choice on TPU:
+the alternative stride-1 gate at the skip's full resolution costs 17% train
+throughput (62.1 vs 72.8 img/s, 512² b8 on v5e-1; 75.1 vs 62.5 GB/step HBM
+traffic — the step is bandwidth-bound, and full-res gate tensors are pure
+extra traffic), while computing the gate's BNs in bf16 instead of f32
+recovers nothing (62.5; the f32 norm bytes were never the lever). A/B:
+tools/bench_attn_variants.py.
 
 TPU-first naming (deliberate, load-bearing):
 - The W_g / W_x projections live in child scopes ``g`` / ``x`` with layers
@@ -30,7 +35,8 @@ TPU-first naming (deliberate, load-bearing):
   minimum, with psi's 1-channel BN replicated.
 - BatchNorm after each projection (the paper places them there too) keeps
   the additive attention well-scaled under the bf16 compute policy; the
-  sigmoid runs in the f32 norm dtype.
+  sigmoid and the alpha resize run in the f32 norm dtype (a 1-channel map —
+  negligible bytes).
 
 The model class mirrors SegmentationUNet (bottleneck channel dropout,
 NHWC, policy-cast I/O) so every seg-family subsystem — train/eval steps,
@@ -40,20 +46,26 @@ unchanged; only ``attention=True`` on the decoder's Up blocks differs.
 
 from __future__ import annotations
 
+from typing import Tuple
+
 import flax.linen as nn
 import jax.numpy as jnp
 
 from tpu_unet.core.precision import Policy, DEFAULT_POLICY
+from tpu_unet.ops.resize import resize_bilinear_align_corners
 
 
 class _GateProj(nn.Module):
     """One gate input projection: 1x1 conv (no bias) -> BatchNorm.
 
     Named conv1/bn1 so the generic conv{i}/bn{i} BN-folding walker and the
-    tensor-parallel column rule apply without gate-specific cases.
+    tensor-parallel column rule apply without gate-specific cases. ``strides``
+    is (2, 2) for W_x — the skip projection meets the coarse gating signal at
+    its own resolution (arXiv:1804.03999 §3.1).
     """
 
     features: int
+    strides: Tuple[int, int] = (1, 1)
     policy: Policy = DEFAULT_POLICY
     sync_batch_stats: bool = False
 
@@ -62,6 +74,7 @@ class _GateProj(nn.Module):
         v = nn.Conv(
             self.features,
             kernel_size=(1, 1),
+            strides=self.strides,
             use_bias=False,
             dtype=self.policy.compute_dtype,
             param_dtype=self.policy.param_dtype,
@@ -79,11 +92,15 @@ class _GateProj(nn.Module):
 
 
 class AttentionGate(nn.Module):
-    """Additive attention gate: x * sigmoid(psi(relu(W_g g + W_x x))).
+    """Additive attention gate: x * resize(sigmoid(psi(relu(W_g g + W_x x)))).
 
-    ``g`` (the gating/decoder feature) and ``x`` (the skip) must share
-    spatial dims; channel counts may differ. Returns the gated skip in the
-    policy compute dtype. ``f_int`` is the intermediate projection width.
+    ``g`` is the gating/decoder feature at the COARSE (pre-upsample)
+    resolution — spatially ~half of ``x``, channel count free; ``x`` is the
+    full-resolution skip. W_x strides by 2 to meet g (cropped to g's extent
+    when x has an odd dimension), the gate math runs on the coarse grid, and
+    the 1-channel alpha map is bilinearly resized to x's extent (exact for
+    any shape — no separate pad step). Returns the gated skip in the policy
+    compute dtype. ``f_int`` is the intermediate projection width.
     """
 
     f_int: int
@@ -93,9 +110,13 @@ class AttentionGate(nn.Module):
     @nn.compact
     def __call__(self, g: jnp.ndarray, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
         kw = dict(policy=self.policy, sync_batch_stats=self.sync_batch_stats)
-        a = (_GateProj(self.f_int, name="g", **kw)(g, train=train)
-             + _GateProj(self.f_int, name="x", **kw)(x, train=train))
-        a = nn.relu(a).astype(self.policy.compute_dtype)
+        gp = _GateProj(self.f_int, name="g", **kw)(g, train=train)
+        xp = _GateProj(self.f_int, strides=(2, 2), name="x", **kw)(x, train=train)
+        # Odd x extents make the SAME-padded stride-2 conv one row/col larger
+        # than g (ceil vs floor); crop — static at trace time, identity for
+        # the power-of-two sizes all three workloads use.
+        xp = xp[:, : gp.shape[1], : gp.shape[2], :]
+        a = nn.relu(gp + xp).astype(self.policy.compute_dtype)
         a = nn.Conv(
             1,
             kernel_size=(1, 1),
@@ -113,7 +134,8 @@ class AttentionGate(nn.Module):
             axis_name=("data" if (self.sync_batch_stats and train) else None),
             name="bn2",
         )(a)
-        alpha = nn.sigmoid(a)  # f32 norm dtype; broadcasts over x's channels
+        # f32 norm dtype; a 1-channel map, so the resize is negligible bytes.
+        alpha = resize_bilinear_align_corners(nn.sigmoid(a), x.shape[1], x.shape[2])
         return (x * alpha).astype(self.policy.compute_dtype)
 
 

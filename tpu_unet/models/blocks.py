@@ -95,8 +95,8 @@ class Up(nn.Module):
 
     ``attention=True`` gates the skip through an additive attention gate
     (models/attention.py, arXiv:1804.03999) before the concat; the gating
-    signal is the upsampled-and-padded decoder tensor, so the gate needs no
-    resampling of its own.
+    signal is the PRE-upsample decoder tensor — the gate math runs at the
+    coarse resolution and only the 1-channel alpha map is resized up.
     """
 
     in_features: int
@@ -108,6 +108,19 @@ class Up(nn.Module):
 
     @nn.compact
     def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        if self.attention:
+            from tpu_unet.models.attention import AttentionGate
+
+            # Gate at the COARSE resolution (the paper's formulation, and 17%
+            # faster on the bandwidth-bound train step — models/attention.py):
+            # the gating signal is x1 BEFORE its upsample.
+            x2 = AttentionGate(
+                f_int=max(1, x2.shape[-1] // 2),  # paper: F_int = F_l / 2
+                policy=self.policy,
+                sync_batch_stats=self.sync_batch_stats,
+                name="att",
+            )(x1, x2, train=train)
+
         if self.bilinear:
             x1 = upsample2x_bilinear_align_corners(x1)
             conv = DoubleConv(
@@ -140,16 +153,6 @@ class Up(nn.Module):
         dw = x2.shape[2] - x1.shape[2]
         if dh or dw:
             x1 = jnp.pad(x1, ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)))
-
-        if self.attention:
-            from tpu_unet.models.attention import AttentionGate
-
-            x2 = AttentionGate(
-                f_int=max(1, x2.shape[-1] // 2),  # paper: F_int = F_l / 2
-                policy=self.policy,
-                sync_batch_stats=self.sync_batch_stats,
-                name="att",
-            )(x1, x2, train=train)
 
         x = jnp.concatenate([x2.astype(x1.dtype), x1], axis=-1)
         return conv(x, train=train)

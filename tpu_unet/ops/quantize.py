@@ -188,15 +188,17 @@ class _CalibExec:
                                      (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
 
     def up_block(self, x, skip, path, gated: bool = False):
+        if gated:
+            # Coarse gate (models/attention.py): the gating signal is the
+            # PRE-upsample decoder tensor.
+            skip = self._tag(f"{path}/att/out",
+                             _gate_float(self.p, x, skip, f"{path}/att"))
         leaf = _get(self.p, f"{path}/up")
         y = jax.lax.conv_transpose(x, leaf["kernel"], (2, 2), "VALID",
                                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
         y = y + leaf["bias"]
         y = self._tag(f"{path}/up", y)
         y = _pad_to(y, skip)
-        if gated:
-            skip = self._tag(f"{path}/att/out",
-                             _gate_float(self.p, y, skip, f"{path}/att"))
         return self.double_conv(jnp.concatenate([skip, y], axis=-1), f"{path}/conv")
 
     def fuse(self, below, row, path):
@@ -257,6 +259,15 @@ class _QuantExec:
     def up_block(self, xs, skips, path, gated: bool = False):
         x, s_in = xs
         skip, s_skip = skips
+        if gated:
+            # Attention gate in float on dequantized operands (its layers were
+            # kept f32 by quantize_model); the gating signal is the coarse
+            # (pre-upsample) decoder tensor, and the gated skip quantizes
+            # straight to the concat scale, calibrated on the GATED tensor.
+            gated_skip = _gate_float(self.layers,
+                                     x.astype(jnp.float32) * s_in,
+                                     skip.astype(jnp.float32) * s_skip,
+                                     f"{path}/att")
         leaf = _get(self.layers, f"{path}/up")
         acc = jax.lax.conv_transpose(x, leaf["kernel"], (2, 2), "VALID",
                                      dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -268,12 +279,6 @@ class _QuantExec:
         q_up = self._requant(y, s_cat)
         q_up = _pad_to(q_up, skip)
         if gated:
-            # Attention gate in float on dequantized operands (its layers were
-            # kept f32 by quantize_model); the gated skip quantizes straight to
-            # the concat scale, which was calibrated on the GATED tensor.
-            gated_skip = _gate_float(self.layers, _pad_to(y, skip),
-                                     skip.astype(jnp.float32) * s_skip,
-                                     f"{path}/att")
             q_skip = self._requant(gated_skip, s_cat)
         else:
             q_skip = self._requant(skip.astype(jnp.float32) * s_skip, s_cat)
@@ -318,18 +323,30 @@ def _pad_to(x, ref):
 
 
 def _gate_float(p, g, x, path):
-    """models/attention.py::AttentionGate in folded-float form.
+    """models/attention.py::AttentionGate in folded-float form (coarse gate).
 
     ``p`` holds folded float {kernel, bias} leaves for the gate's layers
-    (full_fold baked the three BNs in): x * sigmoid(psi(relu(W_g g + W_x x))).
-    Used by BOTH executors — the int8 path runs the gate in float on
-    dequantized operands (see _GATED_ARCHS).
+    (full_fold baked the three BNs in); ``g`` is the decoder tensor at the
+    PRE-upsample (coarse) resolution, ``x`` the full-resolution skip. W_x
+    strides by 2 to meet g, the gate math runs on the coarse grid, and the
+    1-channel alpha map is bilinearly resized to x's extent. Used by BOTH
+    executors — the int8 path runs the gate in float on dequantized operands
+    (see _GATED_ARCHS).
     """
+    from tpu_unet.ops.resize import resize_bilinear_align_corners
+
     conv = _CalibExec._conv
-    a = jax.nn.relu(conv(g, _get(p, f"{path}/g/conv1"), (1, 1))
-                    + conv(x, _get(p, f"{path}/x/conv1"), (1, 1)))
-    a = conv(a, _get(p, f"{path}/conv2"), (1, 1))
-    return x * jax.nn.sigmoid(a)
+    gp = conv(g, _get(p, f"{path}/g/conv1"), (1, 1))
+    leaf = _get(p, f"{path}/x/conv1")
+    dn = jax.lax.conv_dimension_numbers(x.shape, leaf["kernel"].shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    xp = jax.lax.conv_general_dilated(x, leaf["kernel"], (2, 2), "SAME",
+                                      dimension_numbers=dn) + leaf["bias"]
+    xp = xp[:, : gp.shape[1], : gp.shape[2], :]  # odd extents: ceil vs floor
+    a = conv(jax.nn.relu(gp + xp), _get(p, f"{path}/conv2"), (1, 1))
+    alpha = resize_bilinear_align_corners(jax.nn.sigmoid(a),
+                                          x.shape[1], x.shape[2])
+    return x * alpha
 
 
 def _run(exc, x, arch: str, *, deep_supervision: bool = False, heads: int = 4):
