@@ -9,7 +9,7 @@ set -euo pipefail
 DATASET="${DATASET:-mvtec}"            # mvtec | gear | kolektorsdd
 DATA_ROOT="${DATA_ROOT:-datasets/mvtec_anomaly_detection}"
 CATEGORY="${CATEGORY:-bottle}"         # (mvtec only)
-MODEL="${MODEL:-anomaly_unet}"         # mvtec: unet|anomaly_unet ; seg: unet|seg_unet|unetpp
+MODEL="${MODEL:-anomaly_unet}"         # mvtec: unet|anomaly_unet ; seg: unet|seg_unet|unetpp|attn_unet
 DEEP_SUPERVISION="${DEEP_SUPERVISION:-0}"  # seg unetpp: train/test/visualize with DS heads
 HEADS="${HEADS:-4}"                    # seg unetpp DS eval/viz: 4=accurate, k<4=pruned X[0][k]
 IMAGE_SIZE="${IMAGE_SIZE:-256}"
