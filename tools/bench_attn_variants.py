@@ -1,34 +1,36 @@
 #!/usr/bin/env python3
 """Attention-gate cost attribution experiment (Attention U-Net train step).
 
-Measured question: the stride-1 full-resolution gate (models/attention.py)
-costs attn_unet ~25% train throughput vs seg_unet (61.6 vs 81.9 img/s, 512²
-b8, HBM fraction .705 vs .627 — more bandwidth-bound). Which bytes are the
-lever?
+Measured question (r4): where does the attention gate's train-throughput cost
+come from, and is the paper's coarse-resolution gate the right form on TPU?
+Result — shipped: coarse gate 72.8 img/s vs full-resolution gate 62.1 at 512²
+b8 (75.1 -> 62.5 GB/step; the step is bandwidth-bound and full-res gate
+tensors are pure extra traffic); bf16 gate norms recover nothing (62.5).
+models/attention.py is the coarse form since commit b47cd84.
 
 Variants benched on the real chip with bench.py's methodology (donated-state
 jitted seg train step, lower+compile, warmup, scalar-fetch forcing, XLA cost
 analysis):
-  - full      : the shipped model (gate at the skip's resolution, f32 BNs)
-  - bf16norm  : same gate but its BNs compute in bf16 (isolates the f32
-                full-res norm traffic; BN stats of a 1-channel/narrow gate
-                tensor are cheap to keep f32 — this is a diagnostic, not a
-                proposed numerics change)
-  - coarse    : the paper's original formulation (arXiv:1804.03999 §3.1 as
-                published): gate computed at the DECODER's pre-upsample
-                resolution — W_g on the coarse decoder tensor, W_x stride-2
-                on the skip, psi at coarse res, alpha bilinearly upsampled
-                2x before reweighting the skip. 1/4 the gate pixels.
-  - none      : plain SegmentationUNet (the 81.9 img/s control)
+  - full      : the PRE-switch gate, inlined here so the recorded dead end
+                stays reproducible — stride-1 1x1 projections on the
+                upsampled decoder tensor, gate math at the skip's resolution,
+                f32 BNs.
+  - bf16norm  : the same full-resolution gate with its BNs computing in bf16
+                (isolates the f32 full-res norm traffic; diagnostic only).
+  - coarse    : the SHIPPED model (build_model('attn_unet') —
+                arXiv:1804.03999 §3.1 as published: W_g on the pre-upsample
+                decoder tensor, W_x stride-2, psi at the coarse grid, alpha
+                bilinearly resized up. 1/4 the gate pixels).
+  - none      : plain SegmentationUNet (the 81.9 img/s control).
 
-The variant modules live here, not in the package: promote a winner, record
-losers as measured dead ends (docs/ARCHITECTURE.md).
+The legacy variant modules live here, not in the package — the package ships
+only the measured winner; this file is the reproduction harness for the
+dead-end entry in docs/ARCHITECTURE.md.
 """
 
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import sys
@@ -57,89 +59,63 @@ def _cost(compiled):
 
 
 def _make_variant_model(variant: str, num_classes: int):
-    """Build the attn_unet variant (or the seg_unet control)."""
+    """Build the attn_unet variant (or the seg_unet / shipped-model controls)."""
     from tpu_unet.core.precision import BF16_POLICY, Policy
     from tpu_unet.models import build_model
-    from tpu_unet.models.blocks import upsample2x_bilinear_align_corners
 
     if variant == "none":
         return build_model("seg_unet", n_classes=num_classes, policy=BF16_POLICY)
-    if variant == "full":
-        return build_model("attn_unet", n_classes=num_classes, policy=BF16_POLICY)
-    if variant == "bf16norm":
-        # Same graph; the gate modules read policy.norm_dtype, but so do the
-        # trunk BNs — so isolate by subclassing the gate to override its BN
-        # dtype only. Simpler equivalent diagnostic: run the WHOLE model with
-        # bf16 norms minus the same delta measured on seg_unet. That conflates
-        # trunk BN savings, so instead we patch the gate's Policy.
-        gate_policy = Policy(compute_dtype=jnp.bfloat16, norm_dtype=jnp.bfloat16)
-
-        class _Bf16GateUp(nn.Module):
-            in_features: int
-            features: int
-            policy: object = BF16_POLICY
-
-            @nn.compact
-            def __call__(self, x1, x2, *, train):
-                from tpu_unet.models.attention import AttentionGate
-                from tpu_unet.models.blocks import DoubleConv
-
-                x1 = nn.ConvTranspose(self.in_features // 2, kernel_size=(2, 2),
-                                      strides=(2, 2), padding="VALID",
-                                      dtype=self.policy.compute_dtype,
-                                      param_dtype=self.policy.param_dtype,
-                                      name="up")(x1)
-                x2 = AttentionGate(f_int=max(1, x2.shape[-1] // 2),
-                                   policy=gate_policy, name="att")(x1, x2, train=train)
-                x = jnp.concatenate([x2.astype(x1.dtype), x1], axis=-1)
-                return DoubleConv(self.features, policy=self.policy, name="conv")(x, train=train)
-
-        return _VariantUNet(num_classes, _Bf16GateUp)
     if variant == "coarse":
-
-        class _CoarseGateUp(nn.Module):
-            """Paper-original gate: computed at the coarse (pre-upsample)
-            resolution, alpha bilinearly upsampled — 1/4 the gate pixels."""
-
-            in_features: int
-            features: int
-            policy: object = BF16_POLICY
-
-            @nn.compact
-            def __call__(self, x1, x2, *, train):
-                from tpu_unet.models.attention import _GateProj
-                from tpu_unet.models.blocks import DoubleConv
-
-                p = self.policy
-                # Gate at x1's (coarse) resolution: W_g on the decoder tensor,
-                # W_x stride-2 on the skip (arXiv:1804.03999 §3.1).
-                f_int = max(1, x2.shape[-1] // 2)
-                g = _GateProj(f_int, policy=p, name="att_g")(x1, train=train)
-                xs = nn.Conv(f_int, kernel_size=(1, 1), strides=(2, 2),
-                             use_bias=False, dtype=p.compute_dtype,
-                             param_dtype=p.param_dtype, name="att_x_conv")(x2)
-                xs = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                  epsilon=1e-5, dtype=p.norm_dtype,
-                                  param_dtype=p.param_dtype, name="att_x_bn")(xs)
-                a = nn.relu(g + xs).astype(p.compute_dtype)
-                a = nn.Conv(1, kernel_size=(1, 1), use_bias=False,
-                            dtype=p.compute_dtype, param_dtype=p.param_dtype,
-                            name="att_psi")(a)
-                a = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, dtype=p.norm_dtype,
-                                 param_dtype=p.param_dtype, name="att_psi_bn")(a)
-                alpha = upsample2x_bilinear_align_corners(nn.sigmoid(a))
-                x2 = (x2 * alpha).astype(p.compute_dtype)
-
-                x1 = nn.ConvTranspose(self.in_features // 2, kernel_size=(2, 2),
-                                      strides=(2, 2), padding="VALID",
-                                      dtype=p.compute_dtype,
-                                      param_dtype=p.param_dtype, name="up")(x1)
-                x = jnp.concatenate([x2.astype(x1.dtype), x1], axis=-1)
-                return DoubleConv(self.features, policy=p, name="conv")(x, train=train)
-
-        return _VariantUNet(num_classes, _CoarseGateUp)
+        # The shipped model IS the coarse gate (models/attention.py).
+        return build_model("attn_unet", n_classes=num_classes, policy=BF16_POLICY)
+    if variant in ("full", "bf16norm"):
+        gate_policy = (Policy(compute_dtype=jnp.bfloat16, norm_dtype=jnp.bfloat16)
+                       if variant == "bf16norm" else BF16_POLICY)
+        return _VariantUNet(num_classes, _full_res_gate_up(gate_policy))
     raise ValueError(variant)
+
+
+def _full_res_gate_up(gate_policy):
+    """The pre-switch Up block: gate at the SKIP's (full) resolution.
+
+    Reproduces the original models/attention.py form (before commit b47cd84
+    shipped the coarse gate): the gating signal is the already-upsampled
+    decoder tensor, all three gate projections are stride-1 1x1s at full res,
+    no alpha resize. ``gate_policy`` sets the gate BNs' compute dtype (the
+    bf16norm diagnostic).
+    """
+    from tpu_unet.core.precision import BF16_POLICY
+    from tpu_unet.models.attention import _GateProj
+    from tpu_unet.models.blocks import DoubleConv
+
+    class _FullGateUp(nn.Module):
+        in_features: int
+        features: int
+        policy: object = BF16_POLICY
+
+        @nn.compact
+        def __call__(self, x1, x2, *, train):
+            p = self.policy
+            x1 = nn.ConvTranspose(self.in_features // 2, kernel_size=(2, 2),
+                                  strides=(2, 2), padding="VALID",
+                                  dtype=p.compute_dtype,
+                                  param_dtype=p.param_dtype, name="up")(x1)
+            gp = gate_policy
+            f_int = max(1, x2.shape[-1] // 2)
+            g1 = _GateProj(f_int, policy=gp, name="att_g")(x1, train=train)
+            xs = _GateProj(f_int, policy=gp, name="att_x")(x2, train=train)
+            a = nn.relu(g1 + xs).astype(gp.compute_dtype)
+            a = nn.Conv(1, kernel_size=(1, 1), use_bias=False,
+                        dtype=gp.compute_dtype, param_dtype=gp.param_dtype,
+                        name="att_psi")(a)
+            a = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=gp.norm_dtype,
+                             param_dtype=gp.param_dtype, name="att_psi_bn")(a)
+            x2g = (x2 * nn.sigmoid(a)).astype(p.compute_dtype)
+            x = jnp.concatenate([x2g.astype(x1.dtype), x1], axis=-1)
+            return DoubleConv(self.features, policy=p, name="conv")(x, train=train)
+
+    return _FullGateUp
 
 
 class _VariantUNet(nn.Module):

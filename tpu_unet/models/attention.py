@@ -139,48 +139,17 @@ class AttentionGate(nn.Module):
         return (x * alpha).astype(self.policy.compute_dtype)
 
 
-class AttentionUNet(nn.Module):
+from tpu_unet.models.unet import SegmentationUNet
+
+
+class AttentionUNet(SegmentationUNet):
     """SegmentationUNet with attention-gated skips (arXiv:1804.03999).
 
     Same encoder/decoder ladder, bottleneck channel dropout, and logits head
-    as SegmentationUNet (models/unet.py); each decoder Up gates its skip
-    through an AttentionGate (named ``att`` inside the Up block) before the
-    concat. Returns logits of shape (N, H, W, n_classes).
+    as SegmentationUNet (models/unet.py) — literally the same module body,
+    with ``attention=True`` so each decoder Up gates its skip through an
+    AttentionGate (named ``att`` inside the Up block) before the concat.
+    Returns logits of shape (N, H, W, n_classes).
     """
 
-    n_channels: int = 3
-    n_classes: int = 4
-    bilinear: bool = False
-    dropout: float = 0.1
-    policy: Policy = DEFAULT_POLICY
-    sync_batch_stats: bool = False
-    base_features: int = 64
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
-        # Imported here to avoid a models/unet.py <-> models/attention.py
-        # import cycle (unet.build_model imports this module lazily too).
-        from tpu_unet.models.blocks import OutConv
-        from tpu_unet.models.unet import _Decoder, _Encoder
-
-        x = self.policy.cast_to_compute(x)
-        x1, x2, x3, x4, x5 = _Encoder(
-            policy=self.policy, bilinear=self.bilinear,
-            base_features=self.base_features,
-            sync_batch_stats=self.sync_batch_stats, name="encoder",
-        )(x, train=train)
-        if self.dropout > 0:
-            # Channel dropout (torch Dropout2d semantics): broadcast over H, W.
-            x5 = nn.Dropout(
-                rate=self.dropout,
-                broadcast_dims=(1, 2),
-                deterministic=not train,
-                name="bottleneck_dropout",
-            )(x5)
-        x = _Decoder(
-            policy=self.policy, bilinear=self.bilinear,
-            base_features=self.base_features,
-            sync_batch_stats=self.sync_batch_stats, attention=True,
-            name="decoder",
-        )((x1, x2, x3, x4, x5), train=train)
-        return OutConv(self.n_classes, policy=self.policy, name="outc")(x)
+    attention: bool = True

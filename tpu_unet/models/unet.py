@@ -113,6 +113,10 @@ class SegmentationUNet(nn.Module):
     policy: Policy = DEFAULT_POLICY
     sync_batch_stats: bool = False
     base_features: int = 64
+    # attention=True gates each decoder skip (models/attention.py). The param
+    # tree is unchanged when False (the att submodules only exist when gated),
+    # so the reference-pinned counts hold; AttentionUNet is the =True subclass.
+    attention: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -131,7 +135,8 @@ class SegmentationUNet(nn.Module):
             )(x5)
         x = _Decoder(
             policy=self.policy, bilinear=self.bilinear, base_features=self.base_features,
-            sync_batch_stats=self.sync_batch_stats, name="decoder",
+            sync_batch_stats=self.sync_batch_stats, attention=self.attention,
+            name="decoder",
         )((x1, x2, x3, x4, x5), train=train)
         return OutConv(self.n_classes, policy=self.policy, name="outc")(x)
 
