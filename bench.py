@@ -156,6 +156,7 @@ def main():
     # transient stall on the shared tunnel/chip inside one window must not
     # publish a bogus figure (see bench_config's docstring; round-3 gear case).
     dt = None
+    trial_dts = []
     for _trial in range(3):
         t0 = time.perf_counter()
         acc = []
@@ -164,10 +165,15 @@ def main():
             acc.append(losses["total_loss"])
         assert all(np.isfinite(float(v)) for v in acc)
         dt_t = time.perf_counter() - t0
+        trial_dts.append(dt_t)
         dt = dt_t if dt is None else min(dt, dt_t)
 
     images_per_sec = batch * STEPS / dt
     per_chip = images_per_sec / n_chips
+    # Best-of-3 is the official figure (peak capability; transient tunnel
+    # stalls must not publish a bogus number) — the median is reported next to
+    # it so sustained throughput is visible too (advisor r4).
+    median_per_chip = batch * STEPS / float(np.median(trial_dts)) / n_chips
 
     # Secondary: inference throughput (BN-folded eval step) at the BASELINE batch
     # (16, per-batch loss fetch — the eval-loop pattern) and serving-style
@@ -308,6 +314,8 @@ def main():
         pc = n * steps / dt / n_chips
         sps = n * steps / dt / n  # global steps/sec
         out = {"images_per_sec_per_chip": round(pc, 2),
+               "median_images_per_sec_per_chip": round(
+                   float(np.median(trial_ips)), 2),
                "trial_images_per_sec": trial_ips}
         if fl:
             out["hfu"] = round(fl * sps / (PEAK_FLOPS_BF16 * n_chips), 3)
@@ -416,6 +424,7 @@ def main():
         "metric": "mvtec_bottle_anomaly_unet_train_images_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
+        "median_images_per_sec_per_chip": round(median_per_chip, 2),
         "vs_baseline": round(vs_baseline, 2) if vs_baseline is not None else None,
         "infer_images_per_sec_per_chip": round(infer_per_chip, 2),
         "infer_serving_b128_images_per_sec_per_chip": round(serve_per_chip, 2),

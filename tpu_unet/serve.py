@@ -31,6 +31,7 @@ Usage:
 
 from __future__ import annotations
 
+import logging
 import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Optional, Sequence
@@ -617,6 +618,14 @@ class SegmentationPredictor:
                 "heads selects a UNet++ deep-supervision inference head; it "
                 f"requires model_name='unetpp' with deep_supervision (got "
                 f"{model_name!r}, deep_supervision={deep_supervision})")
+        if heads != 4:
+            # r4 semantics change (advisor note): heads=k<4 is the paper's
+            # pruned fast mode — the SINGLE head X[0][k] — not an average of
+            # the shallowest k heads. Say so where serving is constructed so
+            # outputs are never silently non-comparable to older runs.
+            logging.getLogger(__name__).info(
+                "unetpp pruned fast mode: serving the single head X[0][%d] "
+                "(not a head average; deeper grid columns are DCE'd)", heads)
         # Validate the bucket ladder BEFORE any expensive calibration work
         # (semantics: AnomalyScorer.from_variables bucket_sizes docstring).
         _normalize_buckets(bucket_sizes, batch_size,

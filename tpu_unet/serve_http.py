@@ -139,9 +139,16 @@ class MicroBatcher:
             self._closed = True
             self._q.put(None)  # sentinel
             self._worker.join(timeout=30)
-            # A submit() that raced close() may have queued behind the
-            # sentinel; the worker never sees those items, so fail their
-            # futures instead of leaving the waiters hanging forever.
+            if self._worker.is_alive():
+                # The worker is still mid-batch after the join window. Leave
+                # the queue untouched: draining now could swallow the sentinel
+                # and leave the worker blocked on q.get() forever once it
+                # finishes its batch (advisor r4). It will drain to the
+                # sentinel and exit on its own.
+                return
+            # Worker has exited. A submit() that raced close() may have queued
+            # behind the sentinel; the worker never sees those items, so fail
+            # their futures instead of leaving the waiters hanging forever.
             while True:
                 try:
                     item = self._q.get_nowait()
