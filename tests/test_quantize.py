@@ -154,13 +154,57 @@ def test_quantized_preserves_anomaly_auroc():
     assert float(np.median(rel)) < 0.25, rel
 
 
-def test_bilinear_rejected():
-    model = UNet(n_classes=1, base_features=4, bilinear=True)
-    v = _warmed_variables(model, key=2, steps=1)
-    fparams = full_fold(v["params"], v["batch_stats"])
-    # The structural check fires before any scales are needed.
-    with pytest.raises(ValueError, match="bilinear"):
-        quantize_model("unet", fparams, {})
+@pytest.mark.parametrize("arch,model", [
+    ("unet", UNet(n_classes=2, base_features=4, bilinear=True)),
+    ("anomaly_unet", AnomalyUNet(base_features=4, bilinear=True)),
+])
+def test_quantized_bilinear_tracks_float(arch, model):
+    """Bilinear-decoder checkpoints quantize too (VERDICT r4 #4): the
+    parameter-free upsample runs as a float island, everything else int8."""
+    v = _warmed_variables(model, key=2)
+    qparams = quantize_from_train_state(arch, v["params"], v["batch_stats"],
+                                        [_u8(i) for i in range(3)])
+    # Structural sanity: the bilinear tree quantized with no up leaves.
+    assert "up" not in _first_up_block(qparams["layers"], arch)
+    fwd = jax.jit(make_quantized_forward(arch))
+    images = jnp.asarray(_u8(9))
+    ref = model.apply(v, eval_transform(images), train=False)
+    out = fwd(qparams, images)
+    ref_flat = np.concatenate([np.asarray(t).ravel()
+                               for t in jax.tree_util.tree_leaves(ref)])
+    out_flat = np.concatenate([np.asarray(t).ravel()
+                               for t in jax.tree_util.tree_leaves(out)])
+    err = np.abs(ref_flat - out_flat)
+    spread = max(float(ref_flat.max() - ref_flat.min()), 1e-3)
+    assert float(err.max()) <= 0.25 * spread, (err.max(), spread)
+    assert float(err.mean()) <= 0.03 * spread, (err.mean(), spread)
+
+
+def _first_up_block(layers, arch):
+    from tpu_unet.ops.quantize import _ARCH_HEADS
+    dec, up, _, _ = _ARCH_HEADS[arch][0]
+    return layers[dec][f"{up}1"]
+
+
+def test_quantized_gated_bilinear_tracks_float():
+    """attn_unet + bilinear: the gate float island composes with the bilinear
+    upsample float island inside one int8 graph."""
+    from tpu_unet.models import build_model
+
+    model = build_model("attn_unet", n_classes=3, base_features=4,
+                        bilinear=True)
+    v = _warmed_variables(model, key=3)
+    qparams = quantize_from_train_state("attn_unet", v["params"],
+                                        v["batch_stats"],
+                                        [_u8(i) for i in range(3)])
+    fwd = jax.jit(make_quantized_forward("attn_unet"))
+    images = jnp.asarray(_u8(11))
+    ref = np.asarray(model.apply(v, eval_transform(images), train=False))
+    out = np.asarray(fwd(qparams, images))
+    err = np.abs(ref - out)
+    spread = max(float(ref.max() - ref.min()), 1e-3)
+    assert float(err.max()) <= 0.25 * spread, (err.max(), spread)
+    assert float(err.mean()) <= 0.03 * spread, (err.mean(), spread)
 
 
 def test_qparams_save_load_roundtrip(tmp_path):
@@ -269,14 +313,19 @@ def test_quantized_unetpp_deep_supervision_and_pruned_heads():
     _envelope_check(ref2, fwd2(qparams, images))
 
 
-def test_quantized_unetpp_bilinear_rejected():
+def test_quantized_unetpp_bilinear_tracks_float():
     from tpu_unet.models.unetpp import UNetPlusPlus
 
     model = UNetPlusPlus(n_classes=3, base_features=4, bilinear=True)
-    v = _warmed_variables(model, key=13, steps=1)
-    fparams = full_fold(v["params"], v["batch_stats"])
-    with pytest.raises(ValueError, match="bilinear"):
-        quantize_model("unetpp", fparams, {})
+    v = _warmed_variables(model, key=13)
+    qparams = quantize_from_train_state("unetpp", v["params"],
+                                        v["batch_stats"],
+                                        [_u8(i) for i in range(3)])
+    assert "up0_1" not in qparams["layers"]  # bilinear: no level-up convs
+    fwd = jax.jit(make_quantized_forward("unetpp"))
+    images = jnp.asarray(_u8(29))
+    _envelope_check(model.apply(v, eval_transform(images), train=False),
+                    fwd(qparams, images))
 
 
 @pytest.mark.slow

@@ -324,9 +324,10 @@ def run_seg_evaluation(args, workload: Workload, split: str = "test"):
             arch = "seg_unet"
         if args.model not in ("seg_unet", "segmentation_unet", "unetpp",
                               "unet++", "nested_unet", "attn_unet",
-                              "attention_unet", "attunet") or args.bilinear:
-            raise SystemExit("--quantize int8 supports the transposed-conv "
-                             "seg_unet, attn_unet and unetpp only")
+                              "attention_unet", "attunet"):
+            raise SystemExit("--quantize int8 supports seg_unet, attn_unet "
+                             "and unetpp (both decoder modes; bilinear "
+                             "upsamples run as float islands)")
         from tpu_unet.ops.quantize import (chunk_calibration,
                                            make_quantized_seg_eval_step,
                                            quantize_from_train_state)

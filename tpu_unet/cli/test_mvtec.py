@@ -206,9 +206,10 @@ def main(argv=None):
         print("BatchNorm folded into conv weights for inference")
 
     if args.quantize == "int8":
-        if args.model != "anomaly_unet" or args.bilinear:
-            raise SystemExit("--quantize int8 supports the transposed-conv "
-                             "anomaly_unet only")
+        if args.model != "anomaly_unet":
+            raise SystemExit("--quantize int8 supports anomaly_unet only "
+                             "(both decoder modes; bilinear upsamples run as "
+                             "float islands — ops/quantize.py)")
         from tpu_unet.ops.quantize import (chunk_calibration,
                                            make_quantized_anomaly_eval_step,
                                            quantize_from_train_state)

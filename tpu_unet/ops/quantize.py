@@ -32,12 +32,23 @@ epilogue — one pass per layer, no extra HBM trips):
   sigmoid needs float anyway; the gated skip then quantizes straight to the
   concat scale (which is calibrated on the gated tensor).
 
+- **Bilinear decoders** (the reference's ``--bilinear``, /root/reference/src/
+  model.py:47-49): the parameter-free align-corners upsample runs as a float
+  island on the dequantized tensor (the ``_gate_float`` pattern) and the result
+  requantizes straight to the concat scale; every conv around it stays int8.
+  Both decoder modes are detected from the parameter tree (a block with no
+  ``up`` ConvTranspose leaf is bilinear) — no flag needed.
+
 Accuracy: weights round-trip at per-channel 8-bit; activation error is bounded by
 per-tensor abs-max/127 per layer. Tested against the float model in
 tests/test_quantize.py (output tolerance + end-to-end AUROC preservation).
 
-Only the transposed-conv decoder (the reference default, bilinear=False) is
-supported; ``quantize_model`` raises for bilinear checkpoints.
+The graph walk is ARCHITECTURE-DESCRIPTOR driven: ``build_plan(arch)`` compiles
+an architecture name into a flat op plan (input / double_conv / maxpool /
+up_block / fuse / head / average), and one ``_run`` driver executes any plan
+against either executor. A new model family gets int8 by registering a plan
+builder in ``_PLAN_BUILDERS`` (or an _ARCH_HEADS row for ladder-shaped nets) —
+the same way it gets fold_bn and TP sharding from their generic name-walkers.
 
 Usage:
     fparams  = full_fold(params, batch_stats)              # float, BN-free
@@ -57,13 +68,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_unet.ops.augment import eval_transform
+from tpu_unet.ops.resize import upsample2x_bilinear_align_corners
 
 _EPS = 1e-5  # BatchNorm eps (torch default; models/blocks.py)
 
 # Architecture tables: (decoder module, up-block name prefix, head module,
 # head activation). Mirrors models/unet.py. UNet++ is grid-structured rather
-# than ladder-structured, so it has its own walker (_run_unetpp) instead of a
-# table row; _KNOWN_ARCHS is the full supported set.
+# than ladder-structured, so it has its own plan builder (_unetpp_plan) instead
+# of a table row; _KNOWN_ARCHS is the full supported set.
 _ARCH_HEADS = {
     "unet": (("decoder", "up", "outc", "logits"),),
     "seg_unet": (("decoder", "up", "outc", "logits"),),
@@ -149,6 +161,17 @@ def _get(tree: Dict[str, Any], path: str) -> Any:
     return node
 
 
+def _has(tree: Dict[str, Any], path: str) -> bool:
+    """True if the '/'-path resolves in the nested tree. Decoder-mode probe:
+    an Up block with no 'up' ConvTranspose leaf is a bilinear decoder."""
+    node = tree
+    for part in path.split("/"):
+        if not isinstance(node, dict) or part not in node:
+            return False
+        node = node[part]
+    return True
+
+
 class _CalibExec:
     """Float forward over the folded tree; records per-tensor activation range
     (abs-max, or a percentile of |x| for outlier-robust calibration)."""
@@ -193,10 +216,13 @@ class _CalibExec:
             # PRE-upsample decoder tensor.
             skip = self._tag(f"{path}/att/out",
                              _gate_float(self.p, x, skip, f"{path}/att"))
-        leaf = _get(self.p, f"{path}/up")
-        y = jax.lax.conv_transpose(x, leaf["kernel"], (2, 2), "VALID",
-                                   dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        y = y + leaf["bias"]
+        if _has(self.p, f"{path}/up"):
+            leaf = _get(self.p, f"{path}/up")
+            y = jax.lax.conv_transpose(x, leaf["kernel"], (2, 2), "VALID",
+                                       dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = y + leaf["bias"]
+        else:  # bilinear decoder: parameter-free align-corners upsample
+            y = upsample2x_bilinear_align_corners(x)
         y = self._tag(f"{path}/up", y)
         y = _pad_to(y, skip)
         return self.double_conv(jnp.concatenate([skip, y], axis=-1), f"{path}/conv")
@@ -204,11 +230,16 @@ class _CalibExec:
     def fuse(self, below, row, path):
         """UNet++ node X[i][j]: level-up conv on `below`, concat with the dense
         row X[i][0..j-1], DoubleConv. `path` is the node name 'x{i}_{j}'; its
-        ConvTranspose params live at top-level 'up{i}_{j}' (models/unetpp.py)."""
-        leaf = _get(self.p, "up" + path[1:])
-        y = jax.lax.conv_transpose(below, leaf["kernel"], (2, 2), "VALID",
-                                   dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        y = self._tag(f"{path}/up", y + leaf["bias"])
+        ConvTranspose params live at top-level 'up{i}_{j}' (models/unetpp.py) —
+        absent in bilinear mode, where the level-up is a parameter-free resize."""
+        if _has(self.p, "up" + path[1:]):
+            leaf = _get(self.p, "up" + path[1:])
+            y = jax.lax.conv_transpose(below, leaf["kernel"], (2, 2), "VALID",
+                                       dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = y + leaf["bias"]
+        else:
+            y = upsample2x_bilinear_align_corners(below)
+        y = self._tag(f"{path}/up", y)
         y = _pad_to(y, row[0])
         return self.double_conv(jnp.concatenate(list(row) + [y], axis=-1), path)
 
@@ -268,11 +299,18 @@ class _QuantExec:
                                      x.astype(jnp.float32) * s_in,
                                      skip.astype(jnp.float32) * s_skip,
                                      f"{path}/att")
-        leaf = _get(self.layers, f"{path}/up")
-        acc = jax.lax.conv_transpose(x, leaf["kernel"], (2, 2), "VALID",
-                                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                                     preferred_element_type=jnp.int32)
-        y = acc.astype(jnp.float32) * (s_in * leaf["w_scale"]) + leaf["bias"]
+        if _has(self.layers, f"{path}/up"):
+            leaf = _get(self.layers, f"{path}/up")
+            acc = jax.lax.conv_transpose(x, leaf["kernel"], (2, 2), "VALID",
+                                         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                                         preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32) * (s_in * leaf["w_scale"]) + leaf["bias"]
+        else:
+            # Bilinear decoder: align-corners upsample as a float island on the
+            # dequantized tensor (values are convex combinations, so the range
+            # cannot exceed the input's — the requant below never clips more
+            # than the producer already did).
+            y = upsample2x_bilinear_align_corners(x.astype(jnp.float32)) * s_in
         # Shared concat scale (max of the two producers, precomputed): the convT
         # epilogue quantizes straight to it; the skip requants int8->int8.
         s_cat = self.scales[f"{path}/cat"]
@@ -290,11 +328,14 @@ class _QuantExec:
         quantizes straight to the node's shared concat scale; every dense-row
         operand requants int8->int8 to that scale (one cheap pass each)."""
         x, s_in = below_xs
-        leaf = _get(self.layers, "up" + path[1:])
-        acc = jax.lax.conv_transpose(x, leaf["kernel"], (2, 2), "VALID",
-                                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                                     preferred_element_type=jnp.int32)
-        y = acc.astype(jnp.float32) * (s_in * leaf["w_scale"]) + leaf["bias"]
+        if _has(self.layers, "up" + path[1:]):
+            leaf = _get(self.layers, "up" + path[1:])
+            acc = jax.lax.conv_transpose(x, leaf["kernel"], (2, 2), "VALID",
+                                         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                                         preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32) * (s_in * leaf["w_scale"]) + leaf["bias"]
+        else:  # bilinear level-up: float island on the dequantized tensor
+            y = upsample2x_bilinear_align_corners(x.astype(jnp.float32)) * s_in
         s_cat = self.scales[f"{path}/cat"]
         q_up = _pad_to(self._requant(y, s_cat), row_xs[0][0])
         parts = [self._requant(r.astype(jnp.float32) * s_r, s_cat)
@@ -349,31 +390,31 @@ def _gate_float(p, g, x, path):
     return x * alpha
 
 
-def _run(exc, x, arch: str, *, deep_supervision: bool = False, heads: int = 4):
-    """Drive one executor through the UNet-family graph (models/unet.py)."""
-    if arch == "unetpp":
-        return _run_unetpp(exc, x, deep_supervision=deep_supervision,
-                           heads=heads)
+def _ladder_plan(arch: str, *, deep_supervision: bool = False, heads: int = 4):
+    """Plan for the encoder-ladder family (models/unet.py): one shared encoder,
+    one decoder ladder per _ARCH_HEADS row (AnomalyUNet has two)."""
+    plan = [("input", "x0"), ("double_conv", "x1", "x0", "encoder/inc")]
+    for i in (1, 2, 3, 4):
+        plan += [("maxpool", f"p{i}", f"x{i}"),
+                 ("double_conv", f"x{i + 1}", f"p{i}", f"encoder/down{i}/conv")]
     gated = arch in _GATED_ARCHS
-    x = exc.input(x)
-    x1 = exc.double_conv(x, "encoder/inc")
-    x2 = exc.double_conv(exc.maxpool(x1), "encoder/down1/conv")
-    x3 = exc.double_conv(exc.maxpool(x2), "encoder/down2/conv")
-    x4 = exc.double_conv(exc.maxpool(x3), "encoder/down3/conv")
-    x5 = exc.double_conv(exc.maxpool(x4), "encoder/down4/conv")
     outs = []
     for dec, up, outc, act in _ARCH_HEADS[arch]:
-        y = x5
-        for i, skip in enumerate((x4, x3, x2, x1), 1):
-            y = exc.up_block(y, skip, f"{dec}/{up}{i}", gated=gated)
-        outs.append(exc.head(y, outc, act))
-    return outs[0] if len(outs) == 1 else tuple(outs)
+        prev = "x5"
+        for i, skip in enumerate(("x4", "x3", "x2", "x1"), 1):
+            plan.append(("up_block", f"{dec}/y{i}", prev, skip,
+                         f"{dec}/{up}{i}", gated))
+            prev = f"{dec}/y{i}"
+        plan.append(("head", f"out/{outc}", prev, outc, act))
+        outs.append(f"out/{outc}")
+    plan.append(("output", tuple(outs)))
+    return tuple(plan)
 
 
-def _run_unetpp(exc, x, *, deep_supervision: bool = False, heads: int = 4):
-    """Drive one executor through the UNet++ nested grid (models/unetpp.py).
+def _unetpp_plan(arch: str, *, deep_supervision: bool = False, heads: int = 4):
+    """Plan for the UNet++ nested grid (models/unetpp.py).
 
-    Computes exactly the nodes the requested output needs: X[i][j] with
+    Emits exactly the nodes the requested output needs: X[i][j] with
     i + j <= max column, where the max column is 4 (non-deep-supervision
     output X[0][4]) or ``heads`` (deep supervision's pruned fast mode) — the
     explicit form of the DCE the float model gets from XLA. Deep supervision
@@ -384,25 +425,85 @@ def _run_unetpp(exc, x, *, deep_supervision: bool = False, heads: int = 4):
     if not 1 <= heads <= 4:
         raise ValueError(f"heads must be in 1..4, got {heads}")
     max_j = heads if deep_supervision else 4
-    x = exc.input(x)
-    grid = {}
-    t = x
+    plan = [("input", "t0")]
+    prev = "t0"
     for i in range(max_j + 1):  # encoder column X[i][0]
         if i > 0:
-            t = exc.maxpool(t)
-        t = exc.double_conv(t, f"x{i}_0")
-        grid[(i, 0)] = t
+            plan.append(("maxpool", f"p{i}", prev))
+            prev = f"p{i}"
+        plan.append(("double_conv", f"x{i}_0", prev, f"x{i}_0"))
+        prev = f"x{i}_0"
     for j in range(1, max_j + 1):
         for i in range(0, max_j - j + 1):
-            grid[(i, j)] = exc.fuse(grid[(i + 1, j - 1)],
-                                    [grid[(i, k)] for k in range(j)],
-                                    f"x{i}_{j}")
+            plan.append(("fuse", f"x{i}_{j}", f"x{i + 1}_{j - 1}",
+                         tuple(f"x{i}_{k}" for k in range(j)), f"x{i}_{j}"))
     if not deep_supervision:
-        return exc.head(grid[(0, 4)], "outc", "logits")
-    if heads < 4:  # pruned fast mode: the single head X[0][k]
-        return exc.head(grid[(0, heads)], f"outc_{heads}", "logits")
-    outs = [exc.head(grid[(0, j)], f"outc_{j}", "logits") for j in range(1, 5)]
-    return sum(outs) / len(outs)
+        plan += [("head", "out", "x0_4", "outc", "logits"),
+                 ("output", ("out",))]
+    elif heads < 4:  # pruned fast mode: the single head X[0][k]
+        plan += [("head", "out", f"x0_{heads}", f"outc_{heads}", "logits"),
+                 ("output", ("out",))]
+    else:
+        for j in range(1, 5):
+            plan.append(("head", f"out{j}", f"x0_{j}", f"outc_{j}", "logits"))
+        plan += [("average", "out", tuple(f"out{j}" for j in range(1, 5))),
+                 ("output", ("out",))]
+    return tuple(plan)
+
+
+# Architecture-descriptor registry: arch name -> plan builder. This is the ONLY
+# per-architecture hook of the quantizer — both executors are driven through
+# any plan by the single _run driver below, so a new model family gets int8 by
+# adding a row here (ladder-shaped nets just need an _ARCH_HEADS entry).
+_PLAN_BUILDERS = {arch: _ladder_plan for arch in _ARCH_HEADS}
+_PLAN_BUILDERS["unetpp"] = _unetpp_plan
+
+
+def build_plan(arch: str, *, deep_supervision: bool = False, heads: int = 4):
+    """Compile an architecture name into a flat op plan (the descriptor _run
+    consumes). Ops: ('input', dst) | ('double_conv', dst, src, path) |
+    ('maxpool', dst, src) | ('up_block', dst, src, skip, path, gated) |
+    ('fuse', dst, below, (row...), path) | ('head', dst, src, path, act) |
+    ('average', dst, (srcs...)) | ('output', (srcs...))."""
+    if arch not in _PLAN_BUILDERS:
+        raise ValueError(f"unknown arch {arch!r}")
+    return _PLAN_BUILDERS[arch](arch, deep_supervision=deep_supervision,
+                                heads=heads)
+
+
+def _run(exc, x, plan, *, deep_supervision: bool = False, heads: int = 4):
+    """Drive one executor (float calibration or int8) through a plan.
+
+    ``plan`` may be an architecture name (compiled via build_plan) or a
+    prebuilt descriptor from build_plan.
+    """
+    if isinstance(plan, str):
+        plan = build_plan(plan, deep_supervision=deep_supervision, heads=heads)
+    env: Dict[str, Any] = {}
+    for op in plan:
+        kind = op[0]
+        if kind == "input":
+            env[op[1]] = exc.input(x)
+        elif kind == "double_conv":
+            env[op[1]] = exc.double_conv(env[op[2]], op[3])
+        elif kind == "maxpool":
+            env[op[1]] = exc.maxpool(env[op[2]])
+        elif kind == "up_block":
+            env[op[1]] = exc.up_block(env[op[2]], env[op[3]], op[4],
+                                      gated=op[5])
+        elif kind == "fuse":
+            env[op[1]] = exc.fuse(env[op[2]], [env[r] for r in op[3]], op[4])
+        elif kind == "head":
+            env[op[1]] = exc.head(env[op[2]], op[3], op[4])
+        elif kind == "average":  # head outputs are f32 in both executors
+            outs = [env[r] for r in op[2]]
+            env[op[1]] = sum(outs) / len(outs)
+        elif kind == "output":
+            outs = [env[r] for r in op[1]]
+            return outs[0] if len(outs) == 1 else tuple(outs)
+        else:
+            raise ValueError(f"unknown plan op {kind!r}")
+    raise ValueError("plan has no ('output', ...) op")
 
 
 # ---------------------------------------------------------------------------
@@ -425,11 +526,12 @@ def calibrate_absmax(arch: str, fparams: Dict[str, Any],
     at least the nodes the quantized forward will execute).
     """
 
+    plan = build_plan(arch, deep_supervision=deep_supervision, heads=heads)
+
     @jax.jit
     def one(fp, images_u8):
         exc = _CalibExec(fp, percentile=percentile)
-        _run(exc, eval_transform(images_u8), arch,
-             deep_supervision=deep_supervision, heads=heads)
+        _run(exc, eval_transform(images_u8), plan)
         return exc.absmax
 
     absmax: Dict[str, float] = {}
@@ -451,21 +553,14 @@ def _quant_per_channel(kernel, axes) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def quantize_model(arch: str, fparams: Dict[str, Any],
                    absmax: Dict[str, float]) -> Dict[str, Any]:
-    """Build the int8 parameter tree consumed by make_quantized_forward."""
+    """Build the int8 parameter tree consumed by make_quantized_forward.
+
+    Both decoder modes are supported: trees with ConvTranspose ``up`` leaves
+    quantize them; bilinear trees (no ``up`` leaves) run the parameter-free
+    upsample as a float island in the executors — nothing to quantize here.
+    """
     if arch not in _KNOWN_ARCHS:
         raise ValueError(f"unknown arch {arch!r}")
-    if arch == "unetpp":
-        if "up0_1" not in fparams:
-            raise ValueError(
-                "int8 quantization supports the transposed-conv decoder only "
-                "(bilinear=False); the UNet++ tree has no up0_1 ConvTranspose "
-                "params")
-    else:
-        for dec, up, _, _ in _ARCH_HEADS[arch]:
-            if "up" not in fparams.get(dec, {}).get(f"{up}1", {}):
-                raise ValueError(
-                    "int8 quantization supports the transposed-conv decoder only "
-                    f"(bilinear=False); {dec}/{up}1 has no ConvTranspose params")
 
     scales = {tag: jnp.float32(max(v, 1e-12) / 127.0) for tag, v in absmax.items()
               if not tag.endswith("/up")}
@@ -499,8 +594,8 @@ def quantize_model(arch: str, fparams: Dict[str, Any],
                 if _UP_LEAF.match(name):  # ConvTranspose k2s2 (int8 lax.conv_transpose)
                     if k.shape[:2] != (2, 2):
                         raise ValueError(
-                            "int8 quantization supports the transposed-conv decoder "
-                            f"only (bilinear=False); got up-kernel {k.shape}")
+                            f"up-conv kernel at {sub} has shape {k.shape}; the "
+                            "decoder's ConvTranspose is k2s2 (models/blocks.py)")
                     qk, sk = _quant_per_channel(k, axes=(0, 1, 2))
                     out[name] = {"kernel": qk, "w_scale": sk, "bias": child["bias"]}
                 elif k.shape[:2] == (1, 1):  # head
@@ -537,12 +632,10 @@ def make_quantized_forward(arch: str, *, deep_supervision: bool = False,
     (deep supervision: heads=4 averages all head logits, heads=k<4 returns the
     single pruned head X[0][k], as UNetPlusPlus.__call__ does at inference).
     """
-    if arch not in _KNOWN_ARCHS:
-        raise ValueError(f"unknown arch {arch!r}")
+    plan = build_plan(arch, deep_supervision=deep_supervision, heads=heads)
 
     def fwd(qparams, images_u8):
-        return _run(_QuantExec(qparams), eval_transform(images_u8), arch,
-                    deep_supervision=deep_supervision, heads=heads)
+        return _run(_QuantExec(qparams), eval_transform(images_u8), plan)
 
     return fwd
 
