@@ -84,6 +84,99 @@ def _wait_for_tpu(max_wait_s: float, probe_timeout_s: float = 150.0,
             time.sleep(min(interval_s, remaining))
 
 
+def _make_synth_mvtec_tree(root: str, n_train: int = 512, src_size: int = 320) -> str:
+    """Synthetic on-disk MVTec category for the e2e input-pipeline bench
+    (tests/test_data.py::make_mvtec pattern, sized for timing): smooth
+    low-frequency PNGs so file size / decode cost resemble photographs rather
+    than incompressible noise. Idempotent — a marker file skips regeneration,
+    so repeat bench runs (and the persistent decoded pack keyed off these
+    files) stay warm.
+    """
+    from PIL import Image
+
+    cat = os.path.join(root, "bottle")
+    marker = os.path.join(root, ".complete")
+    if os.path.exists(marker):
+        return root
+    os.makedirs(os.path.join(cat, "train", "good"), exist_ok=True)
+    os.makedirs(os.path.join(cat, "test", "good"), exist_ok=True)
+    rng = np.random.default_rng(42)
+    rep = src_size // 20
+    for i in range(n_train):
+        low = rng.integers(0, 256, (20, 20, 3)).astype(np.float32)
+        img = np.kron(low, np.ones((rep, rep, 1), np.float32))[:src_size, :src_size]
+        Image.fromarray(img.astype(np.uint8)).save(
+            os.path.join(cat, "train", "good", f"{i:04d}.png"))
+    with open(marker, "w") as f:
+        f.write(f"n_train={n_train} src={src_size}\n")
+    return root
+
+
+def _bench_train_e2e(mesh, n_chips, model, tx):
+    """End-to-end training throughput THROUGH the real input pipeline
+    (VERDICT r4 #1): synthetic on-disk PNG tree -> MVTecDataset (decode+resize,
+    persistent decoded pack) -> DataLoader prefetch threads -> shard_batch
+    device upload over the tunnel -> the same jitted train step program as the
+    headline figure (jitted fresh here: masks ship u8, a different aval than
+    the AOT headline executable), driven by the REAL epoch driver
+    train_anomaly_epoch — the fused analogue of the reference's hot loop,
+    which includes its torch DataLoader (/root/reference/src/train_utils.py:
+    117-146).
+
+    Warm epoch first (builds the decoded pack, pays PNG decode once — the
+    reference pays it EVERY epoch), then best/median of 3 timed epochs.
+    """
+    from tpu_unet.data import MVTecDataset
+    from tpu_unet.data.loader import DataLoader
+    from tpu_unet.parallel import replicate, shard_batch
+    from tpu_unet.train import (AugmentConfig, create_train_state,
+                                make_anomaly_train_step)
+    from tpu_unet.train.loop import train_anomaly_epoch
+
+    root = _make_synth_mvtec_tree(
+        os.path.join(os.path.expanduser("~"), ".cache", "tpu_unet_bench",
+                     "e2e_mvtec"))
+    ds = MVTecDataset(root, "bottle", "train", IMAGE_SIZE, is_train=True)
+    batch = BATCH * n_chips
+
+    def to_device(b):
+        # Binarized masks ship as uint8 {0,1}: exact, and 4x less tunnel
+        # traffic than f32 (7.3 -> 4.2 MB per b16 batch with the u8 images).
+        out = {}
+        for k, v in b.items():
+            if k == "mask":
+                v = v.astype(np.uint8)
+            out[k] = shard_batch(mesh, v) if hasattr(v, "shape") else v
+        return out
+
+    loader = DataLoader(ds, batch, shuffle=True, seed=0, drop_last=True,
+                        num_workers=8, prefetch=4, transform=to_device)
+    est = replicate(mesh, create_train_state(
+        model, jax.random.key(7), (1, IMAGE_SIZE, IMAGE_SIZE, 3), tx))
+    estep = make_anomaly_train_step(aug_cfg=AugmentConfig(), donate_state=True)
+    base_key = jax.random.key(0)
+    # Warm epoch: decoded-pack build + loader threads spun up + the one step
+    # compile for the u8-mask aval (persistent XLA cache across runs).
+    est, _ = train_anomaly_epoch(est, estep, loader, base_key, 0)
+    n_epoch = (len(ds) // batch) * batch
+    trial_ips = []
+    for e in range(1, 4):
+        t0 = time.perf_counter()
+        est, out = train_anomaly_epoch(est, estep, loader, base_key, e)
+        dt = time.perf_counter() - t0
+        assert np.isfinite(out["total_loss"]), out
+        trial_ips.append(round(n_epoch / dt / n_chips, 2))
+    return {
+        "images_per_sec_per_chip": max(trial_ips),
+        "median_images_per_sec_per_chip": round(float(np.median(trial_ips)), 2),
+        "trial_images_per_sec": trial_ips,
+        "images_per_epoch": n_epoch,
+        "pipeline": "on-disk 320^2 PNG -> decoded-pack 256^2 u8 -> loader "
+                    "threads (prefetch=4) -> u8 image+mask device upload "
+                    "(4.2 MB/b16 batch) -> jitted train step",
+    }
+
+
 def main():
     from tpu_unet.core.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -420,12 +513,24 @@ def main():
                                gimgs.sharding)).compile())
     del gst, gimgs, glbls
 
+    # End-to-end training through the REAL input pipeline (VERDICT r4 #1): the
+    # fused loader->upload->step epoch at the headline config, published next
+    # to the device-resident figure.
+    e2e = _bench_train_e2e(mesh, n_chips, model, tx)
+
     print(json.dumps({
         "metric": "mvtec_bottle_anomaly_unet_train_images_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
         "median_images_per_sec_per_chip": round(median_per_chip, 2),
         "vs_baseline": round(vs_baseline, 2) if vs_baseline is not None else None,
+        # Fused host->chip epoch (real loader + decoded pack + device upload +
+        # the same compiled step); ratio vs the device-resident headline shows
+        # the input pipeline's cost on this host/tunnel.
+        "train_e2e_images_per_sec_per_chip": e2e["images_per_sec_per_chip"],
+        "train_e2e_vs_device_only": round(
+            e2e["images_per_sec_per_chip"] / per_chip, 3),
+        "train_e2e": e2e,
         "infer_images_per_sec_per_chip": round(infer_per_chip, 2),
         "infer_serving_b128_images_per_sec_per_chip": round(serve_per_chip, 2),
         # tpu_unet/serve.py: score-only program (seg decoder DCE'd) + int8 PTQ

@@ -71,6 +71,27 @@ class TestAnomalySteps:
         _, ld = step(anomaly_state, *anomaly_batch(), jax.random.key(0))
         assert set(ld) == {"total_loss", "recon_loss", "seg_loss"}
 
+    def test_uint8_masks_match_float32(self, anomaly_state):
+        """Binary masks shipped as uint8 (4x less host->device traffic; the
+        MVTec train loader does this) produce bitwise-identical losses and
+        updates to the same masks in f32 — the augment is nearest/integral on
+        masks and the step casts on device."""
+        step = make_anomaly_train_step(aug_cfg=AugmentConfig(), donate_state=False)
+        img, msk = anomaly_batch()
+        s_f32, ld_f32 = step(anomaly_state, img, msk, jax.random.key(3))
+        s_u8, ld_u8 = step(anomaly_state, img, msk.astype(jnp.uint8),
+                           jax.random.key(3))
+        assert float(ld_f32["total_loss"]) == float(ld_u8["total_loss"])
+        for a, b in zip(jax.tree_util.tree_leaves(s_f32.params),
+                        jax.tree_util.tree_leaves(s_u8.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # Eval step accepts u8 masks too.
+        estep = make_anomaly_eval_step()
+        out_f = estep(anomaly_state, img, msk)
+        out_u = estep(anomaly_state, img, msk.astype(jnp.uint8))
+        assert (float(out_f["losses"]["total_loss"])
+                == float(out_u["losses"]["total_loss"]))
+
     def test_ssim_loss_config(self, anomaly_state):
         step = make_anomaly_train_step(
             loss_cfg=AnomalyLossConfig(recon_loss_type="ssim"),

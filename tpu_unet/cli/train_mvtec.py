@@ -216,9 +216,21 @@ def main(argv=None):
     mesh = make_mesh(n_data=args.n_devices, n_model=args.n_model)
     to_device = lambda b: {k: (shard_batch(mesh, v) if hasattr(v, "shape") else v)
                            for k, v in b.items()}
+
+    def to_device_train(b):
+        # Train masks are binary by construction (train/good has zero masks;
+        # GT masks binarize >0) — ship them uint8: exact, and 4x less tunnel
+        # traffic than f32 (the steps cast back on device after the
+        # nearest-sampled augment). Val keeps f32: --mask_resize bilinear can
+        # produce fractional mask values there.
+        b = dict(b)
+        if "mask" in b:
+            b["mask"] = b["mask"].astype(np.uint8)
+        return to_device(b)
+
     train_loader = DataLoader(train_ds, args.batch_size, shuffle=True, seed=args.seed,
                               drop_last=len(train_ds) >= args.batch_size,
-                              num_workers=args.num_workers, transform=to_device)
+                              num_workers=args.num_workers, transform=to_device_train)
     val_loader = DataLoader(val_ds, args.batch_size, pad_last=True,
                             num_workers=args.num_workers, transform=to_device)
 

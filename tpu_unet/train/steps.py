@@ -101,7 +101,10 @@ def make_anomaly_train_step(loss_cfg: AnomalyLossConfig = AnomalyLossConfig(),
                             grad_accum: int = 1):
     """Returns jitted ``step(state, images_u8, masks, key) -> (state, loss_dict)``.
 
-    images_u8: (N,H,W,3) uint8; masks: (N,H,W,1) float32 in [0,1].
+    images_u8: (N,H,W,3) uint8; masks: (N,H,W,1) float32 in [0,1], or uint8
+    {0,1} (exact for binarized masks and 4x less host->device traffic — the
+    MVTec train loader ships u8; cast to f32 happens on device after the
+    nearest-sampled geometric augment).
 
     dual_decoder=False trains a plain UNet as a focal-loss segmenter
     (sigmoid(logits) as the anomaly map; the input stands in as reconstruction so
@@ -138,6 +141,10 @@ def make_anomaly_train_step(loss_cfg: AnomalyLossConfig = AnomalyLossConfig(),
 
     def step(state: TrainState, images_u8, masks, key):
         img, msk = train_transform(images_u8, masks, key, **aug_cfg.kwargs())
+        # Masks may ship as uint8 {0,1} (4x less host->device traffic than f32;
+        # MVTec train masks are binary by construction) — the geometric augment
+        # is nearest/integral on masks, so casting after it is exact.
+        msk = msk.astype(jnp.float32)
         grads, (losses, new_stats) = jax.grad(loss_fn, argnums=1, has_aux=True)(
             state, state.params, state.batch_stats, img, msk)
         state = state.apply_gradients(grads=grads)
@@ -153,6 +160,7 @@ def make_anomaly_train_step(loss_cfg: AnomalyLossConfig = AnomalyLossConfig(),
             stats, gsum = carry
             img_u8, msk, k = xs
             img, m = train_transform(img_u8, msk, k, **aug_cfg.kwargs())
+            m = m.astype(jnp.float32)  # masks may ship as uint8 {0,1}
             grads, (losses, stats) = jax.grad(loss_fn, argnums=1, has_aux=True)(
                 state, state.params, stats, img, m)
             return (stats, jax.tree.map(jnp.add, gsum, grads)), losses
@@ -184,6 +192,7 @@ def make_anomaly_eval_step(loss_cfg: AnomalyLossConfig = AnomalyLossConfig(),
 
     def step(state: TrainState, images_u8, masks, valid=None):
         img = eval_transform(images_u8)
+        masks = masks.astype(jnp.float32)  # masks may ship as uint8 {0,1}
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         if dual_decoder:
             recon, amap = state.apply_fn(variables, img, train=False)
