@@ -296,3 +296,23 @@ def test_crossstack_parity_committed_artifacts():
     assert seg["miou_diff"] < 0.15
     assert seg["reference"]["loss_history"][-1] < seg["reference"]["loss_history"][0]
     assert seg["tpu_unet"]["loss_history"][-1] < seg["tpu_unet"]["loss_history"][0]
+
+
+def test_accuracy_ab_committed_artifact():
+    """The committed seg-family accuracy A/B (tools/accuracy_ab_seg.py,
+    VERDICT r4 #2): every model trained with the identical budget learns the
+    shape-discrimination task (mIoU >> chance), the baseline comparison field
+    is present for each, and the documented conclusion (gates/nested grid win
+    or honest negative) has numbers behind it."""
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(repo, "tools", "accuracy_ab_seg_result.json")) as f:
+        ab = json.load(f)
+    models = ab["models"]
+    assert set(models) == {"seg_unet", "attn_unet", "unetpp", "unetpp_ds"}
+    chance = 0.25
+    for name, r in models.items():
+        assert r["val_miou"] > 2 * chance, (name, r)
+        assert 0.0 <= r["val_miou"] <= 1.0
+        assert len(r["per_class_iou"]) == 4
+        assert "vs_seg_unet" in r
+    assert models["seg_unet"]["vs_seg_unet"] == 0.0

@@ -92,6 +92,33 @@ class TestAnomalySteps:
         assert (float(out_f["losses"]["total_loss"])
                 == float(out_u["losses"]["total_loss"]))
 
+    def test_targeted_remat_matches_baseline(self):
+        """remat='full_res' (checkpoint_name tags on the full-res rows +
+        save_anything_except_these_names policy) is numerically the same
+        step: loss scalars match exactly; params after one Adam step agree to
+        float noise (recompute reorders fused reductions; Adam's grad
+        normalization amplifies ulps). A measured-NO-GO perf-wise
+        (docs/ARCHITECTURE.md dead ends r5) but the harness must stay sound."""
+        from tpu_unet.models import AnomalyUNet
+
+        tx = make_optimizer("adam", 1e-3, 1e-4)
+        img, msk = anomaly_batch()
+        base = create_train_state(AnomalyUNet(base_features=4),
+                                  jax.random.key(0), (1, 32, 32, 3), tx)
+        rem = create_train_state(AnomalyUNet(base_features=4,
+                                             remat_full_res=True),
+                                 jax.random.key(0), (1, 32, 32, 3), tx)
+        step_n = make_anomaly_train_step(aug_cfg=FAST_AUG, donate_state=False)
+        step_r = make_anomaly_train_step(aug_cfg=FAST_AUG, donate_state=False,
+                                         remat="full_res")
+        sn, ln = step_n(base, img, msk, jax.random.key(1))
+        sr, lr = step_r(rem, img, msk, jax.random.key(1))
+        assert float(ln["total_loss"]) == float(lr["total_loss"])
+        for a, b in zip(jax.tree_util.tree_leaves(sn.params),
+                        jax.tree_util.tree_leaves(sr.params)):
+            np.testing.assert_allclose(np.asarray(a, np.float64),
+                                       np.asarray(b, np.float64), atol=1e-4)
+
     def test_ssim_loss_config(self, anomaly_state):
         step = make_anomaly_train_step(
             loss_cfg=AnomalyLossConfig(recon_loss_type="ssim"),

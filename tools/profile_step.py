@@ -28,22 +28,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def run_and_profile(trace_dir: str, steps: int, batch: int, size: int,
                     eval_mode: bool, serve_mode: str = "",
                     task: str = "anomaly", n_classes: int = 3,
-                    height: int = 0) -> None:
+                    height: int = 0, seg_model: str = "seg_unet") -> None:
     import jax
     import numpy as np
 
     from tpu_unet.core.cache import enable_compilation_cache
     enable_compilation_cache()
     from tpu_unet.core.precision import BF16_POLICY
-    from tpu_unet.models import AnomalyUNet, SegmentationUNet
+    from tpu_unet.models import AnomalyUNet, build_model
     from tpu_unet.train import (AugmentConfig, SegLossConfig, create_train_state,
                                 make_anomaly_eval_step, make_anomaly_train_step,
                                 make_optimizer, make_seg_train_step)
 
     if task == "seg":
         # Seg train step at an HxW shape (default KolektorSDD 1024x512 b8).
+        # --model attn_unet profiles the gated architecture on the same
+        # harness (the per-op attn-gate attribution, VERDICT r4 #7).
         h, w = (height or size), size
-        model = SegmentationUNet(n_classes=n_classes, policy=BF16_POLICY)
+        model = build_model(seg_model, n_classes=n_classes, policy=BF16_POLICY)
         tx = make_optimizer("adam", 1e-3, 1e-4)
         state = create_train_state(model, jax.random.key(0), (1, h, w, 3), tx)
         rng = np.random.default_rng(0)
@@ -158,13 +160,16 @@ def main(argv=None):
     p.add_argument("--n_classes", type=int, default=3)
     p.add_argument("--height", type=int, default=0,
                    help="image height when it differs from --image_size (seg)")
+    p.add_argument("--model", default="seg_unet",
+                   help="seg-task model (seg_unet | attn_unet | unetpp)")
     args = p.parse_args(argv)
 
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="tpu_unet_prof_")
     try:
         run_and_profile(trace_dir, args.steps, args.batch, args.image_size,
                         args.eval, serve_mode=args.serve, task=args.task,
-                        n_classes=args.n_classes, height=args.height)
+                        n_classes=args.n_classes, height=args.height,
+                        seg_model=args.model)
         summary = summarize(trace_dir, args.top)
         summary["steps"] = args.steps
         summary["per_step_ms"] = summary["total_us"] / 1e3 / max(args.steps, 1)

@@ -22,6 +22,7 @@ from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from tpu_unet.core.precision import Policy, DEFAULT_POLICY
 from tpu_unet.ops.resize import upsample2x_bilinear_align_corners
@@ -39,6 +40,12 @@ class DoubleConv(nn.Module):
     # stats over a 'data'-sharded N axis are already global there, and an
     # unbound axis_name would fail tracing.
     sync_batch_stats: bool = False
+    # Tag every intermediate with jax.ad_checkpoint.checkpoint_name so a
+    # jax.checkpoint(policy=save_anything_except_these_names(tag)) around the
+    # forward rematerializes this block's activations in the backward instead
+    # of saving them (targeted remat of the full-resolution rows — the bytes
+    # live there). No effect unless the train step opts in; identical numerics.
+    remat_tag: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
@@ -54,6 +61,8 @@ class DoubleConv(nn.Module):
                 param_dtype=self.policy.param_dtype,
                 name=f"conv{i + 1}",
             )(x)
+            if self.remat_tag:
+                x = checkpoint_name(x, self.remat_tag)
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
@@ -65,6 +74,8 @@ class DoubleConv(nn.Module):
             )(x)
             x = nn.relu(x)
             x = x.astype(self.policy.compute_dtype)
+            if self.remat_tag:
+                x = checkpoint_name(x, self.remat_tag)
         return x
 
 
@@ -74,6 +85,7 @@ class Down(nn.Module):
     features: int
     policy: Policy = DEFAULT_POLICY
     sync_batch_stats: bool = False
+    remat_tag: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
@@ -82,6 +94,7 @@ class Down(nn.Module):
             self.features,
             policy=self.policy,
             sync_batch_stats=self.sync_batch_stats,
+            remat_tag=self.remat_tag,
             name="conv",
         )(x, train=train)
 
@@ -105,6 +118,7 @@ class Up(nn.Module):
     policy: Policy = DEFAULT_POLICY
     sync_batch_stats: bool = False
     attention: bool = False
+    remat_tag: Optional[str] = None
 
     @nn.compact
     def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray, *, train: bool) -> jnp.ndarray:
@@ -128,6 +142,7 @@ class Up(nn.Module):
                 mid_features=self.in_features // 2,
                 policy=self.policy,
                 sync_batch_stats=self.sync_batch_stats,
+                remat_tag=self.remat_tag,
                 name="conv",
             )
         else:
@@ -140,10 +155,13 @@ class Up(nn.Module):
                 param_dtype=self.policy.param_dtype,
                 name="up",
             )(x1)
+            if self.remat_tag:
+                x1 = checkpoint_name(x1, self.remat_tag)
             conv = DoubleConv(
                 self.features,
                 policy=self.policy,
                 sync_batch_stats=self.sync_batch_stats,
+                remat_tag=self.remat_tag,
                 name="conv",
             )
 
@@ -155,6 +173,10 @@ class Up(nn.Module):
             x1 = jnp.pad(x1, ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)))
 
         x = jnp.concatenate([x2.astype(x1.dtype), x1], axis=-1)
+        if self.remat_tag:
+            # The concat is the widest tensor of the block (skip + up channels);
+            # name it so the backward rebuilds it instead of saving it.
+            x = checkpoint_name(x, self.remat_tag)
         return conv(x, train=train)
 
 

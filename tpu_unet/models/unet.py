@@ -32,14 +32,19 @@ class _Encoder(nn.Module):
     bilinear: bool = False
     sync_batch_stats: bool = False
     base_features: int = 64
+    # Tag the full-/half-resolution rows (inc, down1) for targeted remat: a
+    # train step built with remat='full_res' recomputes their activations in
+    # the backward instead of saving them (see train/steps.py).
+    remat_full_res: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         kw = dict(policy=self.policy, sync_batch_stats=self.sync_batch_stats)
+        tag = "full_res" if self.remat_full_res else None
         b = self.base_features
         factor = 2 if self.bilinear else 1
-        x1 = DoubleConv(b, name="inc", **kw)(x, train=train)
-        x2 = Down(2 * b, name="down1", **kw)(x1, train=train)
+        x1 = DoubleConv(b, name="inc", remat_tag=tag, **kw)(x, train=train)
+        x2 = Down(2 * b, name="down1", remat_tag=tag, **kw)(x1, train=train)
         x3 = Down(4 * b, name="down2", **kw)(x2, train=train)
         x4 = Down(8 * b, name="down3", **kw)(x3, train=train)
         x5 = Down(16 * b // factor, name="down4", **kw)(x4, train=train)
@@ -58,6 +63,7 @@ class _Decoder(nn.Module):
     prefix: str = "up"
     base_features: int = 64
     attention: bool = False
+    remat_full_res: bool = False  # tag the half-/full-res rows (up3, up4)
 
     @nn.compact
     def __call__(self, skips, *, train: bool):
@@ -65,12 +71,15 @@ class _Decoder(nn.Module):
         kw = dict(policy=self.policy, bilinear=self.bilinear,
                   sync_batch_stats=self.sync_batch_stats,
                   attention=self.attention)
+        tag = "full_res" if self.remat_full_res else None
         b = self.base_features
         factor = 2 if self.bilinear else 1
         x = Up(16 * b, 8 * b // factor, name=f"{self.prefix}1", **kw)(x5, x4, train=train)
         x = Up(8 * b, 4 * b // factor, name=f"{self.prefix}2", **kw)(x, x3, train=train)
-        x = Up(4 * b, 2 * b // factor, name=f"{self.prefix}3", **kw)(x, x2, train=train)
-        x = Up(2 * b, b, name=f"{self.prefix}4", **kw)(x, x1, train=train)
+        x = Up(4 * b, 2 * b // factor, name=f"{self.prefix}3", remat_tag=tag,
+               **kw)(x, x2, train=train)
+        x = Up(2 * b, b, name=f"{self.prefix}4", remat_tag=tag,
+               **kw)(x, x1, train=train)
         return x
 
 
@@ -117,6 +126,7 @@ class SegmentationUNet(nn.Module):
     # tree is unchanged when False (the att submodules only exist when gated),
     # so the reference-pinned counts hold; AttentionUNet is the =True subclass.
     attention: bool = False
+    remat_full_res: bool = False  # targeted-remat tags (see AnomalyUNet)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -124,6 +134,7 @@ class SegmentationUNet(nn.Module):
         x1, x2, x3, x4, x5 = _Encoder(
             policy=self.policy, bilinear=self.bilinear, base_features=self.base_features,
             sync_batch_stats=self.sync_batch_stats, name="encoder",
+            remat_full_res=self.remat_full_res,
         )(x, train=train)
         if self.dropout > 0:
             # Channel dropout (torch Dropout2d): broadcast over H and W.
@@ -136,7 +147,7 @@ class SegmentationUNet(nn.Module):
         x = _Decoder(
             policy=self.policy, bilinear=self.bilinear, base_features=self.base_features,
             sync_batch_stats=self.sync_batch_stats, attention=self.attention,
-            name="decoder",
+            name="decoder", remat_full_res=self.remat_full_res,
         )((x1, x2, x3, x4, x5), train=train)
         return OutConv(self.n_classes, policy=self.policy, name="outc")(x)
 
@@ -154,6 +165,9 @@ class AnomalyUNet(nn.Module):
     policy: Policy = DEFAULT_POLICY
     sync_batch_stats: bool = False
     base_features: int = 64
+    # Tag the full-/half-res rows for targeted remat (param tree unchanged;
+    # only effective under a train step built with remat='full_res').
+    remat_full_res: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -161,17 +175,20 @@ class AnomalyUNet(nn.Module):
         skips = _Encoder(
             policy=self.policy, bilinear=self.bilinear, base_features=self.base_features,
             sync_batch_stats=self.sync_batch_stats, name="encoder",
+            remat_full_res=self.remat_full_res,
         )(x, train=train)
 
         recon = _Decoder(
             policy=self.policy, bilinear=self.bilinear, base_features=self.base_features,
             sync_batch_stats=self.sync_batch_stats, prefix="up_recon", name="decoder_recon",
+            remat_full_res=self.remat_full_res,
         )(skips, train=train)
         reconstruction = nn.sigmoid(OutConv(self.n_channels, policy=self.policy, name="outc_recon")(recon))
 
         seg = _Decoder(
             policy=self.policy, bilinear=self.bilinear, base_features=self.base_features,
             sync_batch_stats=self.sync_batch_stats, prefix="up_seg", name="decoder_seg",
+            remat_full_res=self.remat_full_res,
         )(skips, train=train)
         anomaly_map = nn.sigmoid(OutConv(1, policy=self.policy, name="outc_seg")(seg))
 

@@ -94,11 +94,33 @@ def _microbatch_split(arrays, batch: int, grad_accum: int, what: str):
             for a in arrays]
 
 
+def _maybe_remat(fwd, remat: str):
+    """Wrap a forward fn in jax.checkpoint per the remat mode.
+
+    'none': off. 'full_res': recompute ONLY the tensors the model tagged with
+    checkpoint_name('full_res') — the full-/half-resolution DoubleConv rows
+    when the model was built with remat_full_res=True (models/unet.py); every
+    other residual is saved as usual. 'full': recompute the whole forward
+    (jax.remat default policy — the r2-measured loser, kept for A/B).
+    """
+    if remat == "none":
+        return fwd
+    if remat == "full_res":
+        return jax.checkpoint(
+            fwd,
+            policy=jax.checkpoint_policies.save_anything_except_these_names(
+                "full_res"))
+    if remat == "full":
+        return jax.checkpoint(fwd)
+    raise ValueError(f"remat must be 'none'|'full_res'|'full', got {remat!r}")
+
+
 def make_anomaly_train_step(loss_cfg: AnomalyLossConfig = AnomalyLossConfig(),
                             aug_cfg: AugmentConfig = AugmentConfig(),
                             donate_state: bool = True,
                             dual_decoder: bool = True,
-                            grad_accum: int = 1):
+                            grad_accum: int = 1,
+                            remat: str = "none"):
     """Returns jitted ``step(state, images_u8, masks, key) -> (state, loss_dict)``.
 
     images_u8: (N,H,W,3) uint8; masks: (N,H,W,1) float32 in [0,1], or uint8
@@ -127,10 +149,13 @@ def make_anomaly_train_step(loss_cfg: AnomalyLossConfig = AnomalyLossConfig(),
         raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
 
     def loss_fn(state, params, stats, img, msk):
-        out, mut = state.apply_fn(
-            {"params": params, "batch_stats": stats},
-            img, train=True, mutable=["batch_stats"],
-        )
+        def fwd(params, stats, img):
+            return state.apply_fn(
+                {"params": params, "batch_stats": stats},
+                img, train=True, mutable=["batch_stats"],
+            )
+
+        out, mut = _maybe_remat(fwd, remat)(params, stats, img)
         if dual_decoder:
             recon, amap = out
         else:
@@ -223,7 +248,8 @@ def make_seg_train_step(num_classes: int,
                         aug_cfg: AugmentConfig = AugmentConfig(),
                         with_confusion: bool = True,
                         donate_state: bool = True,
-                        grad_accum: int = 1):
+                        grad_accum: int = 1,
+                        remat: str = "none"):
     """Returns jitted ``step(state, images_u8, labels, key) -> (state, loss_dict, cm)``.
 
     labels: (N,H,W) int32. The (C,C) confusion matrix for the batch is computed on
@@ -246,11 +272,14 @@ def make_seg_train_step(num_classes: int,
         lbl = lbl[..., 0]
 
         def loss_fn(params):
-            logits, mut = state.apply_fn(
-                {"params": params, "batch_stats": stats},
-                img, train=True, mutable=["batch_stats"],
-                rngs={"dropout": k_drop},
-            )
+            def fwd(params, stats, img):
+                return state.apply_fn(
+                    {"params": params, "batch_stats": stats},
+                    img, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": k_drop},
+                )
+
+            logits, mut = _maybe_remat(fwd, remat)(params, stats, img)
             if isinstance(logits, (tuple, list)):
                 # Deep supervision (UNet++): one loss per head, averaged —
                 # every head gets equal gradient weight (arXiv:1912.05074);
