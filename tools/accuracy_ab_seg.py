@@ -147,7 +147,10 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--weight_decay", type=float, default=1e-4)
-    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--seeds", type=int, nargs="*", default=[42, 7, 13],
+                   help="One data+init seed per repetition; models are PAIRED "
+                        "within a seed (identical data/batch order), and the "
+                        "reported val_miou is the mean over seeds")
     p.add_argument("--base_features", type=int, default=32,
                    help="Channel ladder base (32 halves compile/step cost; "
                         "the RANKING question is architecture-relative)")
@@ -160,22 +163,25 @@ def main(argv=None):
     from tpu_unet.core.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    data = make_shape_data(seed=args.seed)
     results = {}
-    for name in args.models:
-        print(f"training {name} ({args.epochs} epochs, identical budget)...",
-              flush=True)
-        miou, per_class, losses, secs = train_and_eval(
-            name, data, args.epochs, args.batch_size, args.lr,
-            args.weight_decay, args.seed, args.base_features)
-        results[name] = {
-            "val_miou": round(miou, 4),
-            "per_class_iou": per_class,
-            "final_train_loss": round(losses[-1], 4),
-            "train_seconds": round(secs, 1),
-        }
-        print(f"  {name}: val mIoU {miou:.4f} (per-class {per_class})",
-              flush=True)
+    for seed in args.seeds:
+        data = make_shape_data(seed=seed)
+        for name in args.models:
+            print(f"training {name} (seed {seed}, {args.epochs} epochs, "
+                  "identical budget)...", flush=True)
+            miou, per_class, losses, secs = train_and_eval(
+                name, data, args.epochs, args.batch_size, args.lr,
+                args.weight_decay, seed, args.base_features)
+            r = results.setdefault(name, {"per_seed_miou": [],
+                                          "per_class_iou": per_class,
+                                          "final_train_loss": round(losses[-1], 4),
+                                          "train_seconds": 0.0})
+            r["per_seed_miou"].append(round(miou, 4))
+            r["train_seconds"] = round(r["train_seconds"] + secs, 1)
+            print(f"  {name} seed {seed}: val mIoU {miou:.4f} "
+                  f"(per-class {per_class})", flush=True)
+    for r in results.values():
+        r["val_miou"] = round(float(np.mean(r["per_seed_miou"])), 4)
 
     base = results.get("seg_unet", {}).get("val_miou")
     out = {
@@ -184,7 +190,7 @@ def main(argv=None):
                 f"(4 classes, {SIZE}^2, 64 train / 32 val)",
         "budget": {"epochs": args.epochs, "batch_size": args.batch_size,
                    "lr": args.lr, "weight_decay": args.weight_decay,
-                   "seed": args.seed, "base_features": args.base_features},
+                   "seeds": args.seeds, "base_features": args.base_features},
         "models": results,
     }
     if base:
