@@ -96,8 +96,16 @@ def _make_synth_mvtec_tree(root: str, n_train: int = 512, src_size: int = 320) -
 
     cat = os.path.join(root, "bottle")
     marker = os.path.join(root, ".complete")
+    params = f"n_train={n_train} src={src_size}\n"
     if os.path.exists(marker):
-        return root
+        # The marker must match THESE parameters — otherwise a bench tweak
+        # (say n_train=1024) would silently reuse the stale tree and publish
+        # a number measured on the old config (advisor r5).
+        with open(marker) as f:
+            if f.read() == params:
+                return root
+        import shutil
+        shutil.rmtree(root)
     os.makedirs(os.path.join(cat, "train", "good"), exist_ok=True)
     os.makedirs(os.path.join(cat, "test", "good"), exist_ok=True)
     rng = np.random.default_rng(42)
@@ -108,7 +116,7 @@ def _make_synth_mvtec_tree(root: str, n_train: int = 512, src_size: int = 320) -
         Image.fromarray(img.astype(np.uint8)).save(
             os.path.join(cat, "train", "good", f"{i:04d}.png"))
     with open(marker, "w") as f:
-        f.write(f"n_train={n_train} src={src_size}\n")
+        f.write(params)
     return root
 
 
@@ -125,6 +133,14 @@ def _bench_train_e2e(mesh, n_chips, model, tx):
 
     Warm epoch first (builds the decoded pack, pays PNG decode once — the
     reference pays it EVERY epoch), then best/median of 3 timed epochs.
+
+    Cache layout: the synthetic PNG TREE lives under
+    ``~/.cache/tpu_unet_bench/e2e_mvtec``; the decoded-sample PACK built from
+    it goes to the default data-cache root (``~/.cache/tpu_unet_data``,
+    MVTecDataset's ``disk_cache_dir='auto'``) keyed by the PNGs' content
+    fingerprint. To force a cold-pipeline measurement, clear BOTH (clearing
+    only the tree also invalidates the pack, since regenerated PNGs re-key it
+    — but the stale pack entry lingers on disk).
     """
     from tpu_unet.data import MVTecDataset
     from tpu_unet.data.loader import DataLoader

@@ -93,13 +93,15 @@ def test_microbatcher_rejects_after_close():
 
 
 def test_microbatcher_close_fails_stranded_futures():
-    """A request queued BEHIND the close sentinel (submit racing close) must
-    get its future failed, not hang its waiter forever."""
-    import queue as _queue
-
+    """A request queued BEHIND the close sentinel must get its future failed
+    by the WORKER itself when it consumes the sentinel — not depend on
+    close()'s join having succeeded (the engine can be mid-compile for
+    minutes, past close()'s 30 s join window; advisor r4/r5). Normally the
+    lifecycle lock makes a behind-sentinel item impossible; this simulates a
+    regression to prove the defensive drain holds."""
     b = MicroBatcher(lambda imgs: list(np.zeros(len(imgs))), 2, 0)
-    # Simulate the race deterministically: park the worker on a long batch,
-    # then enqueue the sentinel followed by a stranded item.
+    # Simulate deterministically: park the worker on a long batch, then
+    # enqueue the sentinel followed by a stranded item.
     release = threading.Event()
 
     def slow_run(imgs):
@@ -110,18 +112,17 @@ def test_microbatcher_close_fails_stranded_futures():
     first = b.submit(np.zeros((2, 2, 3), np.uint8))  # occupies the worker
     time.sleep(0.05)
     b._q.put(None)  # close sentinel enters the queue...
-    stranded: "_queue.Queue" = b._q
     fut = type(first)()  # a bare Future queued behind the sentinel
-    stranded.put((np.zeros((2, 2, 3), np.uint8), fut, None))
+    b._q.put((np.zeros((2, 2, 3), np.uint8), fut, None))
     b._closed = True
     release.set()
+    # No close() call at all: the worker alone must resolve everything.
     b._worker.join(timeout=30)
-    # close() drains the stranded item and fails its future.
-    b._closed = False  # let close() run its drain path
-    b.close()
+    assert not b._worker.is_alive()
     with pytest.raises(RuntimeError, match="closed before"):
         fut.result(timeout=5)
     assert float(first.result(timeout=5)) == 0.0
+    b.close()  # idempotent afterwards
 
 
 # -- HTTP daemon over live engines --------------------------------------------

@@ -173,15 +173,25 @@ def main(argv=None):
                 name, data, args.epochs, args.batch_size, args.lr,
                 args.weight_decay, seed, args.base_features)
             r = results.setdefault(name, {"per_seed_miou": [],
-                                          "per_class_iou": per_class,
-                                          "final_train_loss": round(losses[-1], 4),
+                                          "per_seed_per_class_iou": [],
+                                          "per_seed_final_train_loss": [],
                                           "train_seconds": 0.0})
             r["per_seed_miou"].append(round(miou, 4))
+            r["per_seed_per_class_iou"].append([round(float(c), 4)
+                                                for c in per_class])
+            r["per_seed_final_train_loss"].append(round(losses[-1], 4))
             r["train_seconds"] = round(r["train_seconds"] + secs, 1)
             print(f"  {name} seed {seed}: val mIoU {miou:.4f} "
                   f"(per-class {per_class})", flush=True)
     for r in results.values():
+        # Headline fields are MEANS over seeds — all of them, so per_class_iou
+        # read next to val_miou is the same population (advisor r5: the first
+        # cut froze per-class/loss at seed 0 while val_miou averaged 3 seeds).
         r["val_miou"] = round(float(np.mean(r["per_seed_miou"])), 4)
+        r["per_class_iou"] = [round(float(c), 4) for c in
+                              np.mean(r["per_seed_per_class_iou"], axis=0)]
+        r["final_train_loss"] = round(
+            float(np.mean(r["per_seed_final_train_loss"])), 4)
 
     base = results.get("seg_unet", {}).get("val_miou")
     out = {
@@ -193,7 +203,7 @@ def main(argv=None):
                    "seeds": args.seeds, "base_features": args.base_features},
         "models": results,
     }
-    if base:
+    if base is not None:  # `is not None`: mIoU 0.0 must not hide the field
         for name, r in results.items():
             r["vs_seg_unet"] = round(r["val_miou"] - base, 4)
     print(json.dumps(out))

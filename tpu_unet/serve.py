@@ -31,7 +31,6 @@ Usage:
 
 from __future__ import annotations
 
-import logging
 import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Optional, Sequence
@@ -623,9 +622,13 @@ class SegmentationPredictor:
             # pruned fast mode — the SINGLE head X[0][k] — not an average of
             # the shallowest k heads. Say so where serving is constructed so
             # outputs are never silently non-comparable to older runs.
-            logging.getLogger(__name__).info(
-                "unetpp pruned fast mode: serving the single head X[0][%d] "
-                "(not a head average; deeper grid columns are DCE'd)", heads)
+            # print(), not logging.info: the serve CLIs configure no logging
+            # handlers, so an INFO record would be dropped and the notice
+            # would be silent exactly where it matters (advisor r5). The CLIs'
+            # user-facing convention is stdout (cli/_seg_common.py:314).
+            print(f"unetpp pruned fast mode: serving the single head "
+                  f"X[0][{heads}] (not a head average; deeper grid columns "
+                  f"are DCE'd)", flush=True)
         # Validate the bucket ladder BEFORE any expensive calibration work
         # (semantics: AnomalyScorer.from_variables bucket_sizes docstring).
         _normalize_buckets(bucket_sizes, batch_size,

@@ -114,6 +114,12 @@ class MicroBatcher:
         self.rejected = 0                # submit() refusals (queue full)
         self.expired = 0                 # dropped in-queue past their deadline
         self._stats_lock = threading.Lock()
+        # Orders submit()'s closed-check+put against close()'s set-closed+put-
+        # sentinel: with both under one lock, no request can ever be enqueued
+        # AFTER the shutdown sentinel, so the worker serving everything up to
+        # the sentinel resolves every future (advisor r4/r5: a raced submit
+        # behind the sentinel used to hang its waiter forever).
+        self._lifecycle_lock = threading.Lock()
         self._closed = False
         self._worker = threading.Thread(target=self._loop, daemon=True,
                                         name="tpu-unet-microbatcher")
@@ -121,48 +127,54 @@ class MicroBatcher:
 
     def submit(self, image_u8: np.ndarray,
                deadline: Optional[float] = None) -> Future:
-        if self._closed:
-            raise RuntimeError("MicroBatcher is closed")
         fut: Future = Future()
-        try:
-            self._q.put_nowait((image_u8, fut, deadline))
-        except queue.Full:
-            with self._stats_lock:
-                self.rejected += 1
-            raise QueueFullError(
-                f"serving queue is full ({self.max_queue} waiting); "
-                "retry later") from None
+        with self._lifecycle_lock:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            try:
+                self._q.put_nowait((image_u8, fut, deadline))
+            except queue.Full:
+                with self._stats_lock:
+                    self.rejected += 1
+                raise QueueFullError(
+                    f"serving queue is full ({self.max_queue} waiting); "
+                    "retry later") from None
         return fut
 
     def close(self) -> None:
-        if not self._closed:
-            self._closed = True
-            self._q.put(None)  # sentinel
-            self._worker.join(timeout=30)
-            if self._worker.is_alive():
-                # The worker is still mid-batch after the join window. Leave
-                # the queue untouched: draining now could swallow the sentinel
-                # and leave the worker blocked on q.get() forever once it
-                # finishes its batch (advisor r4). It will drain to the
-                # sentinel and exit on its own.
+        with self._lifecycle_lock:
+            if self._closed:
                 return
-            # Worker has exited. A submit() that raced close() may have queued
-            # behind the sentinel; the worker never sees those items, so fail
-            # their futures instead of leaving the waiters hanging forever.
-            while True:
-                try:
-                    item = self._q.get_nowait()
-                except queue.Empty:
-                    break
-                if item is not None:
-                    item[1].set_exception(
-                        RuntimeError("MicroBatcher closed before this "
-                                     "request reached the engine"))
+            self._closed = True
+            # The sentinel is enqueued under the same lock that guards
+            # submit(), so every accepted request sits BEFORE it in queue
+            # order: the worker serves all of them, then drains (defensively)
+            # and exits — no future can be stranded behind the sentinel, even
+            # if this join times out because the engine is mid-compile
+            # (first compiles run minutes; the worker finishes on its own).
+            self._q.put(None)
+        self._worker.join(timeout=30)
+
+    def _drain_after_sentinel(self) -> None:
+        """Fail anything still queued once the sentinel has been consumed.
+
+        With the lifecycle lock, nothing should ever follow the sentinel;
+        this is defense-in-depth so a future regression hangs no waiter."""
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None:
+                item[1].set_exception(
+                    RuntimeError("MicroBatcher closed before this "
+                                 "request reached the engine"))
 
     def _loop(self) -> None:
         while True:
             head = self._q.get()
             if head is None:
+                self._drain_after_sentinel()
                 return
             batch = [head]
             # The first request opens a window: wait up to max_wait_s for
@@ -178,6 +190,7 @@ class MicroBatcher:
                     break
                 if item is None:  # close() raced the window: serve, then exit
                     self._flush(batch)
+                    self._drain_after_sentinel()
                     return
                 batch.append(item)
             self._flush(batch)
