@@ -562,3 +562,89 @@ def test_test_cli_quantized(trained, tmp_path):
     assert "auroc" in evaluation["image_metrics"]
     assert os.path.exists(os.path.join(out_dir, "bottle_test_results",
                                        "test_metrics.json"))
+
+
+@pytest.mark.slow
+def test_serve_seg_cli_tiled(trained_seg, tmp_path):
+    """--tile_height/--tile_width: native-resolution serving through the CLI —
+    inputs load at the full 48x64 extent, the 32^2-trained model runs on the
+    static overlapping tile grid, and masks come back at full resolution."""
+    from tpu_unet.cli.serve_seg import main as serve_main
+
+    root, ckpt = trained_seg
+    out_dir = os.path.join(tmp_path, "tiled_masks")
+    payload = serve_main([
+        "--checkpoint", ckpt, "--input_dir", os.path.join(root, "images", "test"),
+        "--num_classes", "4", "--image_height", "48", "--image_width", "64",
+        "--tile_height", "32", "--tile_width", "32", "--tile_overlap", "16",
+        "--batch_size", "2", "--precision", "f32", "--base_features", "4",
+        "--output_dir", out_dir,
+    ])
+    assert payload is not None and payload["image_size_hw"] == [48, 64]
+    from PIL import Image
+    masks = [f for f in os.listdir(out_dir) if f.endswith("_mask.png")]
+    assert len(masks) == 4
+    m = np.asarray(Image.open(os.path.join(out_dir, masks[0])))
+    assert m.shape == (48, 64) and m.max() < 4
+    # Mismatched tile flags fail fast.
+    with pytest.raises(SystemExit):
+        serve_main(["--checkpoint", ckpt, "--input_dir", root,
+                    "--tile_height", "32"])
+
+
+@pytest.mark.slow
+def test_serve_seg_cli_tiled_int8_envelope(trained_seg, tmp_path):
+    """int8 PTQ composes with tiling: calibration runs at the TILE shape and
+    the quantized tile forward blends identically to the float one up to the
+    standard envelope (argmax agreement on the full-resolution masks)."""
+    from tpu_unet.cli.serve_seg import main as serve_main
+
+    root, ckpt = trained_seg
+    img_dir = os.path.join(root, "images", "test")
+    common = [
+        "--checkpoint", ckpt, "--input_dir", img_dir, "--num_classes", "4",
+        "--image_height", "48", "--image_width", "64",
+        "--tile_height", "32", "--tile_width", "32", "--tile_overlap", "16",
+        "--batch_size", "2", "--precision", "f32", "--base_features", "4",
+    ]
+    p_f = serve_main(common + ["--output_dir", os.path.join(tmp_path, "f32")])
+    p_q = serve_main(common + [
+        "--quantize", "int8", "--calib_dir", img_dir, "--calib_samples", "4",
+        "--output_dir", os.path.join(tmp_path, "int8"),
+    ])
+    assert p_q["quantize"] == "int8"
+    from PIL import Image
+    agree = []
+    for rel, rec in p_f["predictions"].items():
+        mf = np.asarray(Image.open(os.path.join(tmp_path, "f32", rec["mask"])))
+        mq = np.asarray(Image.open(os.path.join(tmp_path, "int8",
+                                                p_q["predictions"][rel]["mask"])))
+        agree.append((mf == mq).mean())
+    assert float(np.mean(agree)) >= 0.9  # standard int8 envelope bound
+
+
+@pytest.mark.slow
+def test_serve_seg_cli_tiled_artifact_roundtrip(trained_seg, tmp_path):
+    """A tiled engine exports/reloads as an AOT artifact: the tile grid and
+    blend are baked into the compiled program, so the artifact needs no tile
+    flags (or model code) at reload and reproduces the checkpoint masks."""
+    from tpu_unet.cli.serve_seg import main as serve_main
+
+    root, ckpt = trained_seg
+    img_dir = os.path.join(root, "images", "test")
+    art = os.path.join(tmp_path, "tiled_artifact")
+    p1 = serve_main([
+        "--checkpoint", ckpt, "--input_dir", img_dir, "--num_classes", "4",
+        "--image_height", "48", "--image_width", "64",
+        "--tile_height", "32", "--tile_width", "32", "--tile_overlap", "16",
+        "--batch_size", "2", "--precision", "f32", "--base_features", "4",
+        "--export_artifact", art,
+        "--output_dir", os.path.join(tmp_path, "out_ckpt"),
+    ])
+    p2 = serve_main([
+        "--artifact", art, "--input_dir", img_dir,
+        "--output_dir", os.path.join(tmp_path, "out_art"),
+    ])
+    assert p2["image_size_hw"] == [48, 64]
+    for k, rec in p1["predictions"].items():
+        assert p2["predictions"][k]["class_pixel_share"] == rec["class_pixel_share"]

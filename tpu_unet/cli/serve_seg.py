@@ -77,6 +77,17 @@ def parse_args(argv=None):
                    help="Shard each batch over this many chips (DP)")
     p.add_argument("--n_space", type=int, default=1,
                    help="Shard image height over this many chips (spatial)")
+    p.add_argument("--tile_height", type=int, default=None,
+                   help="Serve NATIVE-resolution images by tiling: run the "
+                        "model at tile_height x tile_width (its training "
+                        "shape) over a static overlapping grid covering the "
+                        "full --image_height/--image_width input, blending "
+                        "tile logits back at full resolution (ops/tiling.py)."
+                        " Both --tile_height and --tile_width are required")
+    p.add_argument("--tile_width", type=int, default=None)
+    p.add_argument("--tile_overlap", type=int, default=64,
+                   help="Overlap (px) between adjacent tiles; blended with a "
+                        "center-weighted window")
     p.add_argument("--device", type=str, default="auto")
     p.add_argument("--output_dir", type=str, default="served_masks")
     return p.parse_args(argv), p
@@ -100,7 +111,10 @@ def main(argv=None):
                      "batch_size", "precision", "quantize", "calib_dir",
                      "calib_samples", "calib_percentile", "qparams",
                      "base_features", "bilinear", "bucket_sizes",
-                     "model", "deep_supervision", "heads"))
+                     "model", "deep_supervision", "heads",
+                     "tile_height", "tile_width", "tile_overlap"))
+    if (args.tile_height is None) != (args.tile_width is None):
+        parser.error("--tile_height and --tile_width must be given together")
 
     paths = list_images(args.input_dir)
     if not paths:
@@ -112,7 +126,11 @@ def main(argv=None):
         return _predict_and_save(args, load_artifact_engine(args), paths)
 
     size_hw = (args.image_height, args.image_width)
-    quantize, calib_images, qparams_tree = resolve_quantization(args, size_hw)
+    # int8 calibration must see the shape the quantized forward actually runs
+    # at — the TILE shape when tiling, else the full image shape.
+    calib_hw = ((args.tile_height, args.tile_width)
+                if args.tile_height is not None else size_hw)
+    quantize, calib_images, qparams_tree = resolve_quantization(args, calib_hw)
 
     predictor = SegmentationPredictor.from_checkpoint(
         args.checkpoint, num_classes=args.num_classes, image_size_hw=size_hw,
@@ -122,7 +140,10 @@ def main(argv=None):
         calib_images=calib_images, base_features=args.base_features,
         bilinear=args.bilinear, n_devices=args.n_devices, n_space=args.n_space,
         qparams=qparams_tree, calib_percentile=args.calib_percentile,
-        bucket_sizes=parse_bucket_sizes(args, args.batch_size))
+        bucket_sizes=parse_bucket_sizes(args, args.batch_size),
+        tile_hw=(None if args.tile_height is None
+                 else (args.tile_height, args.tile_width)),
+        tile_overlap=args.tile_overlap)
     maybe_save_qparams(args, predictor, qparams_tree)
     maybe_export_artifact(predictor, args)
     return _predict_and_save(args, predictor, paths)

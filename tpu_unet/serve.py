@@ -598,12 +598,22 @@ class SegmentationPredictor:
                        bucket_sizes: Optional[Sequence[int]] = None,
                        model_name: str = "seg_unet",
                        deep_supervision: bool = False,
-                       heads: int = 4) -> "SegmentationPredictor":
+                       heads: int = 4,
+                       tile_hw: Optional[Sequence[int]] = None,
+                       tile_overlap: int = 64) -> "SegmentationPredictor":
         """``heads`` (unetpp deep-supervision checkpoints only): 4 serves the
         averaged accurate mode; k<4 serves the paper's pruned fast mode — the
         single head X[0][k], whose deeper columns XLA DCEs from the compiled
         program, trading accuracy for per-image cost (heads=1 is ~the L1
-        sub-UNet)."""
+        sub-UNet).
+
+        ``tile_hw``: serve NATIVE-resolution images by tiling. ``image_size_hw``
+        is then the full input extent and the model runs at ``tile_hw`` (its
+        training shape); the static tile grid is sliced, batched through one
+        fixed-shape program, and blended back with the overlap window
+        (ops/tiling.py). Composes with int8/bilinear/unetpp heads; not with
+        ``n_space`` (shard the tile BATCH over 'data' instead — a full-res
+        image already fills the device via its tiles)."""
         if quantize not in (None, "none", "int8"):
             raise ValueError(f"unsupported quantize mode {quantize!r}")
         if quantize == "int8" and model_name not in ("seg_unet", "unetpp",
@@ -629,6 +639,19 @@ class SegmentationPredictor:
             print(f"unetpp pruned fast mode: serving the single head "
                   f"X[0][{heads}] (not a head average; deeper grid columns "
                   f"are DCE'd)", flush=True)
+        tiled = None
+        if tile_hw is not None:
+            from tpu_unet.ops.tiling import make_tiled_logits_fn
+            if n_space > 1:
+                raise ValueError(
+                    "tiled inference does not compose with --n_space spatial "
+                    "sharding (the tile batch already fills the device; "
+                    "shard it over 'data' with n_devices instead)")
+            # Built here (captures image/tile geometry); the tile forward is
+            # plugged in per-path below.
+            def tiled(tile_apply):
+                return make_tiled_logits_fn(tile_apply, image_size_hw, tile_hw,
+                                            tile_overlap)
         # Validate the bucket ladder BEFORE any expensive calibration work
         # (semantics: AnomalyScorer.from_variables bucket_sizes docstring).
         _normalize_buckets(bucket_sizes, batch_size,
@@ -665,9 +688,10 @@ class SegmentationPredictor:
             fwd = make_quantized_forward(model_name,
                                          deep_supervision=deep_supervision,
                                          heads=heads)
+            logits_fn = tiled(fwd) if tiled is not None else fwd
 
             def predict_fn(qp, images_u8):
-                logits = fwd(qp, images_u8)
+                logits = logits_fn(qp, images_u8)
                 preds, conf = sliced_pred_confidence(logits)
                 return preds, jnp.mean(conf, axis=(1, 2))
 
@@ -684,9 +708,13 @@ class SegmentationPredictor:
             params, batch_stats = fold_batchnorm(params, batch_stats)
         variables = {"params": params, "batch_stats": batch_stats}
 
+        def apply_logits(v, images_u8):
+            return model.apply(v, eval_transform(images_u8), train=False)
+
+        logits_fn = tiled(apply_logits) if tiled is not None else apply_logits
+
         def predict_fn(v, images_u8):
-            logits = model.apply(v, eval_transform(images_u8), train=False)
-            preds, conf = sliced_pred_confidence(logits)
+            preds, conf = sliced_pred_confidence(logits_fn(v, images_u8))
             return preds, jnp.mean(conf, axis=(1, 2))
 
         return cls(jax.jit(predict_fn), variables, image_size_hw, batch_size,
@@ -706,7 +734,9 @@ class SegmentationPredictor:
                         bucket_sizes: Optional[Sequence[int]] = None,
                         model_name: str = "seg_unet",
                         deep_supervision: bool = False,
-                        heads: int = 4) -> "SegmentationPredictor":
+                        heads: int = 4,
+                        tile_hw: Optional[Sequence[int]] = None,
+                        tile_overlap: int = 64) -> "SegmentationPredictor":
         from tpu_unet.train.checkpoint import load_params
         from tpu_unet.train.optim import make_optimizer
         from tpu_unet.train.state import create_train_state
@@ -726,7 +756,10 @@ class SegmentationPredictor:
                             dropout=dropout, policy=get_policy(precision),
                             base_features=base_features,
                             deep_supervision=deep_supervision, heads=heads)
-        h, w = image_size_hw
+        # Conv/BN param shapes are input-size independent: init at the TILE
+        # shape when tiling (the model's actual running shape) so a huge
+        # native-resolution image_size_hw doesn't inflate the one-time init.
+        h, w = tile_hw if tile_hw is not None else image_size_hw
         state = create_train_state(model, jax.random.key(0), (1, h, w, 3),
                                    make_optimizer("adam", 1e-3, 0.0))
         state = load_params(state, checkpoint)
@@ -742,7 +775,8 @@ class SegmentationPredictor:
                                   bucket_sizes=bucket_sizes,
                                   model_name=model_name,
                                   deep_supervision=deep_supervision,
-                                  heads=heads)
+                                  heads=heads, tile_hw=tile_hw,
+                                  tile_overlap=tile_overlap)
 
     def predict_array(self, images_u8: np.ndarray):
         """(N,H,W,3) uint8 -> (masks (N,H,W) uint8, mean_confidence (N,) f32)."""
