@@ -298,6 +298,30 @@ def test_crossstack_parity_committed_artifacts():
     assert seg["tpu_unet"]["loss_history"][-1] < seg["tpu_unet"]["loss_history"][0]
 
 
+def test_bench_tiled_committed_artifact():
+    """The committed tiled-serving chip bench (tools/bench_tiled.py, r5):
+    native-resolution throughput scales with batch, the int8 engine was
+    measured, and the resize-path context rows are present so the Mpix/s
+    comparison in ARCHITECTURE.md has numbers behind it."""
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(repo, "tools", "bench_tiled_result.json")) as f:
+        r = json.load(f)
+    assert r["tiles_per_image"] == 9  # 3x3 grid: 1024^2 / 512^2 tiles / 64 px
+    cfg = r["configs"]
+    for mode in ("bf16", "int8"):
+        batches = sorted(int(k.rsplit("_b", 1)[1]) for k in cfg
+                         if k.startswith(f"tiled_{mode}_b"))
+        assert len(batches) >= 2
+        rates = [cfg[f"tiled_{mode}_b{b}"]["native_images_per_sec"]
+                 for b in batches]
+        assert rates[-1] > rates[0]  # batching the tile grid must pay
+        resized = [v for k, v in cfg.items() if k.startswith(f"resized_{mode}")]
+        assert resized and resized[0]["resized_images_per_sec"] > 0
+        # Native-res serving keeps >=half the resize path's pixel rate.
+        assert (cfg[f"tiled_{mode}_b{batches[-1]}"]["mpix_per_sec"]
+                >= 0.5 * resized[0]["mpix_per_sec"])
+
+
 def test_accuracy_ab_committed_artifact():
     """The committed seg-family accuracy A/B (tools/accuracy_ab_seg.py,
     VERDICT r4 #2): every model trained with the identical budget learns the
